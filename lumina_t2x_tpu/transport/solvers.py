@@ -1,0 +1,300 @@
+"""ODE / SDE solvers compiled as single XLA programs.
+
+TPU-native replacement for the reference's solver stack
+(`lumina_next_t2i/transport/integrators.py:1-116`, which wraps
+`torchdiffeq.odeint` for fixed-step euler/midpoint/rk4 and adaptive
+dopri5/dopri8, plus hand-written Euler-Maruyama / Heun SDE loops):
+
+- fixed-step solvers run as a `lax.scan` over the step grid so the whole
+  denoise trajectory is one compiled graph (no per-step host dispatch);
+- dopri5/dopri8 run a `lax.while_loop` per save interval with a PI step-size
+  controller, batched over the save grid by an outer `lax.scan`;
+- SDE solvers thread a PRNG key through the scan carry.
+
+The time-shift warp t -> t / (t + f - f*t) matches
+`integrators.py:97-99`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def time_shift(t, factor: Optional[float]):
+    """Warp a time grid toward t=0 (`integrators.py:97-99`)."""
+    if factor is None:
+        return t
+    return t / (t + factor - factor * t)
+
+
+def make_time_grid(t0: float, t1: float, num_steps: int, time_shifting_factor: Optional[float] = None):
+    t = jnp.linspace(t0, t1, num_steps)
+    return time_shift(t, time_shifting_factor)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-step ODE solvers (lax.scan)
+# ---------------------------------------------------------------------------
+
+
+def _axpy(x, a, k):
+    """x + a * k over pytrees."""
+    return jax.tree.map(lambda xx, kk: xx + a * kk, x, k)
+
+
+def _euler_step(f, x, t, dt):
+    return _axpy(x, dt, f(x, t))
+
+
+def _midpoint_step(f, x, t, dt):
+    k1 = f(x, t)
+    return _axpy(x, dt, f(_axpy(x, 0.5 * dt, k1), t + 0.5 * dt))
+
+
+def _heun_step(f, x, t, dt):
+    k1 = f(x, t)
+    k2 = f(_axpy(x, dt, k1), t + dt)
+    return jax.tree.map(lambda xx, a, b: xx + 0.5 * dt * (a + b), x, k1, k2)
+
+
+def _rk4_step(f, x, t, dt):
+    k1 = f(x, t)
+    k2 = f(_axpy(x, 0.5 * dt, k1), t + 0.5 * dt)
+    k3 = f(_axpy(x, 0.5 * dt, k2), t + 0.5 * dt)
+    k4 = f(_axpy(x, dt, k3), t + dt)
+    return jax.tree.map(
+        lambda xx, a, b, c, d: xx + dt / 6.0 * (a + 2.0 * b + 2.0 * c + d), x, k1, k2, k3, k4
+    )
+
+
+_FIXED_STEPPERS = {
+    "euler": _euler_step,
+    "midpoint": _midpoint_step,
+    "heun": _heun_step,
+    "rk4": _rk4_step,
+}
+
+
+def odeint_fixed(
+    drift_fn: Callable,
+    x0,
+    ts,
+    method: str = "midpoint",
+    return_all: bool = False,
+):
+    """Integrate dx/dt = drift_fn(x, t) along the grid `ts`.
+
+    Args:
+      drift_fn: (pytree x, scalar t) -> pytree dx/dt. `t` is a scalar traced
+        value; the callee is responsible for broadcasting to the batch.
+      x0: initial state (pytree of arrays).
+      ts: (n,) array of time points; the solution is advanced over the n-1
+        intervals. Matches torchdiffeq semantics where the returned trajectory
+        includes the initial point.
+      method: euler | midpoint | heun | rk4.
+      return_all: if True, return the full (n, ...) trajectory; otherwise only
+        the final state (what the sampling pipelines consume via `[-1]`,
+        `sample.py:234`).
+    """
+    try:
+        stepper = _FIXED_STEPPERS[method.lower()]
+    except KeyError:
+        raise NotImplementedError(f"Unknown fixed-step method: {method}")
+
+    t_pairs = jnp.stack([ts[:-1], ts[1:]], axis=1)
+
+    def body(x, t_pair):
+        t, t_next = t_pair[0], t_pair[1]
+        x_next = stepper(drift_fn, x, t, t_next - t)
+        return x_next, (x_next if return_all else None)
+
+    x_final, ys = jax.lax.scan(body, x0, t_pairs)
+    if return_all:
+        return jax.tree.map(
+            lambda first, rest: jnp.concatenate([first[None], rest], axis=0), x0, ys
+        )
+    return x_final
+
+
+# ---------------------------------------------------------------------------
+# Adaptive Runge-Kutta (Dormand-Prince) under lax.while_loop
+# ---------------------------------------------------------------------------
+
+# Dopri5 Butcher tableau (fp64 literals, cast at trace time).
+_DOPRI5_C = np.array([0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0])
+_DOPRI5_A = [
+    np.array([]),
+    np.array([1 / 5]),
+    np.array([3 / 40, 9 / 40]),
+    np.array([44 / 45, -56 / 15, 32 / 9]),
+    np.array([19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729]),
+    np.array([9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656]),
+    np.array([35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84]),
+]
+_DOPRI5_B = np.array([35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0])
+_DOPRI5_B_ERR = _DOPRI5_B - np.array(
+    [5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200, 187 / 2100, 1 / 40]
+)
+
+
+def _rms_norm(tree):
+    leaves = jax.tree.leaves(jax.tree.map(lambda a: jnp.sum(a.astype(jnp.float32) ** 2), tree))
+    total = sum(leaves)
+    n = sum(np.prod(a.shape) for a in jax.tree.leaves(tree))
+    return jnp.sqrt(total / n)
+
+
+def _error_ratio(err, x0, x1, atol, rtol):
+    tol_sq = jax.tree.map(
+        lambda e, a, b: (
+            (e.astype(jnp.float32) / (atol + rtol * jnp.maximum(jnp.abs(a), jnp.abs(b)).astype(jnp.float32))) ** 2
+        ),
+        err,
+        x0,
+        x1,
+    )
+    leaves = jax.tree.leaves(jax.tree.map(jnp.sum, tol_sq))
+    total = sum(leaves)
+    n = sum(np.prod(a.shape) for a in jax.tree.leaves(err))
+    return jnp.sqrt(total / n)
+
+
+def odeint_adaptive(
+    drift_fn: Callable,
+    x0,
+    ts,
+    atol: float = 1e-6,
+    rtol: float = 1e-3,
+    max_steps: int = 4096,
+    return_all: bool = False,
+):
+    """Adaptive dopri5 with a PI step-size controller.
+
+    Matches the accuracy contract of the reference's torchdiffeq dopri5 path
+    (`integrators.py:115`): the state is advanced adaptively, landing exactly
+    on each requested save point (step clipped at interval boundaries instead
+    of dense-output interpolation).
+    """
+    n_stages = 7
+    safety, min_factor, max_factor = 0.9, 0.2, 10.0
+    order = 5.0
+
+    def rk_step(x, t, dt):
+        ks = []
+        for i in range(n_stages):
+            xi = x
+            for j, aij in enumerate(_DOPRI5_A[i]):
+                xi = jax.tree.map(lambda xx, kk: xx + dt * aij * kk, xi, ks[j])
+            ks.append(drift_fn(xi, t + _DOPRI5_C[i] * dt))
+        x_next = x
+        err = jax.tree.map(jnp.zeros_like, x)
+        for i in range(n_stages):
+            if _DOPRI5_B[i] != 0.0:
+                x_next = jax.tree.map(lambda xx, kk: xx + dt * _DOPRI5_B[i] * kk, x_next, ks[i])
+            if _DOPRI5_B_ERR[i] != 0.0:
+                err = jax.tree.map(lambda ee, kk: ee + dt * _DOPRI5_B_ERR[i] * kk, err, ks[i])
+        return x_next, err
+
+    def advance_to(x, t_start, t_end, dt0):
+        """Integrate from t_start to t_end adaptively."""
+
+        def cond(state):
+            _, t, dt, nsteps = state
+            return jnp.logical_and(t < t_end - 1e-12, nsteps < max_steps)
+
+        def body(state):
+            x, t, dt, nsteps = state
+            dt = jnp.minimum(dt, t_end - t)
+            x_prop, err = rk_step(x, t, dt)
+            ratio = _error_ratio(err, x, x_prop, atol, rtol)
+            accept = ratio <= 1.0
+            x_new = jax.tree.map(lambda a, b: jnp.where(accept, b, a), x, x_prop)
+            t_new = jnp.where(accept, t + dt, t)
+            factor = jnp.clip(
+                safety * jnp.power(jnp.maximum(ratio, 1e-10), -1.0 / order),
+                min_factor,
+                max_factor,
+            )
+            dt_new = dt * factor
+            return x_new, t_new, dt_new, nsteps + 1
+
+        x, _, dt, _ = jax.lax.while_loop(cond, body, (x, t_start, dt0, jnp.array(0, jnp.int32)))
+        return x, dt
+
+    # Outer scan over save intervals.
+    dt_init = (ts[-1] - ts[0]) / 100.0
+
+    def save_body(carry, t_pair):
+        x, dt = carry
+        x, dt = advance_to(x, t_pair[0], t_pair[1], dt)
+        return (x, dt), (x if return_all else None)
+
+    t_pairs = jnp.stack([ts[:-1], ts[1:]], axis=1)
+    (x_final, _), ys = jax.lax.scan(save_body, (x0, dt_init), t_pairs)
+    if return_all:
+        return jax.tree.map(lambda first, rest: jnp.concatenate([first[None], rest], axis=0), x0, ys)
+    return x_final
+
+
+# ---------------------------------------------------------------------------
+# SDE solvers (Euler-Maruyama / Heun), rng threaded through the scan carry
+# ---------------------------------------------------------------------------
+
+
+def sdeint(
+    drift_fn: Callable,
+    diffusion_fn: Callable,
+    x0,
+    ts,
+    rng: jax.Array,
+    method: str = "euler",
+    return_all: bool = False,
+):
+    """Integrate an SDE along `ts`; matches `integrators.py:27-49` semantics.
+
+    Returns (x_last, mean_x_last) or the full trajectory of x if return_all.
+    The final point returned is the *pre-last-step* state (the reference's sde
+    loop stops at t[-2]; the configurable last step is applied by the Sampler).
+    """
+    dt = ts[1] - ts[0]
+
+    def em_step(rng, x, mean_x, t):
+        w = jax.random.normal(rng, x.shape, x.dtype)
+        dw = w * jnp.sqrt(dt)
+        drift = drift_fn(x, t)
+        diffusion = diffusion_fn(x, t)
+        mean_x = x + drift * dt
+        x = mean_x + jnp.sqrt(2.0 * diffusion) * dw
+        return x, mean_x
+
+    def heun_step(rng, x, mean_x, t):
+        w = jax.random.normal(rng, x.shape, x.dtype)
+        dw = w * jnp.sqrt(dt)
+        diffusion = diffusion_fn(x, t)
+        xhat = x + jnp.sqrt(2.0 * diffusion) * dw
+        k1 = drift_fn(xhat, t)
+        xp = xhat + dt * k1
+        k2 = drift_fn(xp, t + dt)
+        return xhat + 0.5 * dt * (k1 + k2), xhat
+
+    steppers = {"euler": em_step, "heun": heun_step}
+    try:
+        stepper = steppers[method.lower()]
+    except KeyError:
+        raise NotImplementedError(f"Unknown SDE method: {method}")
+
+    def body(carry, t):
+        rng, x, mean_x = carry
+        rng, sub = jax.random.split(rng)
+        x, mean_x = stepper(sub, x, mean_x, t)
+        return (rng, x, mean_x), (x if return_all else None)
+
+    (rng, x, mean_x), ys = jax.lax.scan(body, (rng, x0, x0), ts[:-1])
+    if return_all:
+        return ys
+    return x, mean_x

@@ -1,0 +1,28 @@
+"""Test harness: force an 8-device virtual CPU platform.
+
+This is the TPU-native analogue of the reference's "single-GPU fake
+distributed" mode (`/root/reference/lumina_next_t2i/demo.py:84-87`):
+sharding/mesh tests run against 8 virtual CPU devices so multi-chip GSPMD
+programs are validated without real hardware.
+
+Note: the session may pre-import jax via sitecustomize with JAX_PLATFORMS
+pinned to a TPU tunnel, so env vars are too late here — use jax.config
+updates, which take effect any time before backend initialization.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+jax.config.update("jax_default_matmul_precision", "highest")
+
+
+def pytest_report_header(config):
+    return f"jax devices: {jax.devices()}"

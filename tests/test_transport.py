@@ -1,0 +1,335 @@
+"""Unit tests for the flow-matching transport core (paths, t-samplers,
+solvers, losses, CFG). Pure math, CPU-runnable."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lumina_t2x_tpu.transport import (
+    GVPPath,
+    LinearPath,
+    Sampler,
+    VPPath,
+    cfg_wrapper,
+    create_transport,
+    make_time_grid,
+    odeint_adaptive,
+    odeint_fixed,
+    sample_t,
+    sdeint,
+    time_shift,
+)
+
+
+class TestPaths:
+    def test_linear_coeffs(self):
+        p = LinearPath()
+        t = jnp.array([0.25, 0.5])
+        a, da = p.alpha_t(t)
+        s, ds = p.sigma_t(t)
+        np.testing.assert_allclose(a, t)
+        np.testing.assert_allclose(s, 1 - t)
+        np.testing.assert_allclose(da, 1.0)
+        np.testing.assert_allclose(ds, -1.0)
+
+    def test_gvp_unit_variance(self):
+        p = GVPPath()
+        t = jnp.linspace(0.01, 0.99, 17)
+        a, _ = p.alpha_t(t)
+        s, _ = p.sigma_t(t)
+        np.testing.assert_allclose(a**2 + s**2, 1.0, atol=1e-6)
+
+    def test_vp_endpoints(self):
+        p = VPPath()
+        a1, _ = p.alpha_t(jnp.array([1.0]))
+        np.testing.assert_allclose(a1, 1.0, atol=1e-6)
+
+    @pytest.mark.parametrize("path_cls", [LinearPath, GVPPath])
+    def test_interpolant_endpoints(self, path_cls):
+        p = path_cls()
+        rng = jax.random.PRNGKey(0)
+        x0 = jax.random.normal(rng, (2, 3, 4, 4))
+        x1 = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 4, 4))
+        xt, _ = p.interpolant(jnp.array([1.0, 1.0]), x0, x1)
+        np.testing.assert_allclose(xt, x1, atol=1e-5)
+        xt, _ = p.interpolant(jnp.array([0.0, 0.0]), x0, x1)
+        np.testing.assert_allclose(xt, x0, atol=1e-5)
+
+    def test_velocity_score_roundtrip(self):
+        """velocity -> score -> velocity must be identity along the path."""
+        p = LinearPath()
+        key = jax.random.PRNGKey(0)
+        x = jax.random.normal(key, (4, 8))
+        v = jax.random.normal(jax.random.PRNGKey(1), (4, 8))
+        t = jnp.full((4,), 0.37)
+        score = p.velocity_to_score(v, x, t)
+        v2 = p.score_to_velocity(score, x, t)
+        np.testing.assert_allclose(v2, v, atol=1e-4)
+
+    def test_velocity_to_noise_linear(self):
+        """On the linear path with known (x0, x1): xt = t x1 + (1-t) x0,
+        ut = x1 - x0 => recovered noise must equal x0."""
+        p = LinearPath()
+        x0 = jax.random.normal(jax.random.PRNGKey(0), (2, 5))
+        x1 = jax.random.normal(jax.random.PRNGKey(1), (2, 5))
+        t = jnp.array([0.3, 0.8])
+        xt, ut = p.interpolant(t, x0, x1)
+        noise = p.velocity_to_noise(ut, xt, t)
+        np.testing.assert_allclose(noise, x0, atol=1e-4)
+
+
+class TestTSamplers:
+    def test_uniform_range(self):
+        t = sample_t(jax.random.PRNGKey(0), 4096, "uniform")
+        assert t.min() >= 0 and t.max() <= 1
+        assert abs(float(t.mean()) - 0.5) < 0.02
+
+    def test_uniform_bounded(self):
+        t = sample_t(jax.random.PRNGKey(0), 1024, "uniform_0.2_0.7")
+        assert t.min() >= 0.2 and t.max() <= 0.7
+
+    def test_lognorm_is_sigmoid_of_normal(self):
+        t = sample_t(jax.random.PRNGKey(0), 8192, "lognorm")
+        assert t.min() > 0 and t.max() < 1
+        # sigmoid of standard normal has median 0.5
+        assert abs(float(jnp.median(t)) - 0.5) < 0.02
+
+    def test_shift(self):
+        t = sample_t(jax.random.PRNGKey(0), 8192, "shift_3.0")
+        # shift_f with f>1 pushes mass toward t=1
+        assert float(t.mean()) > 0.6
+
+    def test_shift_formula(self):
+        # u=0.5, f=3 -> t = 1.5/2 = 0.75
+        f = 3.0
+        u = 0.5
+        expected = (f * u) / (1 + (f - 1) * u)
+        assert abs(expected - 0.75) < 1e-9
+
+
+class TestSolvers:
+    def test_time_shift_warp(self):
+        t = jnp.linspace(0, 1, 5)
+        warped = time_shift(t, 4.0)
+        np.testing.assert_allclose(warped[0], 0.0, atol=1e-7)
+        np.testing.assert_allclose(warped[-1], 1.0, atol=1e-6)
+        expected = t / (t + 4.0 - 4.0 * t)
+        np.testing.assert_allclose(warped, expected, atol=1e-6)
+
+    @pytest.mark.parametrize(
+        "method,order", [("euler", 1), ("midpoint", 2), ("heun", 2), ("rk4", 4)]
+    )
+    def test_order_of_convergence(self, method, order):
+        """Integrate dx/dt = -x from x(0)=1 to t=1 and check error scaling."""
+        f = lambda x, t: -x
+        x0 = jnp.ones(())
+        exact = np.exp(-1.0)
+        errs = []
+        for n in (8, 16):
+            ts = jnp.linspace(0.0, 1.0, n + 1)
+            x = odeint_fixed(f, x0, ts, method=method)
+            errs.append(abs(float(x) - exact))
+        rate = np.log2(errs[0] / errs[1])
+        assert rate > order - 0.35, f"{method}: observed rate {rate}, expected ~{order}"
+
+    def test_nonautonomous(self):
+        """dx/dt = 2t -> x(1) = x(0) + 1."""
+        f = lambda x, t: jnp.full_like(x, 2.0 * t)
+        ts = jnp.linspace(0.0, 1.0, 65)
+        x = odeint_fixed(f, jnp.zeros(()), ts, method="midpoint")
+        np.testing.assert_allclose(float(x), 1.0, atol=1e-5)
+
+    def test_return_all_includes_init(self):
+        f = lambda x, t: -x
+        ts = jnp.linspace(0.0, 1.0, 9)
+        traj = odeint_fixed(f, jnp.ones(()), ts, method="euler", return_all=True)
+        assert traj.shape == (9,)
+        np.testing.assert_allclose(traj[0], 1.0)
+
+    def test_dopri5_accuracy(self):
+        f = lambda x, t: -x
+        ts = jnp.linspace(0.0, 1.0, 5)
+        x = odeint_adaptive(f, jnp.ones((2, 2)), ts, atol=1e-8, rtol=1e-8)
+        np.testing.assert_allclose(np.asarray(x), np.exp(-1.0), rtol=1e-6)
+
+    def test_dopri5_stiffish(self):
+        """Linear system with eigenvalues -1, -50."""
+        A = jnp.array([[-1.0, 0.0], [0.0, -50.0]])
+        f = lambda x, t: A @ x
+        ts = jnp.linspace(0.0, 1.0, 3)
+        x = odeint_adaptive(f, jnp.ones((2,)), ts, atol=1e-7, rtol=1e-7)
+        np.testing.assert_allclose(np.asarray(x), [np.exp(-1.0), np.exp(-50.0)], atol=1e-6)
+
+    def test_dopri5_pytree_state(self):
+        f = lambda s, t: (-s[0], jnp.ones_like(s[1]))
+        ts = jnp.linspace(0.0, 1.0, 3)
+        out = odeint_adaptive(f, (jnp.ones(()), jnp.zeros(())), ts, atol=1e-8, rtol=1e-8)
+        np.testing.assert_allclose(float(out[0]), np.exp(-1.0), rtol=1e-5)
+        np.testing.assert_allclose(float(out[1]), 1.0, rtol=1e-5)
+
+    def test_sde_zero_diffusion_matches_ode(self):
+        drift = lambda x, t: -x
+        diffusion = lambda x, t: jnp.zeros_like(x)
+        ts = jnp.linspace(0.0, 1.0, 101)
+        x, mean_x = sdeint(drift, diffusion, jnp.ones((2,)), ts, jax.random.PRNGKey(0))
+        np.testing.assert_allclose(np.asarray(x), np.exp(-ts[-2] - 0.01), atol=2e-2)
+
+    def test_jit_compatible(self):
+        f = lambda x, t: -x
+
+        @jax.jit
+        def run(x0):
+            return odeint_fixed(f, x0, jnp.linspace(0.0, 1.0, 17), method="rk4")
+
+        np.testing.assert_allclose(float(run(jnp.ones(()))), np.exp(-1.0), atol=1e-6)
+
+
+class TestTransport:
+    def test_training_loss_perfect_model_zero(self):
+        """A model that outputs exactly u_t = x1 - x0 has zero loss...
+        which we can't construct without knowing x0; instead check loss of the
+        oracle velocity for a deterministic coupling using loss on average."""
+        transport = create_transport("Linear", "velocity", snr_type="uniform")
+        rng = jax.random.PRNGKey(0)
+        x1 = jax.random.normal(jax.random.PRNGKey(1), (8, 4, 8, 8))
+        out = transport.training_losses(rng, lambda x, t: jnp.zeros_like(x), x1)
+        assert out["loss"].shape == (8,)
+        # E||ut||^2 = E||x1 - x0||^2 = 2 per coordinate
+        assert abs(float(out["loss"].mean()) - 2.0) < 0.35
+
+    def test_training_loss_with_mask(self):
+        transport = create_transport("Linear", "velocity")
+        x1 = jnp.ones((2, 4, 8, 8))
+        mask = jnp.zeros((2, 4, 8, 8)).at[:, :, :4].set(1.0)
+        out = transport.training_losses(
+            jax.random.PRNGKey(0), lambda x, t: jnp.zeros_like(x), x1, loss_mask=mask
+        )
+        assert out["loss"].shape == (2,)
+        assert jnp.all(jnp.isfinite(out["loss"]))
+
+    def test_ode_sampler_recovers_data_with_oracle_drift(self):
+        """With drift = E[x1|x_t] velocity for a point-mass data dist, the ODE
+        must transport noise to the data point."""
+        transport = create_transport("Linear", "velocity")
+        sampler = Sampler(transport)
+        target = jnp.full((1, 2, 2, 2), 3.0)
+
+        # For point mass x1=c, velocity field u(x,t) = (c - x)/(1 - t)
+        def oracle(x, t):
+            tt = t.reshape(-1, 1, 1, 1)
+            return (target - x) / jnp.maximum(1.0 - tt, 1e-3)
+
+        sample_fn = sampler.sample_ode(sampling_method="euler", num_steps=200)
+        x0 = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 2, 2))
+        out = sample_fn(x0, oracle)
+        np.testing.assert_allclose(np.asarray(out), 3.0, atol=0.05)
+
+    def test_ode_sampler_methods_agree(self):
+        transport = create_transport("Linear", "velocity")
+        sampler = Sampler(transport)
+        drift = lambda x, t: -x
+        x0 = jnp.ones((2, 3))
+        outs = {}
+        for m in ("euler", "midpoint", "rk4"):
+            fn = sampler.sample_ode(sampling_method=m, num_steps=100)
+            outs[m] = np.asarray(fn(x0, drift))
+        np.testing.assert_allclose(outs["midpoint"], outs["rk4"], atol=1e-4)
+        np.testing.assert_allclose(outs["euler"], outs["rk4"], atol=1e-2)
+
+    def test_sample_ode_time_shift(self):
+        transport = create_transport("Linear", "velocity")
+        sampler = Sampler(transport)
+        fn = sampler.sample_ode(sampling_method="midpoint", num_steps=30, time_shifting_factor=4.0)
+        out = fn(jnp.ones((1, 2)), lambda x, t: -x)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_sde_sampler_runs(self):
+        transport = create_transport("Linear", "velocity")
+        sampler = Sampler(transport)
+        # SBDM diffusion is singular at t=0 for velocity models with eps=0
+        # (alpha_ratio = 1/t), exactly as in the reference; use "sigma" form.
+        fn = sampler.sample_sde(
+            num_steps=16, diffusion_form="sigma", last_step="Mean", last_step_size=0.04
+        )
+        model = lambda x, t: jnp.zeros_like(x)
+        out = fn(jax.random.PRNGKey(0), jnp.ones((2, 4)), model)
+        assert out.shape == (2, 4)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_likelihood_standard_normal(self):
+        """With a zero velocity field (identity flow), logp must equal the
+        standard normal density of the input."""
+        transport = create_transport("Linear", "velocity")
+        sampler = Sampler(transport)
+        fn = sampler.sample_ode_likelihood(sampling_method="euler", num_steps=8)
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 10))
+        logp, z = fn(jax.random.PRNGKey(1), x, lambda xx, tt: jnp.zeros_like(xx))
+        expected = transport.prior_logp(x)
+        np.testing.assert_allclose(np.asarray(logp), np.asarray(expected), rtol=1e-4)
+
+    def test_prior_logp(self):
+        transport = create_transport()
+        z = jnp.zeros((2, 4))
+        lp = transport.prior_logp(z)
+        np.testing.assert_allclose(np.asarray(lp), -4 / 2 * np.log(2 * np.pi), rtol=1e-6)
+
+
+class TestCFG:
+    def test_cfg_scale_one_is_identity(self):
+        model = lambda x, t: 2.0 * x
+        guided = cfg_wrapper(model, cfg_scale=1.0, num_cfg_channels=-1)
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 4, 2, 2))
+        x = x.at[2:].set(x[:2])  # duplicated halves as the wrapper assumes
+        out = guided(x, jnp.zeros((4,)))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(2.0 * x), atol=1e-6)
+
+    def test_cfg_three_channel_convention(self):
+        """Channels >= 3 must be passed through un-guided (reference
+        `model.py:908`)."""
+
+        def model(x, t):
+            # conditional rows produce 1, unconditional 0 — encode via marker
+            return x
+
+        guided = cfg_wrapper(model, cfg_scale=4.0, num_cfg_channels=3)
+        b, c = 2, 8
+        cond = jnp.ones((b, c, 2, 2))
+        x = jnp.concatenate([cond, cond], axis=0)
+        out = guided(x, jnp.zeros((2 * b,)))
+        # duplicated halves -> cond == uncond -> guidance is identity
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-6)
+
+    def test_cfg_guides_first_channels(self):
+        def model(x, t):
+            b = x.shape[0] // 2
+            out = jnp.zeros_like(x)
+            out = out.at[:b].set(1.0)  # cond rows 1, uncond rows 0
+            return out
+
+        guided = cfg_wrapper(model, cfg_scale=4.0, num_cfg_channels=3)
+        x = jnp.zeros((4, 6, 2, 2))
+        out = guided(x, jnp.zeros((4,)))
+        # guided channels: uncond + 4*(cond-uncond) = 0 + 4*1 = 4
+        np.testing.assert_allclose(np.asarray(out[:, :3]), 4.0)
+        # passthrough channels keep the raw cond/uncond rows
+        np.testing.assert_allclose(np.asarray(out[0, 3:]), 1.0)
+
+
+class TestFactory:
+    def test_default_eps(self):
+        t = create_transport("Linear", "velocity")
+        assert t.train_eps == 0 and t.sample_eps == 0
+
+    def test_vp_eps(self):
+        t = create_transport("VP", "velocity")
+        assert t.train_eps == 1e-5 and t.sample_eps == 1e-3
+
+    def test_score_eps(self):
+        t = create_transport("Linear", "score")
+        assert t.train_eps == 1e-3 and t.sample_eps == 1e-3
+
+    def test_check_interval_velocity_linear(self):
+        t = create_transport("Linear", "velocity")
+        t0, t1 = t.check_interval(t.train_eps, t.sample_eps, eval=True)
+        assert t0 == 0.0 and t1 == 1.0
