@@ -1,0 +1,39 @@
+"""Normalization ops.
+
+RMSNorm replaces the reference's apex `FusedRMSNorm` CUDA kernel
+(`lumina_next_t2i/models/components.py:1-55`): on TPU, XLA fuses the
+rsqrt-mean-scale chain into surrounding ops, so the default path is plain
+jnp math in a float32 island (matching the reference fallback
+`x * rsqrt(mean(x^2) + eps) * w` computed on floated input). A fused Pallas
+kernel for the sandwich-norm pairs lives in `ops/fused_norm.py` for the cases
+XLA's fusion misses.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def rms_norm(x, weight, eps: float = 1e-5):
+    """x * rsqrt(mean(x^2) + eps) * weight, computed in float32."""
+    xf = x.astype(jnp.float32)
+    normed = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return (normed * weight.astype(jnp.float32)).astype(x.dtype)
+
+
+def layer_norm(x, weight=None, bias=None, eps: float = 1e-6):
+    """LayerNorm with optional affine, float32 island.
+
+    `weight=None` gives the reference final layer's elementwise_affine=False
+    LayerNorm (`model.py:634-637`).
+    """
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mean) ** 2, axis=-1, keepdims=True)
+    normed = (xf - mean) * (var + eps) ** -0.5
+    if weight is not None:
+        normed = normed * weight.astype(jnp.float32)
+    if bias is not None:
+        normed = normed + bias.astype(jnp.float32)
+    return normed.astype(x.dtype)

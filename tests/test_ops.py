@@ -1,0 +1,279 @@
+"""Kernel/op parity tests: RoPE vs complex-arithmetic reference, RMSNorm vs
+numpy, masked SDPA vs naive softmax, Pallas flash attention (interpret mode)
+vs the XLA path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lumina_t2x_tpu.ops import (
+    apply_rope,
+    attention,
+    default_attn_scale,
+    flash_attention,
+    layer_norm,
+    proportional_attn_scale,
+    rms_norm,
+    rope_angles_1d,
+    rope_angles_2d,
+    rope_angles_2d_timeaware,
+    sdpa,
+)
+
+
+# ---------------------------------------------------------------------------
+# Independent complex-number reference (the reference repo's formulation,
+# re-derived in numpy): freqs_cis = exp(i * pos * freq), rotation by complex
+# multiply over channel pairs.
+# ---------------------------------------------------------------------------
+
+
+def np_freqs_cis_1d(dim, end, theta=10000.0, rope_scaling_factor=1.0, ntk_factor=1.0):
+    theta = theta * ntk_factor
+    freqs = 1.0 / (theta ** (np.arange(0, dim, 2)[: dim // 2].astype(np.float64) / dim))
+    t = np.arange(end, dtype=np.float64) / rope_scaling_factor
+    return np.exp(1j * np.outer(t, freqs))
+
+
+def np_freqs_cis_2d(dim, end, theta=10000.0, linear_factor=1.0, ntk_factor=1.0):
+    theta = theta * ntk_factor
+    freqs = 1.0 / (theta ** (np.arange(0, dim, 4)[: dim // 4].astype(np.float64) / dim)) / linear_factor
+    t = np.arange(end, dtype=np.float64)
+    fc = np.exp(1j * np.outer(t, freqs))  # (end, dim/4)
+    h = np.broadcast_to(fc[:, None, :], (end, end, dim // 4))
+    w = np.broadcast_to(fc[None, :, :], (end, end, dim // 4))
+    return np.concatenate([h, w], axis=-1)  # (end, end, dim/2)
+
+
+def np_apply_rope(x, freqs_cis):
+    """x: (B, S, H, D); freqs_cis: (S, D/2) complex."""
+    xc = x.astype(np.float64).reshape(*x.shape[:-1], -1, 2)
+    xc = xc[..., 0] + 1j * xc[..., 1]
+    out = xc * freqs_cis[None, :, None, :]
+    return np.stack([out.real, out.imag], axis=-1).reshape(x.shape)
+
+
+class TestRope:
+    def test_1d_matches_complex_reference(self):
+        D, S = 16, 12
+        angles = rope_angles_1d(D, jnp.arange(S))
+        ref = np_freqs_cis_1d(D, S)
+        np.testing.assert_allclose(np.exp(1j * np.asarray(angles)), ref, atol=1e-6)
+
+    def test_1d_ntk_and_linear_scaling(self):
+        D, S = 16, 12
+        angles = rope_angles_1d(D, jnp.arange(S), ntk_factor=2.5, linear_factor=3.0)
+        ref = np_freqs_cis_1d(D, S, rope_scaling_factor=3.0, ntk_factor=2.5)
+        np.testing.assert_allclose(np.exp(1j * np.asarray(angles)), ref, atol=1e-6)
+
+    def test_2d_matches_complex_reference(self):
+        D, E = 8, 6
+        angles = rope_angles_2d(D, E, E)
+        ref = np_freqs_cis_2d(D, E)
+        np.testing.assert_allclose(np.exp(1j * np.asarray(angles)), ref, atol=1e-6)
+
+    def test_2d_axis_factorization(self):
+        """Angle at (i, j) = concat(angle_h[i], angle_w[j])."""
+        D = 8
+        a = np.asarray(rope_angles_2d(D, 5, 7))
+        np.testing.assert_allclose(a[3, 0, : D // 4], a[3, 4, : D // 4], atol=1e-7)
+        np.testing.assert_allclose(a[0, 2, D // 4 :], a[4, 2, D // 4 :], atol=1e-7)
+
+    def test_apply_rope_matches_complex_multiply(self):
+        B, S, H, D = 2, 10, 3, 16
+        x = jax.random.normal(jax.random.PRNGKey(0), (B, S, H, D))
+        angles = rope_angles_1d(D, jnp.arange(S))
+        out = apply_rope(x, angles)
+        ref = np_apply_rope(np.asarray(x), np_freqs_cis_1d(D, S))
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+    def test_apply_rope_norm_preserving(self):
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 2, 32))
+        angles = rope_angles_1d(32, jnp.arange(8))
+        out = apply_rope(x, angles)
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(out), axis=-1),
+            np.linalg.norm(np.asarray(x), axis=-1),
+            atol=1e-5,
+        )
+
+    def test_apply_rope_bf16_island(self):
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 2, 16), jnp.bfloat16)
+        out = apply_rope(x, rope_angles_1d(16, jnp.arange(8)))
+        assert out.dtype == jnp.bfloat16
+
+    def test_timeaware_watershed_switch(self):
+        """Below the watershed: linear scaling; above: NTK scaling
+        (`model.py:944-951`)."""
+        D, E = 8, 4
+        lo = rope_angles_2d_timeaware(D, E, E, scale_factor=2.0, scale_watershed=0.3, timestep=0.1)
+        hi = rope_angles_2d_timeaware(D, E, E, scale_factor=2.0, scale_watershed=0.3, timestep=0.9)
+        ref_lo = np_freqs_cis_2d(D, E, linear_factor=2.0, ntk_factor=1.0)
+        ref_hi = np_freqs_cis_2d(D, E, linear_factor=1.0, ntk_factor=2.0)
+        np.testing.assert_allclose(np.exp(1j * np.asarray(lo)), ref_lo, atol=1e-6)
+        np.testing.assert_allclose(np.exp(1j * np.asarray(hi)), ref_hi, atol=1e-6)
+
+    def test_timeaware_traced_timestep(self):
+        """The watershed switch must work on a traced scalar inside jit."""
+
+        @jax.jit
+        def f(t):
+            return rope_angles_2d_timeaware(8, 4, 4, scale_factor=2.0, scale_watershed=0.3, timestep=t)
+
+        np.testing.assert_allclose(np.asarray(f(0.1)), np.asarray(f(0.2)), atol=1e-7)
+        assert not np.allclose(np.asarray(f(0.1)), np.asarray(f(0.9)))
+
+    def test_per_item_angles_batch(self):
+        B, S, H, D = 2, 6, 2, 8
+        x = jax.random.normal(jax.random.PRNGKey(0), (B, S, H, D))
+        a0 = rope_angles_1d(D, jnp.arange(S))
+        angles = jnp.stack([a0, a0 * 2.0])
+        out = apply_rope(x, angles)
+        ref0 = apply_rope(x[:1], a0)
+        np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref0[0]), atol=1e-6)
+
+
+class TestNorms:
+    def test_rms_norm_matches_numpy(self):
+        x = np.random.RandomState(0).randn(4, 7, 32).astype(np.float32)
+        w = np.random.RandomState(1).rand(32).astype(np.float32)
+        eps = 1e-5
+        expected = x / np.sqrt((x**2).mean(-1, keepdims=True) + eps) * w
+        out = rms_norm(jnp.asarray(x), jnp.asarray(w), eps)
+        np.testing.assert_allclose(np.asarray(out), expected, atol=1e-5)
+
+    def test_rms_norm_bf16_fp32_island(self):
+        x = jnp.full((2, 128), 3.0, jnp.bfloat16)
+        out = rms_norm(x, jnp.ones(128))
+        assert out.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(out, np.float32), 1.0, rtol=1e-2)
+
+    def test_layer_norm_no_affine(self):
+        x = np.random.RandomState(0).randn(3, 16).astype(np.float32)
+        out = layer_norm(jnp.asarray(x))
+        mu = x.mean(-1, keepdims=True)
+        var = x.var(-1, keepdims=True)
+        np.testing.assert_allclose(np.asarray(out), (x - mu) / np.sqrt(var + 1e-6), atol=1e-5)
+
+    def test_layer_norm_affine(self):
+        x = np.random.RandomState(0).randn(3, 16).astype(np.float32)
+        w = np.random.RandomState(1).rand(16).astype(np.float32)
+        b = np.random.RandomState(2).rand(16).astype(np.float32)
+        out = layer_norm(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b))
+        mu = x.mean(-1, keepdims=True)
+        var = x.var(-1, keepdims=True)
+        np.testing.assert_allclose(
+            np.asarray(out), (x - mu) / np.sqrt(var + 1e-6) * w + b, atol=1e-5
+        )
+
+
+def naive_attention(q, k, v, kv_mask=None, scale=None):
+    q, k, v = np.asarray(q, np.float64), np.asarray(k, np.float64), np.asarray(v, np.float64)
+    b, sq, hq, d = q.shape
+    _, sk, hkv, _ = k.shape
+    rep = hq // hkv
+    k = np.repeat(k, rep, axis=2)
+    v = np.repeat(v, rep, axis=2)
+    scale = scale if scale is not None else 1.0 / np.sqrt(d)
+    logits = np.einsum("bqhd,bkhd->bhqk", q, k) * scale
+    if kv_mask is not None:
+        logits = np.where(np.asarray(kv_mask, bool)[:, None, None, :], logits, -1e9)
+    p = np.exp(logits - logits.max(-1, keepdims=True))
+    p = p / p.sum(-1, keepdims=True)
+    return np.einsum("bhqk,bkhd->bqhd", p, v)
+
+
+class TestSDPA:
+    def test_matches_naive(self):
+        q = jax.random.normal(jax.random.PRNGKey(0), (2, 9, 4, 16))
+        k = jax.random.normal(jax.random.PRNGKey(1), (2, 9, 4, 16))
+        v = jax.random.normal(jax.random.PRNGKey(2), (2, 9, 4, 16))
+        np.testing.assert_allclose(np.asarray(sdpa(q, k, v)), naive_attention(q, k, v), atol=1e-5)
+
+    def test_gqa(self):
+        q = jax.random.normal(jax.random.PRNGKey(0), (2, 7, 8, 16))
+        k = jax.random.normal(jax.random.PRNGKey(1), (2, 7, 2, 16))
+        v = jax.random.normal(jax.random.PRNGKey(2), (2, 7, 2, 16))
+        np.testing.assert_allclose(np.asarray(sdpa(q, k, v)), naive_attention(q, k, v), atol=1e-5)
+
+    def test_key_mask(self):
+        """Masked keys must not influence the output at all."""
+        q = jax.random.normal(jax.random.PRNGKey(0), (1, 5, 2, 8))
+        k = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 2, 8))
+        v = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 2, 8))
+        mask = jnp.array([[1, 1, 1, 1, 1, 0, 0, 0]])
+        out_masked = sdpa(q, k, v, kv_mask=mask)
+        out_trunc = sdpa(q, k[:, :5], v[:, :5])
+        np.testing.assert_allclose(np.asarray(out_masked), np.asarray(out_trunc), atol=1e-5)
+
+    def test_custom_scale(self):
+        q = jax.random.normal(jax.random.PRNGKey(0), (1, 6, 2, 8))
+        k = jax.random.normal(jax.random.PRNGKey(1), (1, 6, 2, 8))
+        v = jax.random.normal(jax.random.PRNGKey(2), (1, 6, 2, 8))
+        s = proportional_attn_scale(4096, 1024, 8)
+        np.testing.assert_allclose(
+            np.asarray(sdpa(q, k, v, scale=s)), naive_attention(q, k, v, scale=s), atol=1e-5
+        )
+
+    def test_cross_attention_shape(self):
+        q = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 4, 16))
+        k = jax.random.normal(jax.random.PRNGKey(1), (2, 13, 4, 16))
+        v = jax.random.normal(jax.random.PRNGKey(2), (2, 13, 4, 16))
+        assert sdpa(q, k, v).shape == (2, 64, 4, 16)
+
+    def test_proportional_scale_values(self):
+        assert abs(proportional_attn_scale(1024, 1024, 64) - default_attn_scale(64)) < 1e-9
+        assert proportional_attn_scale(4096, 1024, 64) > default_attn_scale(64)
+
+
+class TestFlashAttention:
+    """Pallas kernel in interpret mode vs the XLA path."""
+
+    def test_matches_sdpa(self):
+        q = jax.random.normal(jax.random.PRNGKey(0), (1, 130, 2, 32))
+        k = jax.random.normal(jax.random.PRNGKey(1), (1, 130, 2, 32))
+        v = jax.random.normal(jax.random.PRNGKey(2), (1, 130, 2, 32))
+        out = flash_attention(q, k, v)
+        ref = sdpa(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+    def test_mask(self):
+        q = jax.random.normal(jax.random.PRNGKey(0), (2, 100, 2, 16))
+        k = jax.random.normal(jax.random.PRNGKey(1), (2, 100, 2, 16))
+        v = jax.random.normal(jax.random.PRNGKey(2), (2, 100, 2, 16))
+        mask = jnp.zeros((2, 100), jnp.int32).at[:, :77].set(1)
+        out = flash_attention(q, k, v, kv_mask=mask)
+        ref = sdpa(q, k, v, kv_mask=mask)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+    def test_gqa(self):
+        q = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 8, 16))
+        k = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 2, 16))
+        v = jax.random.normal(jax.random.PRNGKey(2), (1, 64, 2, 16))
+        out = flash_attention(q, k, v)
+        ref = sdpa(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+    def test_custom_scale(self):
+        q = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 2, 16))
+        k = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 2, 16))
+        v = jax.random.normal(jax.random.PRNGKey(2), (1, 64, 2, 16))
+        s = proportional_attn_scale(4096, 1024, 16)
+        out = flash_attention(q, k, v, scale=s)
+        ref = sdpa(q, k, v, scale=s)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+    def test_grad_flows(self):
+        q = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 2, 8))
+        k = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 2, 8))
+        v = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 2, 8))
+
+        g_flash = jax.grad(lambda qq: flash_attention(qq, k, v).sum())(q)
+        g_ref = jax.grad(lambda qq: sdpa(qq, k, v).sum())(q)
+        np.testing.assert_allclose(np.asarray(g_flash), np.asarray(g_ref), atol=2e-3)
+
+    def test_attention_dispatcher_cpu(self):
+        q = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 2, 8))
+        out = attention(q, q, q, impl="auto")
+        assert out.shape == q.shape
