@@ -1,0 +1,52 @@
+"""Model registry.
+
+String-keyed constructor lookup mirroring the reference's
+`models.__dict__[args.model]` pattern (`lumina_next_t2i/train.py:322`).
+"""
+
+from .flag_dit import (
+    FlagDiT,
+    FlagDiT_5B_patch2,
+    FlagDiT_ImageNet_600M_patch2,
+    FlagDiT_ImageNet_3B_patch2,
+    FlagDiT_ImageNet_7B_patch2,
+)
+from .next_dit import (
+    NextDiT,
+    NextDiT_2B_GQA_patch2,
+    NextDiT_2B_patch2,
+    NextDiT_600M_patch2,
+)
+from .next_dit_imagenet import (
+    NextDiTImageNet,
+    NextDiT_ImageNet_600M_patch2,
+    NextDiT_ImageNet_2B_patch2,
+    NextDiT_ImageNet_3B_patch2,
+    NextDiT_ImageNet_7B_patch2,
+)
+
+MODELS = {
+    # text-to-image
+    "NextDiT_2B_patch2": NextDiT_2B_patch2,
+    "NextDiT_2B_GQA_patch2": NextDiT_2B_GQA_patch2,
+    "NextDiT_600M_patch2": NextDiT_600M_patch2,
+    "DiT_Llama_5B_patch2": FlagDiT_5B_patch2,
+    # class-conditional ImageNet
+    "NextDiT_ImageNet_600M_patch2": NextDiT_ImageNet_600M_patch2,
+    "NextDiT_ImageNet_2B_patch2": NextDiT_ImageNet_2B_patch2,
+    "NextDiT_ImageNet_3B_patch2": NextDiT_ImageNet_3B_patch2,
+    "NextDiT_ImageNet_7B_patch2": NextDiT_ImageNet_7B_patch2,
+    "FlagDiT_ImageNet_600M_patch2": FlagDiT_ImageNet_600M_patch2,
+    "FlagDiT_ImageNet_3B_patch2": FlagDiT_ImageNet_3B_patch2,
+    "FlagDiT_ImageNet_7B_patch2": FlagDiT_ImageNet_7B_patch2,
+}
+
+
+def get_model(name: str, **kwargs):
+    try:
+        return MODELS[name](**kwargs)
+    except KeyError:
+        raise KeyError(f"Unknown model {name!r}; available: {sorted(MODELS)}")
+
+
+__all__ = ["MODELS", "get_model", "NextDiT", "NextDiTImageNet", "FlagDiT"]

@@ -1,0 +1,305 @@
+"""Shared model building blocks (flax.linen).
+
+TPU-native re-implementations of the reference's layer vocabulary:
+timestep/label/caption embedders (`lumina_next_t2i/models/model.py:37-129`),
+gated joint self+cross attention (`model.py:137-438`), SwiGLU feed-forward
+(`model.py:441-502`), final layers (`model.py:627-662`,
+`Next-DiT-ImageNet/models/models.py:799-833`).
+
+Conventions:
+- parameters live in float32 (`param_dtype`); activations run in `dtype`
+  (bf16 on TPU) with float32 islands for norms / RoPE / softmax — mirroring
+  the reference's autocast discipline;
+- tensor-parallel fairscale layers become plain Dense; the column/row split
+  is recovered by GSPMD sharding rules (`parallel/sharding.py`), not by the
+  module code;
+- the CFG label/caption dropout mask needs no cross-rank broadcast (reference
+  `model.py:106-122`): under SPMD the PRNG key is replicated, so every shard
+  draws the same mask by construction.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.attention import default_attn_scale, sdpa
+from ..ops.attention import attention as attention_op
+from ..ops.norms import layer_norm as layer_norm_op
+from ..ops.norms import rms_norm
+from ..ops.rope import apply_rope
+
+
+def modulate(x, scale, shift=None):
+    """x * (1 + scale) (+ shift); scale/shift are (B, D), x is (B, S, D)."""
+    out = x * (1.0 + scale[:, None, :]).astype(x.dtype)
+    if shift is not None:
+        out = out + shift[:, None, :].astype(x.dtype)
+    return out
+
+
+class RMSNorm(nn.Module):
+    """RMSNorm with learned scale; always computed in float32.
+
+    Covers both the reference's apex/vanilla `RMSNorm`
+    (`components.py:1-55`) and `PFRMSNorm` (fp32-cast variant,
+    `Next-DiT-ImageNet/models/models.py:76-118`) — the distinction between
+    them is CUDA-kernel precision, which does not exist here.
+    """
+
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        weight = self.param("weight", nn.initializers.ones, (x.shape[-1],), jnp.float32)
+        return rms_norm(x, weight, self.eps)
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm (float32 island), optional affine."""
+
+    eps: float = 1e-6
+    use_affine: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        if self.use_affine:
+            w = self.param("weight", nn.initializers.ones, (x.shape[-1],), jnp.float32)
+            b = self.param("bias", nn.initializers.zeros, (x.shape[-1],), jnp.float32)
+        else:
+            w = b = None
+        return layer_norm_op(x, w, b, self.eps)
+
+
+def timestep_embedding(t, dim: int, max_period: int = 10000):
+    """Sinusoidal timestep embedding (`model.py:63-82`): cos then sin halves."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = t.astype(jnp.float32)[:, None] * freqs[None]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
+class TimestepEmbedder(nn.Module):
+    """Sinusoidal frequencies -> 2-layer SiLU MLP (`model.py:37-87`)."""
+
+    hidden_size: int
+    frequency_embedding_size: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t):
+        t_freq = timestep_embedding(t, self.frequency_embedding_size)
+        init = nn.initializers.normal(stddev=0.02)
+        h = nn.Dense(self.hidden_size, kernel_init=init, dtype=self.dtype, name="mlp_0")(
+            t_freq.astype(self.dtype)
+        )
+        h = nn.silu(h)
+        return nn.Dense(self.hidden_size, kernel_init=init, dtype=self.dtype, name="mlp_2")(h)
+
+
+class LabelEmbedder(nn.Module):
+    """Class-label embedding with CFG dropout (`model.py:90-129`).
+
+    The +1 null class is appended when dropout_prob > 0; dropped labels map to
+    it. Dropout uses the 'label_dropout' rng collection.
+    """
+
+    num_classes: int
+    hidden_size: int
+    dropout_prob: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, labels, train: bool = False, force_drop_ids=None):
+        use_cfg = self.dropout_prob > 0
+        table = self.param(
+            "embedding",
+            nn.initializers.normal(stddev=0.02),
+            (self.num_classes + int(use_cfg), self.hidden_size),
+            jnp.float32,
+        )
+        if (train and use_cfg) or (force_drop_ids is not None):
+            if force_drop_ids is None:
+                rng = self.make_rng("label_dropout")
+                drop = jax.random.uniform(rng, (labels.shape[0],)) < self.dropout_prob
+            else:
+                drop = force_drop_ids == 1
+            labels = jnp.where(drop, self.num_classes, labels)
+        return table[labels].astype(self.dtype)
+
+
+class CaptionEmbedder(nn.Module):
+    """LayerNorm + zero-init projection of pooled caption features
+    (`model.py:702-711`)."""
+
+    hidden_size: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, cap_pooled):
+        h = LayerNorm(eps=1e-5, name="norm")(cap_pooled)
+        return nn.Dense(
+            self.hidden_size, kernel_init=nn.initializers.zeros, dtype=self.dtype, name="proj"
+        )(h)
+
+
+def pooled_caption(cap_feats, cap_mask):
+    """Masked mean over caption tokens (`model.py:847-849`)."""
+    m = cap_mask.astype(jnp.float32)[..., None]
+    pooled = jnp.sum(cap_feats.astype(jnp.float32) * m, axis=1) / jnp.maximum(
+        jnp.sum(m, axis=1), 1e-6
+    )
+    return pooled.astype(cap_feats.dtype)
+
+
+class FeedForward(nn.Module):
+    """SwiGLU MLP: w2(silu(w1 x) * w3 x) (`model.py:441-502`)."""
+
+    dim: int
+    hidden_dim: int  # nominal 4*dim; actual = multiple_of-rounded 2/3 of this
+    multiple_of: int = 256
+    ffn_dim_multiplier: Optional[float] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        hidden = int(2 * self.hidden_dim / 3)
+        if self.ffn_dim_multiplier is not None:
+            hidden = int(self.ffn_dim_multiplier * hidden)
+        hidden = self.multiple_of * ((hidden + self.multiple_of - 1) // self.multiple_of)
+        init = nn.initializers.xavier_uniform()
+        x1 = nn.Dense(hidden, use_bias=False, kernel_init=init, dtype=self.dtype, name="w1")(x)
+        x3 = nn.Dense(hidden, use_bias=False, kernel_init=init, dtype=self.dtype, name="w3")(x)
+        return nn.Dense(self.dim, use_bias=False, kernel_init=init, dtype=self.dtype, name="w2")(
+            nn.silu(x1) * x3
+        )
+
+
+class Attention(nn.Module):
+    """Joint self-attention (+ optional gated text cross-attention)
+    (`model.py:137-438`).
+
+    Self-attention runs through the flash/XLA dispatcher with the key mask
+    standing in for varlen unpadding; cross-attention to caption features uses
+    the XLA path (tiny KV) with the per-head zero-init tanh gate
+    (`model.py:420-434`).
+    """
+
+    dim: int
+    n_heads: int
+    n_kv_heads: Optional[int] = None
+    qk_norm: bool = False
+    y_dim: int = 0
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, x_mask, angles, y=None, y_mask=None, attn_scale: Optional[float] = None):
+        b, s, _ = x.shape
+        n_kv = self.n_kv_heads or self.n_heads
+        head_dim = self.dim // self.n_heads
+        init = nn.initializers.xavier_uniform()
+
+        xq = nn.Dense(self.n_heads * head_dim, use_bias=False, kernel_init=init,
+                      dtype=self.dtype, name="wq")(x)
+        xk = nn.Dense(n_kv * head_dim, use_bias=False, kernel_init=init,
+                      dtype=self.dtype, name="wk")(x)
+        xv = nn.Dense(n_kv * head_dim, use_bias=False, kernel_init=init,
+                      dtype=self.dtype, name="wv")(x)
+
+        if self.qk_norm:
+            # LayerNorm over the full flattened head dims, as in the reference
+            # at model-parallel size 1 (`model.py:211-213`).
+            xq = LayerNorm(eps=1e-5, name="q_norm")(xq)
+            xk = LayerNorm(eps=1e-5, name="k_norm")(xk)
+
+        xq = xq.reshape(b, s, self.n_heads, head_dim)
+        xk = xk.reshape(b, s, n_kv, head_dim)
+        xv = xv.reshape(b, s, n_kv, head_dim)
+
+        if angles is not None:
+            xq = apply_rope(xq, angles)
+            xk = apply_rope(xk, angles)
+
+        out = attention_op(
+            xq, xk, xv, kv_mask=x_mask,
+            scale=attn_scale if attn_scale is not None else default_attn_scale(head_dim),
+            impl=self.attn_impl,
+        )
+
+        if self.y_dim > 0 and y is not None:
+            yk = nn.Dense(n_kv * head_dim, use_bias=False, kernel_init=init,
+                          dtype=self.dtype, name="wk_y")(y)
+            if self.qk_norm:
+                yk = LayerNorm(eps=1e-5, name="ky_norm")(yk)
+            yv = nn.Dense(n_kv * head_dim, use_bias=False, kernel_init=init,
+                          dtype=self.dtype, name="wv_y")(y)
+            ly = y.shape[1]
+            yk = yk.reshape(b, ly, n_kv, head_dim)
+            yv = yv.reshape(b, ly, n_kv, head_dim)
+            gate = self.param("gate", nn.initializers.zeros, (self.n_heads,), jnp.float32)
+            # cross-attn always uses the default 1/sqrt(d) scale (`model.py:427-432`)
+            out_y = sdpa(xq, yk, yv, kv_mask=y_mask)
+            out = out + out_y * jnp.tanh(gate).astype(out.dtype)[None, None, :, None]
+
+        out = out.reshape(b, s, self.n_heads * head_dim)
+        return nn.Dense(self.dim, use_bias=False, kernel_init=init, dtype=self.dtype, name="wo")(out)
+
+
+class FinalLayer(nn.Module):
+    """Final LayerNorm + adaLN modulate + zero-init projection.
+
+    modulation="scale": NextDiT T2I scale-only (`model.py:627-662`);
+    modulation="shift_scale": Flag-DiT / ImageNet shift+scale 2-chunk
+    (`Next-DiT-ImageNet/models/models.py:818-833`).
+    """
+
+    hidden_size: int
+    patch_size: int
+    out_channels: int
+    modulation: str = "scale"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, c):
+        h = LayerNorm(eps=1e-6, use_affine=False, name="norm_final")(x)
+        mod_dim = self.hidden_size if self.modulation == "scale" else 2 * self.hidden_size
+        mod = nn.Dense(mod_dim, kernel_init=nn.initializers.zeros, dtype=self.dtype,
+                       name="adaLN_modulation")(nn.silu(c))
+        if self.modulation == "scale":
+            h = modulate(h, mod)
+        else:
+            shift, scale = jnp.split(mod, 2, axis=-1)
+            h = modulate(h, scale, shift)
+        return nn.Dense(
+            self.patch_size * self.patch_size * self.out_channels,
+            kernel_init=nn.initializers.zeros, dtype=self.dtype, name="linear",
+        )(h)
+
+
+def patchify(x, patch_size: int):
+    """(B, C, H, W) -> (B, L, p*p*C) tokens, last dim ordered (C, ph, pw)
+    (`model.py:774-779`)."""
+    b, c, h, w = x.shape
+    p = patch_size
+    x = x.reshape(b, c, h // p, p, w // p, p)
+    x = x.transpose(0, 2, 4, 1, 3, 5)  # (B, H/p, W/p, C, p, p)
+    return x.reshape(b, (h // p) * (w // p), c * p * p)
+
+
+def unpatchify(tokens, h: int, w: int, patch_size: int, out_channels: int):
+    """(B, L, p*p*C_out) -> (B, C_out, H, W); token last dim ordered
+    (ph, pw, C_out) per the reference final layer (`model.py:743-755`)."""
+    b = tokens.shape[0]
+    p = patch_size
+    gh, gw = h // p, w // p
+    x = tokens[:, : gh * gw].reshape(b, gh, gw, p, p, out_channels)
+    x = jnp.einsum("nhwpqc->nchpwq", x)
+    return x.reshape(b, out_channels, h, w)

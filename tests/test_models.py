@@ -1,0 +1,280 @@
+"""Model tests: shapes, jit, zero-init identity properties, CFG behavior,
+variable-aspect list path, scan vs loop equivalence."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lumina_t2x_tpu.models import get_model
+from lumina_t2x_tpu.models.flag_dit import FlagDiT
+from lumina_t2x_tpu.models.next_dit import NextDiT, forward_with_cfg
+from lumina_t2x_tpu.models.next_dit_imagenet import NextDiTImageNet
+from lumina_t2x_tpu.models.next_dit_imagenet import forward_with_cfg as forward_with_cfg_imagenet
+
+
+def tiny_next_dit(**kw):
+    kw.setdefault("dim", 64)
+    kw.setdefault("n_layers", 2)
+    kw.setdefault("n_heads", 4)
+    kw.setdefault("multiple_of", 16)
+    kw.setdefault("cap_feat_dim", 32)
+    kw.setdefault("attn_impl", "xla")
+    return NextDiT(**kw)
+
+
+def tiny_imagenet(**kw):
+    kw.setdefault("dim", 64)
+    kw.setdefault("n_layers", 2)
+    kw.setdefault("n_heads", 4)
+    kw.setdefault("multiple_of", 16)
+    kw.setdefault("num_classes", 10)
+    kw.setdefault("attn_impl", "xla")
+    return NextDiTImageNet(**kw)
+
+
+def make_inputs(b=2, c=4, h=16, w=16, ly=7, cap_dim=32):
+    k = jax.random.PRNGKey(0)
+    x = jax.random.normal(k, (b, c, h, w))
+    t = jnp.linspace(0.1, 0.9, b)
+    cap = jax.random.normal(jax.random.PRNGKey(1), (b, ly, cap_dim))
+    mask = jnp.ones((b, ly), jnp.int32).at[:, 5:].set(0)
+    return x, t, cap, mask
+
+
+class TestNextDiT:
+    def test_forward_shape(self):
+        model = tiny_next_dit()
+        x, t, cap, mask = make_inputs()
+        params = model.init(jax.random.PRNGKey(0), x, t, cap, mask)
+        out = model.apply(params, x, t, cap, mask)
+        assert out.shape == x.shape  # learn_sigma keeps first in_channels
+
+    def test_no_learn_sigma(self):
+        model = tiny_next_dit(learn_sigma=False)
+        x, t, cap, mask = make_inputs()
+        params = model.init(jax.random.PRNGKey(0), x, t, cap, mask)
+        assert model.apply(params, x, t, cap, mask).shape == x.shape
+
+    def test_zero_init_gives_zero_output(self):
+        """adaLN gates and final layer are zero-init: at init, the final
+        projection is exactly zero (`model.py:639-655`)."""
+        model = tiny_next_dit()
+        x, t, cap, mask = make_inputs()
+        params = model.init(jax.random.PRNGKey(0), x, t, cap, mask)
+        out = model.apply(params, x, t, cap, mask)
+        np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+
+    def test_jit_forward(self):
+        model = tiny_next_dit()
+        x, t, cap, mask = make_inputs()
+        params = model.init(jax.random.PRNGKey(0), x, t, cap, mask)
+        out = jax.jit(lambda p, xx, tt: model.apply(p, xx, tt, cap, mask))(params, x, t)
+        assert out.shape == x.shape
+
+    def test_scan_vs_loop_same_params_structure_output(self):
+        """scan_blocks=True and False must produce identical outputs when the
+        per-layer parameters match."""
+        ms = tiny_next_dit(scan_blocks=True)
+        ml = tiny_next_dit(scan_blocks=False)
+        x, t, cap, mask = make_inputs()
+        ps = ms.init(jax.random.PRNGKey(0), x, t, cap, mask)
+
+        # convert stacked scan params -> per-layer params
+        import flax
+
+        flat = flax.traverse_util.flatten_dict(ps["params"])
+        out = {}
+        n_layers = ms.n_layers
+        for k, v in flat.items():
+            if k[0] == "layers":
+                for i in range(n_layers):
+                    out[(f"layers_{i}",) + k[1:]] = v[i]
+            else:
+                out[k] = v
+        pl = {"params": flax.traverse_util.unflatten_dict(out)}
+
+        o1 = ms.apply(ps, x, t, cap, mask)
+        o2 = ml.apply(pl, x, t, cap, mask)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5)
+
+    def test_gqa(self):
+        model = tiny_next_dit(n_kv_heads=2)
+        x, t, cap, mask = make_inputs()
+        params = model.init(jax.random.PRNGKey(0), x, t, cap, mask)
+        assert model.apply(params, x, t, cap, mask).shape == x.shape
+
+    def test_qk_norm(self):
+        model = tiny_next_dit(qk_norm=True)
+        x, t, cap, mask = make_inputs()
+        params = model.init(jax.random.PRNGKey(0), x, t, cap, mask)
+        assert model.apply(params, x, t, cap, mask).shape == x.shape
+
+    def test_img_sizes_list_path(self):
+        """Variable-aspect batch: items smaller than the bucket must give the
+        same result as running them alone at their native size."""
+        model = tiny_next_dit()
+        b, c, h, w = 2, 4, 16, 16
+        x, t, cap, mask = make_inputs(b, c, h, w)
+        params = model.init(jax.random.PRNGKey(0), x, t, cap, mask)
+
+        # item 0 native 8x16 placed in a 16x16 bucket (zero padded)
+        x_small = x[:1, :, :8, :]
+        x_padded = jnp.zeros((1, c, h, w)).at[:, :, :8, :].set(x_small)
+        batch = jnp.concatenate([x_padded, x[1:]], axis=0)
+
+        out = model.apply(params, batch, t, cap, mask, img_sizes=[(8, 16), (16, 16)])
+        out_native = model.apply(params, x_small, t[:1], cap[:1], mask[:1])
+        np.testing.assert_allclose(
+            np.asarray(out[0, :, :8, :]), np.asarray(out_native[0]), atol=1e-4
+        )
+        # the padded region of item 0 must be exactly zero
+        np.testing.assert_allclose(np.asarray(out[0, :, 8:, :]), 0.0, atol=1e-6)
+        # item 1 (full size) must match the tensor path
+        out_full = model.apply(params, x, t, cap, mask)
+        np.testing.assert_allclose(np.asarray(out[1]), np.asarray(out_full[1]), atol=1e-4)
+
+    def test_forward_with_cfg(self):
+        model = tiny_next_dit()
+        x, t, cap, mask = make_inputs(b=4)
+        params = model.init(jax.random.PRNGKey(0), x[:1], t[:1], cap[:1], mask[:1])
+        out = forward_with_cfg(model, params, x, t, cap, mask, cfg_scale=4.0)
+        assert out.shape == x.shape
+        # rows [0:2] and [2:4] must be identical (duplicated halves)
+        np.testing.assert_allclose(np.asarray(out[:2]), np.asarray(out[2:]), atol=1e-6)
+
+    def test_time_aware_rope_changes_output(self):
+        model = tiny_next_dit()
+        x, t, cap, mask = make_inputs()
+        params = model.init(jax.random.PRNGKey(0), x, t, cap, mask)
+        # perturb params so output is nonzero
+        params = jax.tree.map(lambda a: a + 0.02, params)
+        o1 = model.apply(params, x, t, cap, mask,
+                         rope_timestep=0.1, scale_factor=2.0, scale_watershed=0.3)
+        o2 = model.apply(params, x, t, cap, mask,
+                         rope_timestep=0.9, scale_factor=2.0, scale_watershed=0.3)
+        assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+    def test_proportional_attn(self):
+        model = tiny_next_dit()
+        x, t, cap, mask = make_inputs()
+        params = model.init(jax.random.PRNGKey(0), x, t, cap, mask)
+        out = model.apply(params, x, t, cap, mask, proportional_attn=True, base_seqlen=32)
+        assert out.shape == x.shape
+
+    def test_bf16_compute(self):
+        model = tiny_next_dit(dtype=jnp.bfloat16)
+        x, t, cap, mask = make_inputs()
+        params = model.init(jax.random.PRNGKey(0), x, t, cap, mask)
+        out = model.apply(params, x, t, cap, mask)
+        assert out.dtype == jnp.float32  # output cast back
+
+
+class TestNextDiTImageNet:
+    def test_forward_shape(self):
+        model = tiny_imagenet()
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 16, 16))
+        t = jnp.array([0.3, 0.7])
+        y = jnp.array([1, 5])
+        params = model.init(jax.random.PRNGKey(0), x, t, y)
+        assert model.apply(params, x, t, y).shape == x.shape
+
+    def test_label_dropout_maps_to_null_class(self):
+        model = tiny_imagenet(class_dropout_prob=1.0)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 16, 16))
+        t = jnp.array([0.3, 0.7])
+        params = model.init(
+            {"params": jax.random.PRNGKey(0), "label_dropout": jax.random.PRNGKey(1)},
+            x, t, jnp.array([1, 5]), train=True,
+        )
+        params = jax.tree.map(lambda a: a + 0.02, params)
+        # with p=1 dropout, any two labels give identical (null-class) output
+        o1 = model.apply(params, x, t, jnp.array([1, 5]), train=True,
+                         rngs={"label_dropout": jax.random.PRNGKey(2)})
+        o2 = model.apply(params, x, t, jnp.array([3, 9]), train=True,
+                         rngs={"label_dropout": jax.random.PRNGKey(2)})
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-6)
+
+    def test_force_drop_ids(self):
+        model = tiny_imagenet()
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 16, 16))
+        t = jnp.array([0.3, 0.7])
+        y = jnp.array([1, 5])
+        params = model.init(jax.random.PRNGKey(0), x, t, y)
+        params = jax.tree.map(lambda a: a + 0.02, params)
+        o_forced = model.apply(params, x, t, y, force_drop_ids=jnp.array([1, 1]))
+        o_null = model.apply(params, x, t, jnp.array([model.num_classes] * 2))
+        np.testing.assert_allclose(np.asarray(o_forced), np.asarray(o_null), atol=1e-6)
+
+    def test_cfg(self):
+        model = tiny_imagenet()
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 4, 16, 16))
+        t = jnp.full((4,), 0.5)
+        y = jnp.array([1, 2, 10, 10])  # null class for uncond rows
+        params = model.init(jax.random.PRNGKey(0), x[:1], t[:1], y[:1])
+        out = forward_with_cfg_imagenet(model, params, x, t, y, cfg_scale=4.0)
+        assert out.shape == x.shape
+
+    def test_rope_ntk_scaling_changes_output(self):
+        model = tiny_imagenet()
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 16, 16))
+        t = jnp.array([0.5])
+        y = jnp.array([0])
+        params = model.init(jax.random.PRNGKey(0), x, t, y)
+        # structured (non-uniform) perturbation so positional info survives
+        params = jax.tree.map(
+            lambda a: a + 0.05 * jnp.sin(jnp.arange(a.size, dtype=jnp.float32)).reshape(a.shape),
+            params,
+        )
+        o1 = model.apply(params, x, t, y)
+        o2 = model.apply(params, x, t, y, ntk_factor=4.0)
+        assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+
+class TestFlagDiT:
+    def test_text_variant_shape(self):
+        model = FlagDiT(dim=64, n_layers=2, n_heads=4, multiple_of=16,
+                        cap_feat_dim=32, attn_impl="xla")
+        x, t, cap, mask = make_inputs()
+        params = model.init(jax.random.PRNGKey(0), x, t, cap, mask)
+        assert model.apply(params, x, t, cap, mask).shape == x.shape
+
+    def test_eol_token_present(self):
+        model = FlagDiT(dim=64, n_layers=1, n_heads=4, multiple_of=16,
+                        cap_feat_dim=32, attn_impl="xla")
+        x, t, cap, mask = make_inputs()
+        params = model.init(jax.random.PRNGKey(0), x, t, cap, mask)
+        assert "eol_token" in params["params"]
+
+    def test_imagenet_variant(self):
+        model = FlagDiT(dim=64, n_layers=2, n_heads=4, multiple_of=16,
+                        num_classes=1000, use_eol_token=False, attn_impl="xla")
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 16, 16))
+        t = jnp.array([0.3, 0.7])
+        y = jnp.array([1, 5])
+        params = model.init(jax.random.PRNGKey(0), x, t, y=y)
+        assert model.apply(params, x, t, y=y).shape == x.shape
+        assert "eol_token" not in params["params"]
+
+    def test_registry(self):
+        with pytest.raises(KeyError):
+            get_model("NoSuchModel")
+        m = get_model("NextDiT_2B_patch2", cap_feat_dim=2048)
+        assert isinstance(m, NextDiT)
+        assert m.dim == 2304 and m.n_layers == 24
+
+
+class TestParamCounts:
+    def test_2b_config_param_count(self):
+        """NextDiT_2B_patch2 at full width must land near 2B params
+        (reference `model.py:994-995` with Gemma cap_feat_dim=2048)."""
+        model = get_model("NextDiT_2B_patch2", cap_feat_dim=2048, scan_blocks=False)
+        shapes = jax.eval_shape(
+            lambda: model.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, 4, 64, 64)), jnp.zeros((1,)),
+                jnp.zeros((1, 8, 2048)), jnp.ones((1, 8), jnp.int32),
+            )
+        )
+        n = sum(int(np.prod(s.shape)) for s in jax.tree.leaves(shapes))
+        assert 1.5e9 < n < 2.5e9, f"param count {n/1e9:.2f}B out of range"
