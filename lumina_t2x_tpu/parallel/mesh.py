@@ -1,0 +1,61 @@
+"""Device mesh construction.
+
+TPU-native replacement for the reference's distributed runtime
+(`lumina_next_t2i/parallel.py:12-91`): NCCL process groups + fairscale's 2-D
+(model-parallel x data-parallel) mesh become a `jax.sharding.Mesh` with
+('data', 'model') axes. The reference's intra-node / inter-node process-group
+split (`parallel.py:54-81`) maps to axis ordering: the 'model' axis is placed
+on the fastest (innermost, ICI-adjacent) devices, 'data' spans the rest —
+so tensor-parallel collectives ride ICI while data-parallel gradient
+reductions can cross DCN.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+AXIS_DATA = "data"
+AXIS_MODEL = "model"
+
+
+def distributed_init():
+    """Multi-host bootstrap: the analogue of `distributed_init(args)`
+    (`parallel.py:42-52`). Single-process environments are a no-op (the
+    reference's world_size=1 "fake distributed" mode, `demo.py:84-87`)."""
+    if "JAX_COORDINATOR_ADDRESS" in os.environ or "MEGASCALE_COORDINATOR_ADDRESS" in os.environ:
+        jax.distributed.initialize()
+
+
+def create_mesh(
+    model_parallel_size: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Build a (data, model) mesh.
+
+    Args:
+      model_parallel_size: size of the tensor-parallel axis (the reference's
+        `--model_parallel_size`, `train.py:700`).
+      devices: optional explicit device list (tests pass CPU devices).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    assert n % model_parallel_size == 0, (
+        f"{n} devices not divisible by model_parallel_size={model_parallel_size}"
+    )
+    # innermost devices (adjacent on ICI) carry the model axis
+    arr = np.array(devices).reshape(n // model_parallel_size, model_parallel_size)
+    return Mesh(arr, (AXIS_DATA, AXIS_MODEL))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading batch dim over the data axis."""
+    return NamedSharding(mesh, P(AXIS_DATA))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

@@ -1,0 +1,200 @@
+"""Training-step machinery: the TPU-native core of the reference trainer
+(`lumina_next_t2i/train.py:256-680`).
+
+What maps where:
+- FSDP wrapping + mixed precision (`train.py:171-204`) -> parameter sharding
+  rules over the mesh (`parallel/sharding.py`) + bf16 compute dtype on the
+  model with fp32 params/grads;
+- TP-aware grad clipping (`grad_norm.py:10-60`) -> a plain global-norm clip:
+  under GSPMD the L2 norm of the sharded grad pytree is computed with XLA
+  inserting the cross-shard reductions, so no hand-written "count TP params
+  once" logic is needed;
+- EMA deepcopy + per-step decay (`train.py:107-118,583`) -> a sharded pytree
+  updated inside the same jitted step;
+- gradient accumulation with no_sync (`train.py:551-571`) -> lax.scan over
+  micro-batches inside the compiled step (no sync to skip: there is exactly
+  one gradient reduction either way);
+- the whole step (loss, backward, clip, optimizer, EMA) is ONE jit program.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..parallel.mesh import AXIS_DATA
+from ..parallel.sharding import param_shardings
+from ..transport.transport import Transport
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    ema_params: Any
+
+
+def create_optimizer(lr: float = 1e-4, weight_decay: float = 0.0,
+                     warmup_steps: int = 0, max_steps: Optional[int] = None):
+    """AdamW matching the reference's `torch.optim.AdamW(lr, wd)`
+    (`train.py:449`), with optional linear warmup."""
+    if warmup_steps > 0:
+        sched = optax.linear_schedule(0.0, lr, warmup_steps)
+    else:
+        sched = lr
+    return optax.adamw(sched, b1=0.9, b2=0.999, weight_decay=weight_decay)
+
+
+def create_train_state(rng, model, example_batch: Dict[str, Any], optimizer,
+                       cond_kwargs_fn: Callable[[Dict], Dict]):
+    """Initialize params / optimizer / EMA from an example batch."""
+    x = example_batch["x"]
+    t = jnp.zeros((x.shape[0],), jnp.float32)
+    init_rngs = {"params": rng, "label_dropout": jax.random.fold_in(rng, 1)}
+    variables = model.init(init_rngs, x, t, **cond_kwargs_fn(example_batch))
+    params = variables["params"]
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=optimizer.init(params),
+        # real copy (not aliased) — the step donates its input buffers
+        ema_params=jax.tree.map(jnp.array, params),
+    )
+
+
+def make_train_step(
+    model,
+    transport: Transport,
+    optimizer,
+    cond_kwargs_fn: Callable[[Dict], Dict],
+    grad_clip: float = 2.0,
+    ema_decay: float = 0.9999,
+    micro_batches: int = 1,
+    loss_mask_fn: Optional[Callable[[Dict], Any]] = None,
+):
+    """Build the (un-jitted) train step; wrap with jit/shardings via
+    `make_sharded_train_step`.
+
+    cond_kwargs_fn(batch) -> model kwargs beyond (x, t), e.g.
+    {"y": batch["y"]} or {"cap_feats": ..., "cap_mask": ...}.
+    """
+
+    def compute_grads(params, batch, drop_rng, loss_rng):
+        def loss_fn(p):
+            def model_fn(xt, t):
+                return model.apply(
+                    {"params": p}, xt, t, train=True,
+                    rngs={"label_dropout": drop_rng}, **cond_kwargs_fn(batch),
+                )
+
+            loss_mask = loss_mask_fn(batch) if loss_mask_fn else None
+            terms = transport.training_losses(loss_rng, model_fn, batch["x"], loss_mask=loss_mask)
+            return terms["loss"].mean(), terms
+
+        (loss, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        return loss, terms, grads
+
+    def train_step(state: TrainState, batch: Dict[str, Any], rng):
+        step_rng = jax.random.fold_in(rng, state.step)
+        drop_rng, loss_rng = jax.random.split(step_rng)
+
+        if micro_batches == 1:
+            loss, _, grads = compute_grads(state.params, batch, drop_rng, loss_rng)
+        else:
+            # micro-batch accumulation as a scan: reshape (B, ...) ->
+            # (micro, B/micro, ...) and average grads
+            def slice_batch(b, i):
+                return jax.tree.map(
+                    lambda a: a.reshape(micro_batches, -1, *a.shape[1:])[i], b
+                )
+
+            def body(carry, i):
+                acc_grads, acc_loss = carry
+                mb = slice_batch(batch, i)
+                l, _, g = compute_grads(
+                    state.params, mb, jax.random.fold_in(drop_rng, i), jax.random.fold_in(loss_rng, i)
+                )
+                return (jax.tree.map(jnp.add, acc_grads, g), acc_loss + l), None
+
+            zero = jax.tree.map(jnp.zeros_like, state.params)
+            (grads, loss), _ = jax.lax.scan(
+                body, (zero, jnp.zeros(())), jnp.arange(micro_batches)
+            )
+            grads = jax.tree.map(lambda g: g / micro_batches, grads)
+            loss = loss / micro_batches
+
+        grad_norm = optax.global_norm(grads)
+        if grad_clip is not None and grad_clip > 0:
+            scale = jnp.minimum(1.0, grad_clip / (grad_norm + 1e-6))
+            grads = jax.tree.map(lambda g: g * scale, grads)
+
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = jax.tree.map(
+            lambda e, p: e * ema_decay + (1.0 - ema_decay) * p, state.ema_params, params
+        )
+        new_state = state.replace(
+            step=state.step + 1, params=params, opt_state=opt_state, ema_params=ema
+        )
+        metrics = {"loss": loss, "grad_norm": grad_norm}
+        return new_state, metrics
+
+    return train_step
+
+
+def make_sharded_train_step(mesh, train_step, state, fsdp: bool = True):
+    """jit the train step with explicit mesh shardings.
+
+    - params/EMA/opt-state follow the TP+FSDP rules;
+    - batch leaves shard their leading dim over 'data';
+    - rng and metrics replicate.
+    """
+    p_sh = param_shardings(mesh, state.params, fsdp=fsdp)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(AXIS_DATA))
+    state_sh = TrainState(step=repl, params=p_sh,
+                          opt_state=_opt_state_shardings(mesh, state, p_sh), ema_params=p_sh)
+
+    jitted = jax.jit(
+        train_step,
+        in_shardings=(state_sh, data, repl),
+        out_shardings=(state_sh, repl),
+        donate_argnums=(0,),
+    )
+    return jitted, state_sh
+
+
+def _opt_state_shardings(mesh, state, p_sh):
+    """Adam moments share the param layout; scalars replicate."""
+    flat_params = jax.tree.leaves(state.params)
+    repl = NamedSharding(mesh, P())
+
+    def match(leaf):
+        return repl
+
+    # Walk the opt_state: ScaleByAdamState contains mu/nu pytrees with the
+    # same structure as params — map them to param shardings; anything else
+    # replicates.
+    def map_state(os):
+        if isinstance(os, optax.ScaleByAdamState):
+            return optax.ScaleByAdamState(count=repl, mu=p_sh, nu=p_sh)
+        if isinstance(os, tuple) and not hasattr(os, "_fields"):
+            return tuple(map_state(o) for o in os)
+        return jax.tree.map(lambda _: repl, os)
+
+    return map_state(state.opt_state)
+
+
+def place_state(mesh, state, fsdp: bool = True) -> TrainState:
+    """Device-put a host TrainState onto the mesh with the rule layout."""
+    p_sh = param_shardings(mesh, state.params, fsdp=fsdp)
+    repl = NamedSharding(mesh, P())
+    sh = TrainState(step=repl, params=p_sh,
+                    opt_state=_opt_state_shardings(mesh, state, p_sh), ema_params=p_sh)
+    return jax.tree.map(lambda x, s: jax.device_put(x, s), state, sh)
