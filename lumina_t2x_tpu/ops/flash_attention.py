@@ -53,7 +53,7 @@ def _flash_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (bq, bk)
     s = s * scale
-    kmask = mask_ref[:]  # (1, bk) int32
+    kmask = mask_ref[0]  # (1, bk) int32
     s = jnp.where(kmask != 0, s, _NEG_INF)
 
     m_prev = m_ref[:, 0:1]  # (bq, 1)
@@ -97,7 +97,9 @@ def _flash_attention_fwd_impl(q, k, v, kv_mask, scale, block_q, block_k, logits_
     qt = jnp.pad(q.transpose(0, 2, 1, 3), ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
     kt = jnp.pad(k.transpose(0, 2, 1, 3), ((0, 0), (0, 0), (0, sk_p - sk), (0, 0)))
     vt = jnp.pad(v.transpose(0, 2, 1, 3), ((0, 0), (0, 0), (0, sk_p - sk), (0, 0)))
-    mask = jnp.pad(kv_mask.astype(jnp.int32), ((0, 0), (0, sk_p - sk)))
+    # (B, 1, Sk): the dummy middle dim keeps the Mosaic block shape legal
+    # (second-to-last block dim == full array dim).
+    mask = jnp.pad(kv_mask.astype(jnp.int32), ((0, 0), (0, sk_p - sk)))[:, None, :]
 
     grid = (b, hq, sq_p // block_q, sk_p // block_k)
 
@@ -109,7 +111,7 @@ def _flash_attention_fwd_impl(q, k, v, kv_mask, scale, block_q, block_k, logits_
         functools.partial(_flash_kernel, scale=scale),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_k), lambda bi, hi, qi, ki: (bi, ki), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k), lambda bi, hi, qi, ki: (bi, 0, ki), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0), memory_space=pltpu.VMEM
             ),
