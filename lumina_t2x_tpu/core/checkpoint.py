@@ -1,0 +1,247 @@
+"""Checkpoint save/restore + interop with reference checkpoint formats.
+
+Reference behavior covered (`SURVEY.md §2.8`, `lumina_next_t2i/train.py:332-398,613-674`):
+- directory-per-step layout `<results>/checkpoints/<step:07d>/`;
+- model + EMA + optimizer streams, `model_args` persistence (inference
+  reconstructs the model from it, `sample.py:99`), `resume_step.txt`;
+- `--auto_resume` picks the latest step dir (`train.py:332-341`);
+- `--init_from` weights-only load with shape-mismatch key dropping
+  (`train.py:369-397`);
+- `.safetensors` release format + pth<->safetensors conversion
+  (`entry_point.py:115-156`) — here: torch-checkpoint import into the JAX
+  param tree (incl. stacking per-layer weights for nn.scan layouts).
+
+TPU-native design: tensors are saved sharded via Orbax (each host writes its
+shards; restore re-shards to any mesh), replacing the reference's
+FSDP-consolidated rank-0 .pth files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import orbax.checkpoint as ocp
+from flax import traverse_util
+
+
+def checkpoint_dir(results_dir: str, step: int) -> str:
+    return os.path.join(results_dir, "checkpoints", f"{step:07d}")
+
+
+def save_checkpoint(results_dir: str, step: int, state, model_args: Optional[Dict] = None):
+    """Save params/EMA/opt-state (sharded) + model_args + resume_step."""
+    path = os.path.abspath(checkpoint_dir(results_dir, step))
+    os.makedirs(path, exist_ok=True)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.join(path, "model"), state.params, force=True)
+    ckptr.save(os.path.join(path, "ema"), state.ema_params, force=True)
+    ckptr.save(os.path.join(path, "optimizer"), state.opt_state, force=True)
+    ckptr.wait_until_finished()
+    if model_args is not None:
+        with open(os.path.join(path, "model_args.json"), "w") as f:
+            json.dump(model_args, f, indent=2, default=str)
+    with open(os.path.join(path, "resume_step.txt"), "w") as f:
+        f.write(str(step))
+    return path
+
+
+def find_auto_resume(results_dir: str) -> Optional[str]:
+    """Latest existing checkpoint dir (`train.py:332-341`)."""
+    base = os.path.join(results_dir, "checkpoints")
+    if not os.path.isdir(base):
+        return None
+    steps = sorted(
+        (d for d in os.listdir(base) if re.fullmatch(r"\d{7}", d)), key=int
+    )
+    for d in reversed(steps):
+        if os.path.exists(os.path.join(base, d, "resume_step.txt")):
+            return os.path.join(base, d)
+    return None
+
+
+def load_checkpoint(path: str, state):
+    """Restore a TrainState saved by save_checkpoint (same tree structure)."""
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    params = ckptr.restore(os.path.join(path, "model"), state.params)
+    ema = ckptr.restore(os.path.join(path, "ema"), state.ema_params)
+    opt = ckptr.restore(os.path.join(path, "optimizer"), state.opt_state)
+    with open(os.path.join(path, "resume_step.txt")) as f:
+        step = int(f.read().strip())
+    return state.replace(
+        step=jnp.asarray(step, jnp.int32), params=params, ema_params=ema, opt_state=opt
+    )
+
+
+def load_model_args(path: str) -> Dict:
+    with open(os.path.join(path, "model_args.json")) as f:
+        return json.load(f)
+
+
+def init_from(path: str, params, stream: str = "ema"):
+    """Weights-only partial load: keys with mismatched shapes are dropped
+    (`train.py:369-397`)."""
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    loaded = ckptr.restore(os.path.join(path, stream))
+    flat_cur = traverse_util.flatten_dict(params, sep="/")
+    flat_new = traverse_util.flatten_dict(loaded, sep="/")
+    out, dropped = {}, []
+    for k, v in flat_cur.items():
+        if k in flat_new and tuple(flat_new[k].shape) == tuple(v.shape):
+            out[k] = jnp.asarray(flat_new[k], v.dtype)
+        else:
+            out[k] = v
+            if k in flat_new:
+                dropped.append(k)
+    if dropped:
+        print(f"init_from: dropped {len(dropped)} shape-mismatched keys: {dropped[:8]}...")
+    return traverse_util.unflatten_dict(out, sep="/")
+
+
+# ---------------------------------------------------------------------------
+# Torch / safetensors checkpoint import (reference release weights)
+# ---------------------------------------------------------------------------
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a reference checkpoint (.pth or .safetensors) to numpy."""
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return load_file(path)
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return {k: v.float().numpy() for k, v in sd.items()}
+
+
+def _torch_linear(flat, torch_name, has_bias=True):
+    out = {"kernel": flat[f"{torch_name}.weight"].T}
+    if has_bias and f"{torch_name}.bias" in flat:
+        out["bias"] = flat[f"{torch_name}.bias"]
+    return out
+
+
+def import_next_dit_weights(state_dict: Dict[str, np.ndarray], n_layers: int,
+                            scan_layers: bool = True) -> Dict[str, Any]:
+    """Map a reference NextDiT state_dict (`lumina_next_t2i/models/model.py`)
+    onto our flax param tree. Linear weights transpose (out,in)->(in,out);
+    per-layer tensors stack on a leading axis for the nn.scan layout."""
+    sd = state_dict
+    params: Dict[str, Any] = {}
+
+    params["x_embedder"] = _torch_linear(sd, "x_embedder")
+    params["pad_token"] = sd["pad_token"]
+    params["t_embedder"] = {
+        "mlp_0": _torch_linear(sd, "t_embedder.mlp.0"),
+        "mlp_2": _torch_linear(sd, "t_embedder.mlp.2"),
+    }
+    params["cap_embedder"] = {
+        "norm": {"weight": sd["cap_embedder.0.weight"], "bias": sd["cap_embedder.0.bias"]},
+        "proj": _torch_linear(sd, "cap_embedder.1"),
+    }
+    params["final_layer"] = {
+        "linear": _torch_linear(sd, "final_layer.linear"),
+        "adaLN_modulation": _torch_linear(sd, "final_layer.adaLN_modulation.1"),
+    }
+
+    def layer_params(i):
+        pre = f"layers.{i}"
+        p = {
+            "adaLN_modulation": _torch_linear(sd, f"{pre}.adaLN_modulation.1"),
+            "attention_norm1": {"weight": sd[f"{pre}.attention_norm1.weight"]},
+            "attention_norm2": {"weight": sd[f"{pre}.attention_norm2.weight"]},
+            "ffn_norm1": {"weight": sd[f"{pre}.ffn_norm1.weight"]},
+            "ffn_norm2": {"weight": sd[f"{pre}.ffn_norm2.weight"]},
+            "attention_y_norm": {"weight": sd[f"{pre}.attention_y_norm.weight"]},
+            "attention": {
+                "wq": _torch_linear(sd, f"{pre}.attention.wq", has_bias=False),
+                "wk": _torch_linear(sd, f"{pre}.attention.wk", has_bias=False),
+                "wv": _torch_linear(sd, f"{pre}.attention.wv", has_bias=False),
+                "wo": _torch_linear(sd, f"{pre}.attention.wo", has_bias=False),
+                "wk_y": _torch_linear(sd, f"{pre}.attention.wk_y", has_bias=False),
+                "wv_y": _torch_linear(sd, f"{pre}.attention.wv_y", has_bias=False),
+                "gate": sd[f"{pre}.attention.gate"],
+            },
+            "feed_forward": {
+                "w1": _torch_linear(sd, f"{pre}.feed_forward.w1", has_bias=False),
+                "w2": _torch_linear(sd, f"{pre}.feed_forward.w2", has_bias=False),
+                "w3": _torch_linear(sd, f"{pre}.feed_forward.w3", has_bias=False),
+            },
+        }
+        for norm in ("q_norm", "k_norm", "ky_norm"):
+            if f"{pre}.attention.{norm}.weight" in sd:
+                p["attention"][norm] = {
+                    "weight": sd[f"{pre}.attention.{norm}.weight"],
+                    "bias": sd[f"{pre}.attention.{norm}.bias"],
+                }
+        return p
+
+    per_layer = [layer_params(i) for i in range(n_layers)]
+    if scan_layers:
+        stacked = jax.tree.map(lambda *xs: np.stack(xs), *per_layer)
+        params["layers"] = stacked
+    else:
+        for i, p in enumerate(per_layer):
+            params[f"layers_{i}"] = p
+    return params
+
+
+def export_next_dit_weights(params: Dict[str, Any], scan_layers: bool = True) -> Dict[str, np.ndarray]:
+    """Inverse of import_next_dit_weights: our tree -> reference-style
+    state_dict (for the `lumina convert` parity, `entry_point.py:115-156`)."""
+    flat = traverse_util.flatten_dict(jax.tree.map(np.asarray, params), sep="/")
+    out = {}
+
+    def put_linear(torch_name, base):
+        out[f"{torch_name}.weight"] = np.asarray(flat[f"{base}/kernel"]).T
+        if f"{base}/bias" in flat:
+            out[f"{torch_name}.bias"] = np.asarray(flat[f"{base}/bias"])
+
+    put_linear("x_embedder", "x_embedder")
+    out["pad_token"] = flat["pad_token"]
+    put_linear("t_embedder.mlp.0", "t_embedder/mlp_0")
+    put_linear("t_embedder.mlp.2", "t_embedder/mlp_2")
+    out["cap_embedder.0.weight"] = flat["cap_embedder/norm/weight"]
+    out["cap_embedder.0.bias"] = flat["cap_embedder/norm/bias"]
+    put_linear("cap_embedder.1", "cap_embedder/proj")
+    put_linear("final_layer.linear", "final_layer/linear")
+    put_linear("final_layer.adaLN_modulation.1", "final_layer/adaLN_modulation")
+
+    layer_keys = [k for k in flat if k.startswith("layers/")] if scan_layers else None
+    if scan_layers:
+        n_layers = flat["layers/adaLN_modulation/kernel"].shape[0]
+        for i in range(n_layers):
+            for k in layer_keys:
+                sub = k[len("layers/"):]
+                tname = sub.replace("/", ".").replace(".kernel", ".weight").replace(".bias", ".bias")
+                arr = flat[k][i]
+                if sub.endswith("kernel"):
+                    name = "layers.%d.%s" % (i, sub[: -len("/kernel")].replace("/", "."))
+                    # reference names adaLN linear as .1 inside Sequential
+                    if name.endswith("adaLN_modulation"):
+                        name += ".1"
+                    out[f"{name}.weight"] = arr.T
+                elif sub.endswith("bias"):
+                    name = "layers.%d.%s" % (i, sub[: -len("/bias")].replace("/", "."))
+                    if name.endswith("adaLN_modulation"):
+                        name += ".1"
+                    out[f"{name}.bias"] = arr
+                else:
+                    name = "layers.%d.%s" % (i, sub.replace("/", "."))
+                    out[name] = arr
+    return out
+
+
+def save_safetensors(state_dict: Dict[str, np.ndarray], path: str):
+    from safetensors.numpy import save_file
+
+    save_file({k: np.ascontiguousarray(v) for k, v in state_dict.items()}, path)

@@ -1,0 +1,86 @@
+"""Batch assembly: threaded prefetch + static-shape bucket batching.
+
+Replaces the reference's torch DataLoader workers (`train.py:496-520`) with a
+thread-pool prefetcher feeding numpy batches. Variable-aspect training
+(`var_center_crop` + crop-size list) batches per bucket so each batch has ONE
+static shape — the TPU-idiomatic replacement for the reference's pad-to-max +
+unpad-in-kernel approach (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import collections
+import concurrent.futures as futures
+import os
+from typing import Callable, Iterable, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def threaded_prefetch(item_iter: Iterator, fetch: Callable, num_workers: int = 8,
+                      prefetch: int = 32):
+    """Map `fetch` over an index stream with a bounded thread pool, yielding
+    results in order."""
+    with futures.ThreadPoolExecutor(num_workers) as pool:
+        pending = collections.deque()
+        for idx in item_iter:
+            pending.append(pool.submit(fetch, idx))
+            if len(pending) >= prefetch:
+                yield pending.popleft().result()
+        while pending:
+            yield pending.popleft().result()
+
+
+def batched(iterable: Iterable, batch_size: int, collate: Callable):
+    buf = []
+    for item in iterable:
+        buf.append(item)
+        if len(buf) == batch_size:
+            yield collate(buf)
+            buf = []
+
+
+def bucket_batched(
+    iterable: Iterable[Tuple[Tuple[int, int], object]],
+    batch_size: int,
+    collate: Callable,
+    max_open_buckets: int = 64,
+):
+    """Group (bucket_key, item) pairs into same-bucket batches.
+
+    Items accumulate per bucket; a batch is emitted when a bucket fills. This
+    gives every emitted batch a single static (H, W), so each bucket has its
+    own (cached) XLA program.
+    """
+    buckets: dict = collections.defaultdict(list)
+    for key, item in iterable:
+        buckets[key].append(item)
+        if len(buckets[key]) == batch_size:
+            yield key, collate(buckets.pop(key))
+        elif len(buckets) > max_open_buckets:
+            # flush the fullest bucket to bound memory
+            fullest = max(buckets, key=lambda k: len(buckets[k]))
+            items = buckets.pop(fullest)
+            yield fullest, collate(items)
+
+
+def list_imagenet_folder(root: str) -> Tuple[List[Tuple[str, int]], List[str]]:
+    """(path, class_index) list over an ImageFolder layout
+    (`Next-DiT-ImageNet/train.py:109`)."""
+    classes = sorted(
+        d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
+    )
+    class_to_idx = {c: i for i, c in enumerate(classes)}
+    samples = []
+    for c in classes:
+        cdir = os.path.join(root, c)
+        for fname in sorted(os.listdir(cdir)):
+            if fname.lower().endswith((".jpg", ".jpeg", ".png", ".webp", ".bmp")):
+                samples.append((os.path.join(cdir, fname), class_to_idx[c]))
+    return samples, classes
+
+
+def collate_image_label(items: Sequence[Tuple[np.ndarray, int]]):
+    xs = np.stack([np.asarray(x, np.float32) for x, _ in items])
+    ys = np.asarray([y for _, y in items], np.int32)
+    return {"x": xs, "y": ys}

@@ -1,0 +1,189 @@
+"""Checkpoint subsystem tests: save/resume round-trip, auto-resume, init_from
+shape-mismatch skip, torch-weight import/export round-trip."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lumina_t2x_tpu.core.checkpoint import (
+    export_next_dit_weights,
+    find_auto_resume,
+    import_next_dit_weights,
+    init_from,
+    load_checkpoint,
+    load_model_args,
+    save_checkpoint,
+    save_safetensors,
+    load_torch_state_dict,
+)
+from lumina_t2x_tpu.models.next_dit import NextDiT
+from lumina_t2x_tpu.pipelines.train_lib import (
+    create_optimizer,
+    create_train_state,
+    make_train_step,
+)
+from lumina_t2x_tpu.transport import create_transport
+
+
+def tiny_model(**kw):
+    kw.setdefault("dim", 64)
+    kw.setdefault("n_layers", 2)
+    kw.setdefault("n_heads", 4)
+    kw.setdefault("multiple_of", 16)
+    kw.setdefault("cap_feat_dim", 32)
+    kw.setdefault("attn_impl", "xla")
+    return NextDiT(**kw)
+
+
+def make_state(model):
+    batch = {
+        "x": jax.random.normal(jax.random.PRNGKey(0), (2, 4, 16, 16)),
+        "cap_feats": jax.random.normal(jax.random.PRNGKey(1), (2, 7, 32)),
+        "cap_mask": jnp.ones((2, 7), jnp.int32),
+    }
+    cond = lambda b: {"cap_feats": b["cap_feats"], "cap_mask": b["cap_mask"]}
+    opt = create_optimizer(1e-3)
+    state = create_train_state(jax.random.PRNGKey(0), model, batch, opt, cond)
+    return state, batch, cond, opt
+
+
+class TestCheckpointRoundTrip:
+    def test_save_load(self, tmp_path):
+        model = tiny_model()
+        state, batch, cond, opt = make_state(model)
+        transport = create_transport("Linear", "velocity")
+        step_fn = make_train_step(model, transport, opt, cond)
+        state, _ = jax.jit(step_fn)(state, batch, jax.random.PRNGKey(0))
+
+        path = save_checkpoint(str(tmp_path), int(state.step), state,
+                               model_args={"model": "tiny", "dim": 64})
+        fresh, _, _, _ = make_state(model)
+        restored = load_checkpoint(path, fresh)
+        assert int(restored.step) == 1
+        for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+        for a, b in zip(jax.tree.leaves(state.ema_params), jax.tree.leaves(restored.ema_params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+        assert load_model_args(path)["dim"] == 64
+
+    def test_auto_resume_picks_latest(self, tmp_path):
+        model = tiny_model()
+        state, *_ = make_state(model)
+        save_checkpoint(str(tmp_path), 5, state)
+        save_checkpoint(str(tmp_path), 12, state)
+        found = find_auto_resume(str(tmp_path))
+        assert found is not None and found.endswith("0000012")
+
+    def test_auto_resume_none(self, tmp_path):
+        assert find_auto_resume(str(tmp_path)) is None
+
+    def test_init_from_drops_mismatched(self, tmp_path):
+        model = tiny_model()
+        state, *_ = make_state(model)
+        path = save_checkpoint(str(tmp_path), 0, state)
+
+        bigger = tiny_model(cap_feat_dim=48)  # cap-related shapes change
+        state2, *_ = make_state_capdim(bigger, 48)
+        merged = init_from(path, state2.params, stream="model")
+        # matching keys copied
+        np.testing.assert_allclose(
+            np.asarray(merged["x_embedder"]["kernel"]),
+            np.asarray(state.params["x_embedder"]["kernel"]),
+        )
+        # mismatched keys keep the fresh init
+        assert merged["cap_embedder"]["proj"]["kernel"].shape[0] == 48
+
+
+def make_state_capdim(model, cap_dim):
+    batch = {
+        "x": jax.random.normal(jax.random.PRNGKey(0), (2, 4, 16, 16)),
+        "cap_feats": jax.random.normal(jax.random.PRNGKey(1), (2, 7, cap_dim)),
+        "cap_mask": jnp.ones((2, 7), jnp.int32),
+    }
+    cond = lambda b: {"cap_feats": b["cap_feats"], "cap_mask": b["cap_mask"]}
+    opt = create_optimizer(1e-3)
+    state = create_train_state(jax.random.PRNGKey(0), model, batch, opt, cond)
+    return state, batch, cond, opt
+
+
+class TestTorchImport:
+    def _fake_torch_sd(self, dim=64, n_layers=2, n_heads=4, cap_dim=32, multiple_of=16):
+        """Construct a reference-shaped state dict with random numpy values."""
+        rng = np.random.RandomState(0)
+        head_dim = dim // n_heads
+        hidden = int(2 * 4 * dim / 3)
+        hidden = multiple_of * ((hidden + multiple_of - 1) // multiple_of)
+        cond = min(dim, 1024)
+        sd = {}
+
+        def lin(name, i, o, bias=True):
+            sd[f"{name}.weight"] = rng.randn(o, i).astype(np.float32) * 0.02
+            if bias:
+                sd[f"{name}.bias"] = rng.randn(o).astype(np.float32) * 0.02
+
+        lin("x_embedder", 4 * 4, dim)
+        sd["pad_token"] = rng.randn(dim).astype(np.float32)
+        lin("t_embedder.mlp.0", 256, cond)
+        lin("t_embedder.mlp.2", cond, cond)
+        sd["cap_embedder.0.weight"] = np.ones(cap_dim, np.float32)
+        sd["cap_embedder.0.bias"] = np.zeros(cap_dim, np.float32)
+        lin("cap_embedder.1", cap_dim, cond)
+        lin("final_layer.linear", dim, 4 * 8)
+        lin("final_layer.adaLN_modulation.1", cond, dim)
+        for i in range(n_layers):
+            pre = f"layers.{i}"
+            lin(f"{pre}.adaLN_modulation.1", cond, 4 * dim)
+            for nrm in ("attention_norm1", "attention_norm2", "ffn_norm1", "ffn_norm2"):
+                sd[f"{pre}.{nrm}.weight"] = np.ones(dim, np.float32)
+            sd[f"{pre}.attention_y_norm.weight"] = np.ones(cap_dim, np.float32)
+            lin(f"{pre}.attention.wq", dim, dim, bias=False)
+            lin(f"{pre}.attention.wk", dim, dim, bias=False)
+            lin(f"{pre}.attention.wv", dim, dim, bias=False)
+            lin(f"{pre}.attention.wo", dim, dim, bias=False)
+            lin(f"{pre}.attention.wk_y", cap_dim, dim, bias=False)
+            lin(f"{pre}.attention.wv_y", cap_dim, dim, bias=False)
+            sd[f"{pre}.attention.gate"] = np.zeros(n_heads, np.float32)
+            lin(f"{pre}.feed_forward.w1", dim, hidden, bias=False)
+            lin(f"{pre}.feed_forward.w2", hidden, dim, bias=False)
+            lin(f"{pre}.feed_forward.w3", dim, hidden, bias=False)
+        return sd
+
+    def test_import_runs_forward(self):
+        sd = self._fake_torch_sd()
+        params = import_next_dit_weights(sd, n_layers=2, scan_layers=True)
+        model = tiny_model()
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 16, 16))
+        t = jnp.full((2,), 0.5)
+        cap = jax.random.normal(jax.random.PRNGKey(1), (2, 7, 32))
+        mask = jnp.ones((2, 7), jnp.int32)
+        # structure must match a fresh init exactly
+        ref = model.init(jax.random.PRNGKey(0), x, t, cap, mask)["params"]
+        assert jax.tree.structure(jax.tree.map(np.shape, params)) == jax.tree.structure(
+            jax.tree.map(np.shape, ref)
+        )
+        for k_imported, k_ref in zip(
+            sorted(jax.tree.leaves(jax.tree.map(np.shape, params))),
+            sorted(jax.tree.leaves(jax.tree.map(np.shape, ref))),
+        ):
+            assert k_imported == k_ref
+        out = model.apply({"params": params}, x, t, cap, mask)
+        assert out.shape == x.shape
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_export_round_trip(self):
+        sd = self._fake_torch_sd()
+        params = import_next_dit_weights(sd, n_layers=2, scan_layers=True)
+        back = export_next_dit_weights(params, scan_layers=True)
+        for k in sd:
+            np.testing.assert_allclose(back[k], sd[k], atol=0, err_msg=k)
+
+    def test_safetensors_round_trip(self, tmp_path):
+        sd = self._fake_torch_sd()
+        p = str(tmp_path / "w.safetensors")
+        save_safetensors(sd, p)
+        loaded = load_torch_state_dict(p)
+        np.testing.assert_allclose(loaded["x_embedder.weight"], sd["x_embedder.weight"])

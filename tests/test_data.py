@@ -1,0 +1,203 @@
+"""Data pipeline tests: crop-size buckets, YAML meta dataset with error
+retry, resumable sampler determinism, bucket batching."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from lumina_t2x_tpu.data.dataset import (
+    DataBriefReportException,
+    ItemProcessor,
+    MetaDataset,
+    T2IItemProcessor,
+    resumable_sampler_indices,
+)
+from lumina_t2x_tpu.data.imgproc import (
+    center_crop_arr,
+    generate_crop_size_list,
+    match_bucket,
+    to_latent_input,
+    var_center_crop,
+)
+from lumina_t2x_tpu.data.loader import (
+    bucket_batched,
+    collate_image_label,
+    list_imagenet_folder,
+    threaded_prefetch,
+)
+
+
+class TestImgproc:
+    def test_crop_size_list_properties(self):
+        # 1024px training: (1024/8/2)^2 => num_patches for 2x-patch tokens
+        lst = generate_crop_size_list(64, 16, max_ratio=4.0)
+        assert (128, 128) in lst  # 8x8 patches of 16
+        for w, h in lst:
+            assert (w // 16) * (h // 16) <= 64
+            assert max(w / h, h / w) <= 4.0
+
+    def test_crop_size_list_matches_reference_shape(self):
+        """Mirror of the reference enumeration (`imgproc.py:47-58`)."""
+        lst = generate_crop_size_list(4, 2)
+        assert lst == [(8, 2), (6, 2), (4, 2), (4, 4), (2, 4), (2, 6), (2, 8)]
+
+    def test_var_center_crop_output_size(self):
+        img = Image.new("RGB", (300, 200))
+        lst = generate_crop_size_list(64, 16)
+        out = var_center_crop(img, lst)
+        assert out.size in lst
+
+    def test_match_bucket_deterministic(self):
+        lst = generate_crop_size_list(64, 16)
+        b = match_bucket(300, 200, lst)
+        assert b in lst
+        assert b == match_bucket(300, 200, lst)
+        # wide image picks a wide bucket
+        assert b[0] > b[1]
+
+    def test_center_crop_arr(self):
+        img = Image.new("RGB", (300, 200), (255, 0, 0))
+        out = center_crop_arr(img, 64)
+        assert out.size == (64, 64)
+
+    def test_to_latent_input_range(self):
+        img = Image.new("RGB", (8, 8), (255, 255, 255))
+        arr = to_latent_input(img)
+        assert arr.shape == (3, 8, 8)
+        np.testing.assert_allclose(arr, 1.0)
+
+
+class _IndexProcessor(ItemProcessor):
+    def __init__(self, fail_indices=()):
+        self.fail = set(fail_indices)
+
+    def process_item(self, item, training_mode=False):
+        if item["id"] in self.fail:
+            raise DataBriefReportException(f"fail {item['id']}")
+        return item["id"]
+
+
+class TestMetaDataset:
+    def _write_config(self, tmp_path, n=10, two_groups=False):
+        ann = [{"id": i} for i in range(n)]
+        p1 = tmp_path / "a.json"
+        p1.write_text(json.dumps(ann))
+        meta = [{"path": str(p1), "type": "g1"}]
+        if two_groups:
+            p2 = tmp_path / "b.jsonl"
+            p2.write_text("\n".join(json.dumps({"id": 100 + i}) for i in range(n)))
+            meta.append({"path": str(p2), "type": "g2"})
+        cfg = tmp_path / "data.yaml"
+        cfg.write_text(json.dumps({"META": meta}))
+        return str(cfg)
+
+    def test_basic(self, tmp_path):
+        ds = MetaDataset(self._write_config(tmp_path), _IndexProcessor())
+        assert len(ds) == 10
+        assert ds[3] == 3
+
+    def test_jsonl_and_groups(self, tmp_path):
+        ds = MetaDataset(self._write_config(tmp_path, two_groups=True), _IndexProcessor())
+        assert len(ds) == 20
+        assert len(ds.groups()) == 2
+
+    def test_error_retries_neighbor_same_group(self, tmp_path):
+        ds = MetaDataset(
+            self._write_config(tmp_path, two_groups=True), _IndexProcessor(fail_indices={105})
+        )
+        # index 15 -> item id 105 fails -> falls back to index 14 (same group)
+        assert ds[15] == 104
+
+    def test_error_at_group_start_wraps(self, tmp_path):
+        ds = MetaDataset(
+            self._write_config(tmp_path, two_groups=True), _IndexProcessor(fail_indices={100})
+        )
+        # first item of group 2 fails -> wraps to last of group 2
+        assert ds[10] == 109
+
+    def test_h5_cache(self, tmp_path):
+        os.chdir(tmp_path)
+        cfg = self._write_config(tmp_path)
+        ds = MetaDataset(cfg, _IndexProcessor(), cache_on_disk=True, rank=0)
+        assert len(ds) == 10 and ds[2] == 2
+        # second construction hits the cache
+        ds2 = MetaDataset(cfg, _IndexProcessor(), cache_on_disk=True, rank=1)
+        assert ds2[2] == 2
+
+
+class TestResumableSampler:
+    def test_disjoint_ranks_cover_batch(self):
+        it0 = resumable_sampler_indices(100, 8, rank=0, world_size=2, seed=1)
+        it1 = resumable_sampler_indices(100, 8, rank=1, world_size=2, seed=1)
+        a = [next(it0) for _ in range(4)]
+        b = [next(it1) for _ in range(4)]
+        assert len(set(a) & set(b)) == 0
+
+    def test_resume_skips(self):
+        full = resumable_sampler_indices(100, 8, 0, 2, seed=1, start_step=0)
+        ref = [next(full) for _ in range(20)]
+        resumed = resumable_sampler_indices(100, 8, 0, 2, seed=1, start_step=3)
+        got = [next(resumed) for _ in range(8)]
+        assert got == ref[12:20]  # 3 steps * 4 per-rank items skipped
+
+    def test_epochs_reshuffle(self):
+        it = resumable_sampler_indices(8, 8, 0, 1, seed=1)
+        e0 = [next(it) for _ in range(8)]
+        e1 = [next(it) for _ in range(8)]
+        assert sorted(e0) == sorted(e1) == list(range(8))
+        assert e0 != e1
+
+
+class TestLoader:
+    def test_threaded_prefetch_order(self):
+        out = list(threaded_prefetch(iter(range(50)), lambda i: i * 2, num_workers=4))
+        assert out == [i * 2 for i in range(50)]
+
+    def test_bucket_batched(self):
+        items = [((16, 16), i) for i in range(5)] + [((8, 32), 100 + i) for i in range(3)]
+        # interleave
+        stream = [items[i // 2] if i % 2 == 0 and i // 2 < 5 else None for i in range(10)]
+        stream = items  # simple order
+        out = list(bucket_batched(iter(stream), 2, lambda b: b))
+        keys = [k for k, _ in out]
+        assert all(k in ((16, 16), (8, 32)) for k in keys)
+        for k, batch in out:
+            assert len(batch) == 2
+
+    def test_imagenet_folder(self, tmp_path):
+        for cls in ("n01", "n02"):
+            d = tmp_path / cls
+            d.mkdir()
+            for i in range(2):
+                Image.new("RGB", (8, 8)).save(d / f"{i}.png")
+        samples, classes = list_imagenet_folder(str(tmp_path))
+        assert classes == ["n01", "n02"]
+        assert len(samples) == 4
+        assert samples[0][1] == 0 and samples[-1][1] == 1
+
+    def test_collate(self):
+        items = [(np.zeros((3, 4, 4)), 1), (np.ones((3, 4, 4)), 2)]
+        batch = collate_image_label(items)
+        assert batch["x"].shape == (2, 3, 4, 4)
+        assert batch["y"].tolist() == [1, 2]
+
+
+class TestT2IItemProcessor:
+    def test_process(self, tmp_path):
+        img_path = tmp_path / "x.png"
+        Image.new("RGB", (8, 8)).save(img_path)
+        proc = T2IItemProcessor()
+        img, text = proc.process_item({"path": str(img_path), "prompt": "hello"})
+        assert img.size == (8, 8) and text == "hello"
+
+    def test_conversations_caption(self, tmp_path):
+        img_path = tmp_path / "x.png"
+        Image.new("RGB", (8, 8)).save(img_path)
+        proc = T2IItemProcessor()
+        _, text = proc.process_item(
+            {"image": str(img_path), "conversations": [{"value": "q"}, {"value": "a caption"}]}
+        )
+        assert text == "a caption"
