@@ -17,6 +17,12 @@ from .next_dit import (
     NextDiT_2B_patch2,
     NextDiT_600M_patch2,
 )
+from .moe import (
+    NextDiTMoE,
+    NextDiT_MoE_600M_patch2_Both,
+    NextDiT_MoE_600M_patch2_Spatial,
+    NextDiT_MoE_600M_patch2_Time,
+)
 from .next_dit_imagenet import (
     NextDiTImageNet,
     NextDiT_ImageNet_600M_patch2,
@@ -39,6 +45,10 @@ MODELS = {
     "FlagDiT_ImageNet_600M_patch2": FlagDiT_ImageNet_600M_patch2,
     "FlagDiT_ImageNet_3B_patch2": FlagDiT_ImageNet_3B_patch2,
     "FlagDiT_ImageNet_7B_patch2": FlagDiT_ImageNet_7B_patch2,
+    # MoE (Next-DiT-MoE family)
+    "NextDiT_MoE_600M_patch2_Time": NextDiT_MoE_600M_patch2_Time,
+    "NextDiT_MoE_600M_patch2_Spatial": NextDiT_MoE_600M_patch2_Spatial,
+    "NextDiT_MoE_600M_patch2_Both": NextDiT_MoE_600M_patch2_Both,
 }
 
 
