@@ -1,0 +1,354 @@
+"""Visual anagrams: multi-view optical illusions and panoramas.
+
+TPU-native re-design of `visual_anagrams/` (views library
+`visual_anagrams/visual_anagrams/views/__init__.py:23-50`, generation
+pipeline `visual_anagrams/generate.py:1-498`):
+
+- **views** are invertible latent-space transforms (C, H, W) -> (C, H, W)
+  implemented as pure jnp ops, so the entire multi-view denoise loop — view,
+  denoise, inverse-view, average over views — compiles into one `lax.scan`
+  program (the reference dispatches per-view CUDA work from python each
+  step);
+- **phase 1 (init)**: per step, each view's prompt denoises the viewed
+  latent with a midpoint step; inverted noises are averaged
+  (`generate.py:387-414`);
+- **phase 2 (upscale)**: skip-residual guidance — the phase-1 result is
+  upsampled, re-encoded (tiled VAE), and blended into the model input with a
+  cosine-decay factor c(t) = 0.5 (1 + cos(pi t)); a noise-inversion step
+  runs between the half-steps (`midpoint_solver_extra`,
+  `generate.py:222-262`);
+- **tiled VAE encode/decode** with overlap-averaged windows for 1024x4096
+  panoramas (`generate.py:26-173`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Views: invertible latent transforms (views/*.py)
+# ---------------------------------------------------------------------------
+
+
+class BaseView:
+    """view / inverse_view pair (`views/view_base.py:1-36`)."""
+
+    def view(self, x):
+        raise NotImplementedError
+
+    def inverse_view(self, x):
+        raise NotImplementedError
+
+
+class IdentityView(BaseView):
+    def view(self, x):
+        return x
+
+    inverse_view = view
+
+
+class FlipView(BaseView):
+    def view(self, x):
+        return jnp.flip(x, axis=-2)
+
+    inverse_view = view
+
+
+class Rotate180View(BaseView):
+    def view(self, x):
+        return jnp.rot90(x, k=2, axes=(-2, -1))
+
+    inverse_view = view
+
+
+class Rotate90CWView(BaseView):
+    def view(self, x):
+        return jnp.rot90(x, k=-1, axes=(-2, -1))
+
+    def inverse_view(self, x):
+        return jnp.rot90(x, k=1, axes=(-2, -1))
+
+
+class Rotate90CCWView(BaseView):
+    def view(self, x):
+        return jnp.rot90(x, k=1, axes=(-2, -1))
+
+    def inverse_view(self, x):
+        return jnp.rot90(x, k=-1, axes=(-2, -1))
+
+
+class NegateView(BaseView):
+    def view(self, x):
+        return -x
+
+    inverse_view = view
+
+
+class SkewView(BaseView):
+    """Circular row shifts proportional to the row index."""
+
+    def __init__(self, skew_factor: float = 1.5):
+        self.skew_factor = skew_factor
+
+    def _roll(self, x, sign):
+        h = x.shape[-2]
+        rows = []
+        for r in range(h):
+            shift = int(sign * self.skew_factor * r)
+            rows.append(jnp.roll(x[..., r, :], shift, axis=-1))
+        return jnp.stack(rows, axis=-2)
+
+    def view(self, x):
+        return self._roll(x, 1)
+
+    def inverse_view(self, x):
+        return self._roll(x, -1)
+
+
+class PatchPermuteView(BaseView):
+    """Seeded permutation of square patches (`views/view_patch_permute.py`)."""
+
+    def __init__(self, num_patches: int = 8, seed: int = 0):
+        self.num_patches = num_patches
+        self.seed = seed
+
+    def _perm(self, n):
+        return np.random.RandomState(self.seed).permutation(n)
+
+    def view(self, x):
+        c, h, w = x.shape[-3:]
+        p = self.num_patches
+        ph, pw = h // p, w // p
+        patches = x.reshape(*x.shape[:-3], c, p, ph, p, pw)
+        patches = jnp.moveaxis(patches, (-4, -2), (-2, -1))  # (..., c, ph, pw, p, p)
+        flat = patches.reshape(*patches.shape[:-2], p * p)
+        perm = jnp.asarray(self._perm(p * p))
+        flat = flat[..., perm]
+        patches = flat.reshape(*patches.shape[:-2], p, p)
+        patches = jnp.moveaxis(patches, (-2, -1), (-4, -2))
+        return patches.reshape(*x.shape)
+
+    def inverse_view(self, x):
+        c, h, w = x.shape[-3:]
+        p = self.num_patches
+        ph, pw = h // p, w // p
+        patches = x.reshape(*x.shape[:-3], c, p, ph, p, pw)
+        patches = jnp.moveaxis(patches, (-4, -2), (-2, -1))
+        flat = patches.reshape(*patches.shape[:-2], p * p)
+        perm = self._perm(p * p)
+        inv = np.argsort(perm)
+        flat = flat[..., jnp.asarray(inv)]
+        patches = flat.reshape(*patches.shape[:-2], p, p)
+        patches = jnp.moveaxis(patches, (-2, -1), (-4, -2))
+        return patches.reshape(*x.shape)
+
+
+class PixelPermuteView(PatchPermuteView):
+    def __init__(self, num_patches: int = 32, seed: int = 0):
+        super().__init__(num_patches, seed)
+
+
+class InnerCircleView(BaseView):
+    """Rotate the inner disk by 180 degrees (self-inverse variant of
+    `views/permutations.py:9-110`)."""
+
+    def view(self, x):
+        h, w = x.shape[-2:]
+        yy, xx = np.mgrid[0:h, 0:w]
+        cy, cx = (h - 1) / 2, (w - 1) / 2
+        r = min(h, w) * 0.45
+        mask = ((yy - cy) ** 2 + (xx - cx) ** 2) < r**2
+        rotated = jnp.rot90(x, k=2, axes=(-2, -1))
+        return jnp.where(jnp.asarray(mask), rotated, x)
+
+    inverse_view = view
+
+
+class SquareHingeView(BaseView):
+    """Rotate each quadrant by 180 degrees in place (hinge flip)."""
+
+    def view(self, x):
+        h, w = x.shape[-2:]
+        hh, hw = h // 2, w // 2
+        q = lambda a: jnp.rot90(a, k=2, axes=(-2, -1))
+        top = jnp.concatenate([q(x[..., :hh, :hw]), q(x[..., :hh, hw:])], axis=-1)
+        bot = jnp.concatenate([q(x[..., hh:, :hw]), q(x[..., hh:, hw:])], axis=-1)
+        return jnp.concatenate([top, bot], axis=-2)
+
+    inverse_view = view
+
+
+VIEW_MAP: Dict[str, Callable[[], BaseView]] = {
+    "identity": IdentityView,
+    "flip": FlipView,
+    "rotate_cw": Rotate90CWView,
+    "rotate_ccw": Rotate90CCWView,
+    "rotate_180": Rotate180View,
+    "negate": NegateView,
+    "skew": SkewView,
+    "patch_permute": PatchPermuteView,
+    "pixel_permute": PixelPermuteView,
+    "inner_circle": InnerCircleView,
+    "square_hinge": SquareHingeView,
+}
+
+
+def get_anagrams_views(view_names: Sequence[str], view_args=None) -> List[BaseView]:
+    """Name-keyed view factory (`views/__init__.py:52-70`)."""
+    views = []
+    view_args = view_args or [None] * len(view_names)
+    for name, arg in zip(view_names, view_args):
+        cls = VIEW_MAP.get(name)
+        if cls is None:
+            raise NotImplementedError(
+                f"view {name!r} not available (asset-based views like jigsaw "
+                f"require the reference's piece assets)"
+            )
+        views.append(cls(arg) if arg is not None else cls())
+    return views
+
+
+# ---------------------------------------------------------------------------
+# Custom solvers (`generate.py:212-262`)
+# ---------------------------------------------------------------------------
+
+
+def midpoint_delta(func, t0, t1, y0):
+    """dt * f(y + f(y,t0) dt/2, t_mid) — the displacement of one midpoint
+    step (`midpoint_solver`, `generate.py:212-219`)."""
+    b = y0.shape[0]
+    dt = t1 - t0
+    f0 = func(y0, jnp.full((b,), t0))
+    y_mid = y0 + f0 * (0.5 * dt)
+    return func(y_mid, jnp.full((b,), t0 + 0.5 * dt)) * dt
+
+
+def midpoint_delta_extra(func, t0, t1, y0, guidance, noise, anchor, view_fn):
+    """Skip-residual guided midpoint step (`midpoint_solver_extra`,
+    `generate.py:222-262`): blend `(1-c) y + c guidance_t` with cosine-decay
+    c(t), view the input, noise-invert between half-steps."""
+    b = y0.shape[0]
+    dt = t1 - t0
+    half_dt = 0.5 * dt
+    t_mid = t0 + half_dt
+
+    c0 = 0.5 * (1.0 + jnp.cos(jnp.pi * t0))
+    guidance_t = (t0 * guidance + (1.0 - t0) * noise) / anchor
+    model_input = (1.0 - c0) * y0 + c0 * guidance_t
+    viewed = view_fn.view(model_input[0])
+    viewed = jnp.stack([viewed] * b)
+    f0 = func(viewed, jnp.full((b,), t0))
+
+    noise_pred = -f0 * half_dt
+    inv = view_fn.inverse_view(noise_pred[0])
+    y_mid = y0 - jnp.stack([inv] * b)
+
+    c1 = 0.5 * (1.0 + jnp.cos(jnp.pi * t_mid))
+    guidance_t = (t_mid * guidance + (1.0 - t_mid) * noise) / anchor
+    model_input = (1.0 - c1) * y_mid + c1 * guidance_t
+    viewed = view_fn.view(model_input[0])
+    viewed = jnp.stack([viewed] * b)
+    return func(viewed, jnp.full((b,), t_mid)) * dt
+
+
+def anagram_init_phase(model_fns: Sequence[Callable], views: Sequence[BaseView],
+                       z, timesteps):
+    """Phase 1 (`generate.py:387-414`): per step, average the view-inverted
+    noise predictions across (prompt, view) pairs. One lax.scan over steps."""
+    t_pairs = jnp.stack([timesteps[:-1], timesteps[1:]], axis=1)
+
+    def step(noisy_img, t_pair):
+        t0, t1 = t_pair[0], t_pair[1]
+        inverted = []
+        for fn, view_fn in zip(model_fns, views):
+            viewed = view_fn.view(noisy_img[0])
+            viewed = jnp.stack([viewed] * noisy_img.shape[0])
+            noise = -midpoint_delta(fn, t0, t1, viewed)
+            inverted.append(view_fn.inverse_view(noise[0]))
+        reduced = jnp.mean(jnp.stack(inverted), axis=0)
+        return noisy_img - reduced[None], None
+
+    out, _ = jax.lax.scan(step, z, t_pairs)
+    return out
+
+
+def anagram_upscale_phase(model_fns: Sequence[Callable], views: Sequence[BaseView],
+                          z, guidance, timesteps):
+    """Phase 2 (`generate.py:465-494`): skip-residual guided refinement."""
+    anchor = jnp.ones_like(guidance)
+    noise = z
+    t_pairs = jnp.stack([timesteps[:-1], timesteps[1:]], axis=1)
+
+    def step(noisy_img, t_pair):
+        t0, t1 = t_pair[0], t_pair[1]
+        inverted = []
+        for fn, view_fn in zip(model_fns, views):
+            d = -midpoint_delta_extra(fn, t0, t1, noisy_img, guidance, noise, anchor, view_fn)
+            inverted.append(view_fn.inverse_view(d[0]))
+        reduced = jnp.mean(jnp.stack(inverted), axis=0)
+        return noisy_img - reduced[None], None
+
+    out, _ = jax.lax.scan(step, z, t_pairs)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Tiled VAE (`generate.py:26-173`)
+# ---------------------------------------------------------------------------
+
+
+def get_tile_views(height: int, width: int, window_size: int = 128, stride: int = 64):
+    """MultiDiffusion-style window coordinates (`generate.py:26-57`)."""
+    nh = int((height - window_size) / stride - 1e-6) + 2 if height > window_size else 1
+    nw = int((width - window_size) / stride - 1e-6) + 2 if width > window_size else 1
+    views = []
+    for i in range(nh * nw):
+        h_start = (i // nw) * stride
+        h_end = h_start + window_size
+        w_start = (i % nw) * stride
+        w_end = w_start + window_size
+        if h_end > height:
+            h_start, h_end = height - window_size, height
+        if w_end > width:
+            w_start, w_end = width - window_size, width
+        h_start, w_start = max(h_start, 0), max(w_start, 0)
+        views.append((h_start, h_end, w_start, w_end))
+    return views
+
+
+def tiled_apply(fn: Callable, x, window: int, stride: int, scale: int, out_channels: int):
+    """Apply `fn` over overlapping windows, average overlaps.
+
+    `scale` < 1 means the output is smaller (encode, 1/8); > 1 larger
+    (decode, 8x). Window coords are in input space.
+    """
+    b, c, h, w = x.shape
+    views = get_tile_views(h, w, window, stride)
+
+    def o(v):
+        return int(v * scale)
+
+    out = jnp.zeros((b, out_channels, o(h), o(w)), jnp.float32)
+    count = jnp.zeros((1, 1, o(h), o(w)), jnp.float32)
+    for (hs, he, ws, we) in views:
+        patch = fn(x[:, :, hs:he, ws:we]).astype(jnp.float32)
+        out = out.at[:, :, o(hs): o(he), o(ws): o(we)].add(patch)
+        count = count.at[:, :, o(hs): o(he), o(ws): o(we)].add(1.0)
+    return out / count
+
+
+def tiled_encode(encode_fn: Callable, images, window: int = 1024, stride: int = 512):
+    """images (B,3,H,W) -> latents (B,4,H/8,W/8) via overlapped windows
+    (`generate.py:60-117`)."""
+    return tiled_apply(encode_fn, images, window, stride, scale=1 / 8, out_channels=4)
+
+
+def tiled_decode(decode_fn: Callable, latents, window: int = 128, stride: int = 64):
+    """latents (B,4,h,w) -> images (B,3,8h,8w) (`generate.py:120-173`)."""
+    return tiled_apply(decode_fn, latents, window, stride, scale=8, out_channels=3)

@@ -1,0 +1,161 @@
+"""Tests for visual-anagrams views/solvers/tiled VAE and the compositional
+region-attention model."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lumina_t2x_tpu.pipelines.anagrams import (
+    VIEW_MAP,
+    anagram_init_phase,
+    anagram_upscale_phase,
+    get_anagrams_views,
+    get_tile_views,
+    midpoint_delta,
+    tiled_decode,
+    tiled_encode,
+)
+
+
+class TestViews:
+    @pytest.mark.parametrize("name", sorted(VIEW_MAP))
+    def test_invertibility(self, name):
+        view = VIEW_MAP[name]()
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 32, 32))
+        out = view.inverse_view(view.view(x))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-6)
+
+    def test_views_actually_transform(self):
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 32, 32))
+        for name, cls in VIEW_MAP.items():
+            if name == "identity":
+                continue
+            out = cls().view(x)
+            assert not np.allclose(np.asarray(out), np.asarray(x)), name
+
+    def test_factory(self):
+        views = get_anagrams_views(["identity", "rotate_cw"])
+        assert len(views) == 2
+        with pytest.raises(NotImplementedError):
+            get_anagrams_views(["jigsaw"])
+
+
+class TestAnagramSolvers:
+    def test_midpoint_delta_matches_solver_order(self):
+        f = lambda x, t: -x
+        y0 = jnp.ones((2, 3))
+        d = midpoint_delta(f, 0.0, 0.5, y0)
+        # exact: y(0.5) - y(0) = exp(-.5) - 1; midpoint error O(dt^3)
+        np.testing.assert_allclose(float(d[0, 0]), np.exp(-0.5) - 1, atol=2e-2)
+
+    def test_init_phase_identity_view_matches_plain_ode(self):
+        """With a single identity view, phase-1 must equal a plain midpoint
+        integration."""
+        from lumina_t2x_tpu.transport.solvers import odeint_fixed
+
+        drift = lambda x, t: -x  # t is (B,)
+        fn = lambda x, t: drift(x, t)
+        z = jnp.ones((2, 4, 8, 8))
+        ts = jnp.linspace(0.0, 1.0, 9)
+        out = anagram_init_phase([fn], [VIEW_MAP["identity"]()], z, ts)
+        ref = odeint_fixed(lambda x, t: -x, z, ts, method="midpoint")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_init_phase_two_views_runs(self):
+        fn = lambda x, t: -x
+        views = get_anagrams_views(["identity", "rotate_180"])
+        z = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 8, 8))
+        out = anagram_init_phase([fn, fn], views, z, jnp.linspace(0, 1, 5))
+        assert out.shape == z.shape and np.all(np.isfinite(np.asarray(out)))
+
+    def test_upscale_phase_runs(self):
+        fn = lambda x, t: -x
+        views = get_anagrams_views(["identity"])
+        z = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 8, 8))
+        guidance = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 8, 8))
+        out = anagram_upscale_phase([fn], views, z, guidance, jnp.linspace(0, 1, 5))
+        assert out.shape == z.shape and np.all(np.isfinite(np.asarray(out)))
+
+
+class TestTiledVAE:
+    def test_tile_views_cover(self):
+        views = get_tile_views(256, 1024, window_size=128, stride=64)
+        cover = np.zeros((256, 1024))
+        for hs, he, ws, we in views:
+            cover[hs:he, ws:we] += 1
+        assert (cover > 0).all()
+
+    def test_tiled_identity_encode_decode(self):
+        """With fn = average-pool/upsample stand-ins, tiling + overlap
+        averaging must reproduce the global op."""
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 3, 64, 128))
+
+        def fake_encode(patch):  # 8x downsample, 4 channels
+            b, c, h, w = patch.shape
+            pooled = patch.reshape(b, c, h // 8, 8, w // 8, 8).mean((3, 5))
+            return jnp.concatenate([pooled, pooled[:, :1]], axis=1)
+
+        lat = tiled_encode(fake_encode, x, window=32, stride=16)
+        ref = fake_encode(x)
+        np.testing.assert_allclose(np.asarray(lat), np.asarray(ref), atol=1e-5)
+
+    def test_tiled_decode_shape(self):
+        z = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 16, 64))
+
+        def fake_decode(patch):
+            b, c, h, w = patch.shape
+            up = jnp.repeat(jnp.repeat(patch[:, :3], 8, axis=2), 8, axis=3)
+            return up
+
+        img = tiled_decode(fake_decode, z, window=8, stride=4)
+        assert img.shape == (1, 3, 128, 512)
+
+
+class TestCompositional:
+    def _model(self):
+        from lumina_t2x_tpu.models.compositional import NextDiTCompositional
+
+        return NextDiTCompositional(dim=64, n_layers=2, n_heads=4, multiple_of=16,
+                                    cap_feat_dim=32, attn_impl="xla")
+
+    def _inputs(self, num_regions=4):
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 16, 16))
+        t = jnp.full((2,), 0.5)
+        num_y = num_regions + 1  # region captions + negative
+        cap = jax.random.normal(jax.random.PRNGKey(1), (num_y, 7, 32))
+        mask = jnp.ones((num_y, 7), jnp.int32)
+        gcap = jax.random.normal(jax.random.PRNGKey(2), (2, 7, 32))
+        gmask = jnp.ones((2, 7), jnp.int32)
+        return x, t, cap, mask, gcap, gmask
+
+    def test_forward_shapes(self):
+        model = self._model()
+        x, t, cap, mask, gcap, gmask = self._inputs()
+        params = model.init(jax.random.PRNGKey(0), x, t, cap, mask, gcap, gmask,
+                            h_split_num=2, w_split_num=2)
+        out = model.apply(params, x, t, cap, mask, gcap, gmask, h_split_num=2, w_split_num=2)
+        assert out.shape == x.shape
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_region_mask_layout(self):
+        from lumina_t2x_tpu.models.compositional import build_region_mask
+
+        m = np.asarray(build_region_mask(5, 8, 8, 2, 2)).reshape(5, 8, 8)
+        # last region attends everywhere (`model.py:884`)
+        assert m[-1].all()
+        # region 0 = top-left quadrant
+        assert m[0][:4, :4].all() and not m[0][4:, :].any()
+        # quirky region_id formula: (h+1)*(w+1)-1 -> region 3 = bottom-right
+        assert m[3][4:, 4:].all()
+
+    def test_cfg_wrapper(self):
+        from lumina_t2x_tpu.models.compositional import forward_with_cfg
+
+        model = self._model()
+        x, t, cap, mask, gcap, gmask = self._inputs()
+        params = model.init(jax.random.PRNGKey(0), x, t, cap, mask, gcap, gmask)
+        out = forward_with_cfg(model, params, x, t, cap, mask, cfg_scale=4.0,
+                               global_cap_feats=gcap, global_cap_mask=gmask,
+                               h_split_num=2, w_split_num=2)
+        assert out.shape == x.shape
