@@ -1,0 +1,174 @@
+"""1-D mel-spectrogram VAE for audio / music latents.
+
+TPU-native re-design of `lumina_music/models/autoencoder1d.py:23-871` (the
+"Make-An-Audio 2" KL autoencoder, duplicated in lumina_audio): treats the
+80-bin mel spectrogram as channels over time (B, mel_bins, T) and compresses
+to (B, z_channels, T / 2^(levels-1)):
+
+- ResnetBlock1D: GroupNorm-32 / SiLU / Conv1d(k, pad k//2) pairs with 1x1 or
+  k-sized shortcut (`autoencoder1d.py:202-251`);
+- AttnBlock1D: single-head temporal attention at the bottleneck
+  (`autoencoder1d.py:254-286`);
+- Downsample1D: stride-2 conv with (0,1) asymmetric pad; Upsample1D:
+  nearest-2x + conv (`autoencoder1d.py:289-318`);
+- double_z moments + quant/post-quant 1x1 convs (`autoencoder1d.py:39-41`).
+
+A VQ variant (`VQModel`) exists in the reference; the KL model is what the
+shipped audio/music checkpoints use.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .vae import DiagonalGaussian
+
+
+class ResnetBlock1D(nn.Module):
+    out_ch: int
+    kernel_size: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (B, T, C)
+        k = self.kernel_size
+        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="norm1")(x)
+        h = nn.Conv(self.out_ch, (k,), padding=k // 2, dtype=self.dtype, name="conv1")(nn.silu(h))
+        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="norm2")(h)
+        h = nn.Conv(self.out_ch, (k,), padding=k // 2, dtype=self.dtype, name="conv2")(nn.silu(h))
+        if x.shape[-1] != self.out_ch:
+            x = nn.Conv(self.out_ch, (1,), dtype=self.dtype, name="nin_shortcut")(x)
+        return x + h
+
+
+class AttnBlock1D(nn.Module):
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (B, T, C)
+        b, t, c = x.shape
+        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="norm")(x)
+        q = nn.Conv(c, (1,), dtype=self.dtype, name="q")(h)
+        k = nn.Conv(c, (1,), dtype=self.dtype, name="k")(h)
+        v = nn.Conv(c, (1,), dtype=self.dtype, name="v")(h)
+        attn = jax.nn.softmax(
+            jnp.einsum("btc,bsc->bts", q, k, preferred_element_type=jnp.float32)
+            / jnp.sqrt(c).astype(jnp.float32),
+            axis=-1,
+        )
+        out = jnp.einsum("bts,bsc->btc", attn.astype(v.dtype), v)
+        return x + nn.Conv(c, (1,), dtype=self.dtype, name="proj_out")(out)
+
+
+class Downsample1D(nn.Module):
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = jnp.pad(x, ((0, 0), (0, 1), (0, 0)))
+        return nn.Conv(x.shape[-1], (3,), strides=2, padding="VALID", dtype=self.dtype,
+                       name="conv")(x)
+
+
+class Upsample1D(nn.Module):
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, t, c = x.shape
+        x = jnp.repeat(x, 2, axis=1)
+        return nn.Conv(c, (3,), padding=1, dtype=self.dtype, name="conv")(x)
+
+
+class Encoder1D(nn.Module):
+    ch: int = 128
+    ch_mult: Sequence[int] = (1, 2, 4)
+    num_res_blocks: int = 2
+    z_channels: int = 20
+    double_z: bool = True
+    use_mid_attn: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (B, T, mel)
+        h = nn.Conv(self.ch, (3,), padding=1, dtype=self.dtype, name="conv_in")(x)
+        for i, mult in enumerate(self.ch_mult):
+            for j in range(self.num_res_blocks):
+                h = ResnetBlock1D(self.ch * mult, dtype=self.dtype, name=f"down_{i}_block_{j}")(h)
+            if i != len(self.ch_mult) - 1:
+                h = Downsample1D(dtype=self.dtype, name=f"down_{i}_downsample")(h)
+        h = ResnetBlock1D(h.shape[-1], dtype=self.dtype, name="mid_block_1")(h)
+        if self.use_mid_attn:
+            h = AttnBlock1D(dtype=self.dtype, name="mid_attn_1")(h)
+        h = ResnetBlock1D(h.shape[-1], dtype=self.dtype, name="mid_block_2")(h)
+        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="norm_out")(h)
+        out_c = 2 * self.z_channels if self.double_z else self.z_channels
+        return nn.Conv(out_c, (3,), padding=1, dtype=self.dtype, name="conv_out")(nn.silu(h))
+
+
+class Decoder1D(nn.Module):
+    ch: int = 128
+    ch_mult: Sequence[int] = (1, 2, 4)
+    num_res_blocks: int = 2
+    out_channels: int = 80
+    use_mid_attn: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z):  # (B, t, z)
+        block_in = self.ch * self.ch_mult[-1]
+        h = nn.Conv(block_in, (3,), padding=1, dtype=self.dtype, name="conv_in")(z)
+        h = ResnetBlock1D(block_in, dtype=self.dtype, name="mid_block_1")(h)
+        if self.use_mid_attn:
+            h = AttnBlock1D(dtype=self.dtype, name="mid_attn_1")(h)
+        h = ResnetBlock1D(block_in, dtype=self.dtype, name="mid_block_2")(h)
+        for i, mult in reversed(list(enumerate(self.ch_mult))):
+            for j in range(self.num_res_blocks + 1):
+                h = ResnetBlock1D(self.ch * mult, dtype=self.dtype, name=f"up_{i}_block_{j}")(h)
+            if i != 0:
+                h = Upsample1D(dtype=self.dtype, name=f"up_{i}_upsample")(h)
+        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="norm_out")(h)
+        return nn.Conv(self.out_channels, (3,), padding=1, dtype=self.dtype,
+                       name="conv_out")(nn.silu(h))
+
+
+class AutoencoderKL1D(nn.Module):
+    """(B, mel_bins, T) <-> (B, embed_dim, T / 2^(levels-1))."""
+
+    mel_bins: int = 80
+    embed_dim: int = 20
+    ch: int = 128
+    ch_mult: Sequence[int] = (1, 2, 4)
+    num_res_blocks: int = 2
+    z_channels: int = 20
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.encoder = Encoder1D(self.ch, self.ch_mult, self.num_res_blocks,
+                                 self.z_channels, True, dtype=self.dtype)
+        self.decoder = Decoder1D(self.ch, self.ch_mult, self.num_res_blocks,
+                                 self.mel_bins, dtype=self.dtype)
+        self.quant_conv = nn.Conv(2 * self.embed_dim, (1,), dtype=self.dtype,
+                                  name="quant_conv")
+        self.post_quant_conv = nn.Conv(self.z_channels, (1,), dtype=self.dtype,
+                                       name="post_quant_conv")
+
+    def encode_moments(self, x):
+        """x: (B, mel, T) -> (B, 2*embed, t)."""
+        h = self.encoder(x.transpose(0, 2, 1))
+        return self.quant_conv(h).transpose(0, 2, 1)
+
+    def decode(self, z):
+        """z: (B, embed, t) -> (B, mel, T)."""
+        h = self.post_quant_conv(z.transpose(0, 2, 1))
+        return self.decoder(h).transpose(0, 2, 1)
+
+    def __call__(self, x, rng):
+        moments = self.encode_moments(x)
+        posterior = DiagonalGaussian(moments, axis=1)
+        z = posterior.sample(rng)
+        return self.decode(z), posterior
