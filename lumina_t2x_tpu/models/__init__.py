@@ -17,6 +17,11 @@ from .next_dit import (
     NextDiT_2B_patch2,
     NextDiT_600M_patch2,
 )
+from .compositional import (
+    NextDiTCompositional,
+    NextDiT_2B_patch2_Compositional,
+)
+from .flag_dit_1d import FlagDiT1D
 from .moe import (
     NextDiTMoE,
     NextDiT_MoE_600M_patch2_Both,
@@ -49,6 +54,15 @@ MODELS = {
     "NextDiT_MoE_600M_patch2_Time": NextDiT_MoE_600M_patch2_Time,
     "NextDiT_MoE_600M_patch2_Spatial": NextDiT_MoE_600M_patch2_Spatial,
     "NextDiT_MoE_600M_patch2_Both": NextDiT_MoE_600M_patch2_Both,
+    # region-controlled compositional generation
+    "NextDiT_2B_patch2_Compositional": NextDiT_2B_patch2_Compositional,
+    # 1-D temporal denoisers (audio/music)
+    "FlagDiT1D_audio": lambda **kw: FlagDiT1D(
+        **{**dict(in_channels=20, context_dim=1024), **kw}
+    ),
+    "FlagDiT1D_music": lambda **kw: FlagDiT1D(
+        **{**dict(in_channels=20, context_dim=1024), **kw}
+    ),
 }
 
 

@@ -1,0 +1,221 @@
+"""Interactive demo serving.
+
+Counterpart of the reference Gradio demo (`lumina_next_t2i/demo.py:61-561`).
+Architecture differences are deliberate TPU idioms:
+
+- the reference spawns one NCCL worker subprocess per GPU with
+  request/response mp.Queues and an mp.Barrier (`demo.py:337-351`); on TPU a
+  single process drives all chips through GSPMD, so the worker is an
+  in-process object with a jitted-sampler cache keyed on the static knobs
+  (resolution / steps / solver / t-shift / CFG);
+- exceptions surface as a `ModelFailure` sentinel exactly like the
+  reference's worker loop (`demo.py:23,246-248`);
+- Gradio is optional in this environment — the UI layer is import-gated and
+  the worker is fully usable headless (that is also what the tests drive).
+
+UI controls mirror `demo.py:361-552`: caption + negative caption, resolution
+dropdown incl. extrapolation modes, sampling steps (<=70, default 30),
+solver {euler, midpoint, rk4}, t-shift 1-20 (default 4), CFG scale 1-20
+(default 4), seed, RoPE scaling method {Time-aware, None}, scaling
+watershed, proportional attention.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+import traceback
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class ModelFailure:
+    """Failure sentinel (`demo.py:23`)."""
+
+    def __init__(self, error: str = ""):
+        self.error = error
+
+
+RESOLUTION_CHOICES = [
+    "1024x1024", "512x2048", "2048x512", "(Extrapolation) 1664x1664",
+    "(Extrapolation) 1024x2048", "(Extrapolation) 2048x1024",
+]
+
+
+@dataclass
+class InferenceRequest:
+    cap: str
+    neg_cap: str = ""
+    resolution: str = "1024x1024"
+    num_sampling_steps: int = 30
+    cfg_scale: float = 4.0
+    solver: str = "midpoint"
+    t_shift: float = 4.0
+    seed: int = 0
+    scaling_method: str = "Time-aware"
+    scaling_watershed: float = 0.3
+    proportional_attn: bool = True
+
+
+class InferenceWorker:
+    """Loads the model once; compiles one sampler per static-knob bucket."""
+
+    def __init__(self, model, variables, *, text_encode_fn=None, vae_decode_fn=None,
+                 train_res: int = 1024, cap_feat_dim: int = 2048):
+        self.model = model
+        self.variables = variables
+        self.text_encode_fn = text_encode_fn
+        self.vae_decode_fn = vae_decode_fn
+        self.train_res = train_res
+        self.cap_feat_dim = cap_feat_dim
+        self._sampler_cache: Dict[Tuple, callable] = {}
+
+    def _resolution(self, s: str) -> Tuple[int, int]:
+        s = s.split(")")[-1].strip()
+        w, h = s.lower().split("x")
+        return int(w), int(h)
+
+    def _get_sampler(self, req: InferenceRequest):
+        from .sample_lib import build_t2i_sample_fn
+
+        w, h = self._resolution(req.resolution)
+        key = (w, h, req.num_sampling_steps, req.solver, req.cfg_scale, req.t_shift,
+               req.scaling_method, req.scaling_watershed, req.proportional_attn)
+        if key not in self._sampler_cache:
+            do_timeaware = req.scaling_method == "Time-aware"
+            fn = build_t2i_sample_fn(
+                self.model, width=w, height=h, num_steps=req.num_sampling_steps,
+                solver=req.solver, cfg_scale=req.cfg_scale,
+                time_shifting_factor=req.t_shift, train_res=self.train_res,
+                scale_watershed=req.scaling_watershed if do_timeaware else 1.0,
+                proportional_attn=req.proportional_attn,
+            )
+            self._sampler_cache[key] = jax.jit(fn)
+        return self._sampler_cache[key]
+
+    def _encode_captions(self, cap: str, neg_cap: str):
+        if self.text_encode_fn is not None:
+            return self.text_encode_fn([cap, neg_cap or ""])
+        # headless fallback: deterministic hashed pseudo-features
+        ly = 32
+        feats = np.stack([
+            np.random.default_rng(abs(hash(c)) % (2**31)).standard_normal(
+                (ly, self.cap_feat_dim)).astype(np.float32)
+            for c in (cap, neg_cap or "")
+        ])
+        return jnp.asarray(feats), jnp.ones((2, ly), jnp.int32)
+
+    def infer(self, req: InferenceRequest):
+        """Returns dict(latents=..., image=..., metadata=...) or ModelFailure."""
+        try:
+            t0 = time.time()
+            cap_feats, cap_mask = self._encode_captions(req.cap, req.neg_cap)
+            sampler = self._get_sampler(req)
+            rng = jax.random.PRNGKey(req.seed)
+            latents = sampler(self.variables, rng, cap_feats, cap_mask)
+            jax.block_until_ready(latents)
+            out = {"latents": np.asarray(latents), "metadata": {
+                **req.__dict__, "elapsed_s": round(time.time() - t0, 3)
+            }}
+            # request metadata log (`demo.py:153-166`)
+            print(json.dumps(out["metadata"]))
+            if self.vae_decode_fn is not None:
+                img = np.asarray(self.vae_decode_fn(latents))
+                out["image"] = np.clip((img + 1) / 2 * 255, 0, 255).astype(np.uint8)
+            return out
+        except Exception:
+            return ModelFailure(traceback.format_exc())
+
+
+def build_gradio_ui(worker: InferenceWorker):
+    """Gradio Blocks UI (`demo.py:361-552`); raises ImportError without
+    gradio."""
+    import gradio as gr
+
+    def on_submit(cap, neg_cap, resolution, steps, cfg, solver, t_shift, seed,
+                  scaling_method, watershed, prop_attn):
+        req = InferenceRequest(
+            cap=cap, neg_cap=neg_cap, resolution=resolution,
+            num_sampling_steps=int(steps), cfg_scale=float(cfg), solver=solver,
+            t_shift=float(t_shift), seed=int(seed), scaling_method=scaling_method,
+            scaling_watershed=float(watershed), proportional_attn=bool(prop_attn),
+        )
+        result = worker.infer(req)
+        if isinstance(result, ModelFailure):
+            raise gr.Error(f"generation failed:\n{result.error}")
+        if "image" in result:
+            return result["image"][0].transpose(1, 2, 0)
+        lat = result["latents"][0, :3]
+        lat = (lat - lat.min()) / (lat.ptp() + 1e-6)
+        return (lat.transpose(1, 2, 0) * 255).astype(np.uint8)
+
+    with gr.Blocks() as demo:
+        gr.Markdown("# Lumina-Next T2I (TPU)")
+        with gr.Row():
+            with gr.Column():
+                cap = gr.Textbox(label="Caption")
+                neg_cap = gr.Textbox(label="Negative Caption", value="")
+                resolution = gr.Dropdown(RESOLUTION_CHOICES, value="1024x1024",
+                                         label="Resolution")
+                steps = gr.Slider(1, 70, value=30, step=1, label="Sampling steps")
+                solver = gr.Dropdown(["euler", "midpoint", "rk4"], value="midpoint",
+                                     label="Solver")
+                t_shift = gr.Slider(1, 20, value=4, step=1, label="Time shifting factor")
+                cfg = gr.Slider(1.0, 20.0, value=4.0, label="CFG scale")
+                seed = gr.Number(value=0, label="Seed", precision=0)
+                scaling_method = gr.Dropdown(["Time-aware", "None"], value="Time-aware",
+                                             label="RoPE scaling method")
+                watershed = gr.Number(value=0.3, label="Scaling watershed")
+                prop_attn = gr.Checkbox(value=True, label="Proportional attention")
+                submit = gr.Button("Generate")
+            with gr.Column():
+                output = gr.Image(label="Result")
+        submit.click(on_submit,
+                     [cap, neg_cap, resolution, steps, cfg, solver, t_shift, seed,
+                      scaling_method, watershed, prop_attn],
+                     [output])
+    return demo
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="lumina-t2x-tpu demo server")
+    p.add_argument("--ckpt", type=str, default=None)
+    p.add_argument("--model", type=str, default="NextDiT_2B_patch2")
+    p.add_argument("--precision", choices=["fp32", "bf16"], default="bf16")
+    p.add_argument("--port", type=int, default=7860)
+    p.add_argument("--debug", action="store_true")
+    args = p.parse_args(argv)
+
+    from ..models import get_model
+
+    dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
+    model = get_model(args.model, cap_feat_dim=2048, dtype=dtype, qk_norm=True)
+    rng = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((2, 4, 32, 32))
+    cap = jnp.zeros((2, 8, 2048))
+    variables = jax.jit(model.init)(rng, x0, jnp.zeros((2,)), cap, jnp.ones((2, 8), jnp.int32))
+    if args.ckpt and not args.debug:
+        import os
+
+        import orbax.checkpoint as ocp
+
+        variables = {"params": ocp.StandardCheckpointer().restore(
+            os.path.join(os.path.abspath(args.ckpt), "ema"), variables["params"]
+        )}
+    worker = InferenceWorker(model, variables)
+    try:
+        ui = build_gradio_ui(worker)
+    except ImportError:
+        print("gradio is not installed in this environment; the InferenceWorker "
+              "API remains available programmatically.")
+        return worker
+    ui.launch(server_port=args.port)
+
+
+if __name__ == "__main__":
+    main()

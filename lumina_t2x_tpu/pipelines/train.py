@@ -80,6 +80,11 @@ def parse_args(argv=None):
     p.add_argument("--init_from", type=str, default=None)
     p.add_argument("--vae", type=str, choices=["ema", "mse", "sdxl", "sd3"], default="ema")
     p.add_argument("--vae_ckpt", type=str, default=None, help="diffusers-format VAE weights")
+    p.add_argument("--text_encoder", type=str, default=None,
+                   help="HF path of the caption LM (Gemma-2B); omit for synthetic features")
+    p.add_argument("--cap_feat_dim", type=int, default=2048)
+    p.add_argument("--max_caption_len", type=int, default=256)
+    p.add_argument("--cache_data_on_disk", action="store_true")
     p.add_argument("--global_seed", type=int, default=0)
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--log_every", type=int, default=100)
@@ -87,14 +92,18 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def synthetic_batches(args, latent_hw: int, num_classes: int = 1000) -> Iterator[Dict]:
+def synthetic_batches(args, latent_hw: int, class_cond: bool = True,
+                      num_classes: int = 1000) -> Iterator[Dict]:
     rng = np.random.default_rng(args.global_seed)
     b = args.global_batch_size
     while True:
-        yield {
-            "x": rng.standard_normal((b, 4, latent_hw, latent_hw), np.float32),
-            "y": rng.integers(0, num_classes, (b,)).astype(np.int32),
-        }
+        batch = {"x": rng.standard_normal((b, 4, latent_hw, latent_hw), np.float32)}
+        if class_cond:
+            batch["y"] = rng.integers(0, num_classes, (b,)).astype(np.int32)
+        else:
+            batch["cap_feats"] = rng.standard_normal((b, 32, args.cap_feat_dim), np.float32)
+            batch["cap_mask"] = np.ones((b, 32), np.int32)
+        yield batch
 
 
 def imagenet_batches(args) -> Iterator[Dict]:
@@ -126,6 +135,57 @@ def imagenet_batches(args) -> Iterator[Dict]:
                 buf = []
 
 
+def t2i_batches(args, text_encoder=None):
+    """YAML meta-dataset pipeline: bucketed (image, caption) batches
+    (`lumina_next_t2i/train.py:478-520`). Every yielded batch shares one
+    static (H, W) bucket; caption features come from the frozen LM (or
+    deterministic hashed pseudo-features when no encoder is available)."""
+    from ..data.dataset import MetaDataset, T2IItemProcessor, resumable_sampler_indices
+    from ..data.imgproc import generate_crop_size_list, to_latent_input, var_center_crop
+    from ..data.loader import bucket_batched, threaded_prefetch
+
+    num_patches = (args.image_size // 16) ** 2
+    crop_size_list = generate_crop_size_list(num_patches, 16)
+
+    def transform(img):
+        return var_center_crop(img, crop_size_list)
+
+    dataset = MetaDataset(args.data_path, T2IItemProcessor(transform),
+                          cache_on_disk=args.cache_data_on_disk, rank=jax.process_index())
+    indices = resumable_sampler_indices(
+        len(dataset), args.global_batch_size, rank=jax.process_index(),
+        world_size=jax.process_count(), seed=args.global_seed,
+    )
+
+    def fetch(idx):
+        img, caption = dataset[idx]
+        arr = to_latent_input(img)
+        return (arr.shape[2], arr.shape[1]), (arr, caption)
+
+    stream = threaded_prefetch(indices, fetch, num_workers=args.num_workers)
+
+    def collate(items):
+        xs = np.stack([a for a, _ in items])
+        captions = [c for _, c in items]
+        if text_encoder is not None:
+            cap_feats, cap_mask = text_encoder.encode(
+                captions, proportion_empty_prompts=args.caption_dropout_prob
+            )
+            cap_feats, cap_mask = np.asarray(cap_feats), np.asarray(cap_mask)
+        else:
+            # deterministic hashed pseudo-features: smoke/perf mode
+            ly = 32
+            rngs = [np.random.default_rng(abs(hash(c)) % (2**31)) for c in captions]
+            cap_feats = np.stack(
+                [r.standard_normal((ly, args.cap_feat_dim)).astype(np.float32) for r in rngs]
+            )
+            cap_mask = np.ones((len(captions), ly), np.int32)
+        return {"x": xs, "cap_feats": cap_feats, "cap_mask": cap_mask}
+
+    for _, batch in bucket_batched(stream, args.global_batch_size, collate):
+        yield batch
+
+
 def main(argv=None):
     args = parse_args(argv)
     distributed_init()
@@ -149,24 +209,34 @@ def main(argv=None):
     is_class_cond = "ImageNet" in args.model or "MoE" in args.model
     latent_hw = args.image_size // 8
 
-    model_kwargs = dict(qk_norm=args.qk_norm, dtype=dtype, remat=args.checkpointing)
-    if is_class_cond:
-        model_kwargs["class_dropout_prob"] = args.class_dropout_prob
-    model = get_model(args.model, **model_kwargs)
-
     # -- data ----------------------------------------------------------------
     if args.data_path.startswith("synthetic://"):
         hw = args.data_path[len("synthetic://"):]
         latent_hw = int(hw.split("x")[0]) if hw else latent_hw
-        batches = synthetic_batches(args, latent_hw)
+        batches = synthetic_batches(args, latent_hw, class_cond=is_class_cond)
         encode_images = False
     elif os.path.isdir(args.data_path):
         batches = imagenet_batches(args)
         encode_images = True
+    else:  # yaml meta-dataset -> t2i training
+        text_encoder = None
+        if args.text_encoder:
+            from ..codecs.text_encoders import DecoderTextEncoder
+
+            text_encoder = DecoderTextEncoder.from_pretrained(
+                args.text_encoder, dtype=dtype, max_length=args.max_caption_len
+            )
+            args.cap_feat_dim = text_encoder.hidden_size
+        batches = t2i_batches(args, text_encoder)
+        encode_images = True
+
+    # -- model (after data: the text encoder may set cap_feat_dim) -----------
+    model_kwargs = dict(qk_norm=args.qk_norm, dtype=dtype, remat=args.checkpointing)
+    if is_class_cond:
+        model_kwargs["class_dropout_prob"] = args.class_dropout_prob
     else:
-        raise NotImplementedError(
-            "t2i yaml training requires text-encoder weights; see pipelines/train_t2i.py"
-        )
+        model_kwargs["cap_feat_dim"] = args.cap_feat_dim
+    model = get_model(args.model, **model_kwargs)
 
     vae = vae_variables = None
     if encode_images:

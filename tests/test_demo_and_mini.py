@@ -1,0 +1,146 @@
+"""Tests for the demo InferenceWorker, the mini/SD3 transport, and t2i
+yaml training."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from lumina_t2x_tpu.models.next_dit import NextDiT
+from lumina_t2x_tpu.pipelines.demo import InferenceRequest, InferenceWorker, ModelFailure
+from lumina_t2x_tpu.transport.mini import MiniODE, training_losses_mini
+
+
+def tiny_t2i(**kw):
+    kw.setdefault("dim", 32)
+    kw.setdefault("n_layers", 2)
+    kw.setdefault("n_heads", 4)
+    kw.setdefault("multiple_of", 16)
+    kw.setdefault("cap_feat_dim", 16)
+    kw.setdefault("attn_impl", "xla")
+    return NextDiT(**kw)
+
+
+class TestInferenceWorker:
+    def _worker(self):
+        model = tiny_t2i()
+        x0 = jnp.zeros((2, 4, 8, 8))
+        cap = jnp.zeros((2, 8, 16))
+        variables = model.init(jax.random.PRNGKey(0), x0, jnp.zeros((2,)), cap,
+                               jnp.ones((2, 8), jnp.int32))
+        return InferenceWorker(model, variables, train_res=64, cap_feat_dim=16)
+
+    def test_infer_headless(self):
+        worker = self._worker()
+        req = InferenceRequest(cap="a cat", resolution="64x64", num_sampling_steps=3,
+                               solver="euler", scaling_method="None",
+                               proportional_attn=False)
+        out = worker.infer(req)
+        assert not isinstance(out, ModelFailure)
+        assert out["latents"].shape == (1, 4, 8, 8)
+        assert out["metadata"]["cap"] == "a cat"
+
+    def test_sampler_cache(self):
+        worker = self._worker()
+        req = InferenceRequest(cap="x", resolution="64x64", num_sampling_steps=3,
+                               solver="euler", scaling_method="None",
+                               proportional_attn=False)
+        worker.infer(req)
+        assert len(worker._sampler_cache) == 1
+        worker.infer(req)
+        assert len(worker._sampler_cache) == 1  # same knobs -> cached program
+        req2 = InferenceRequest(cap="x", resolution="64x64", num_sampling_steps=4,
+                                solver="euler", scaling_method="None",
+                                proportional_attn=False)
+        worker.infer(req2)
+        assert len(worker._sampler_cache) == 2
+
+    def test_failure_sentinel(self):
+        worker = self._worker()
+        req = InferenceRequest(cap="x", resolution="not-a-res")
+        out = worker.infer(req)
+        assert isinstance(out, ModelFailure)
+        assert out.error
+
+
+class TestMiniTransport:
+    def test_training_losses(self):
+        x1 = jax.random.normal(jax.random.PRNGKey(0), (4, 4, 8, 8))
+        out = training_losses_mini(jax.random.PRNGKey(1), lambda x, t: jnp.zeros_like(x), x1)
+        assert out["loss"].shape == (4,)
+        assert abs(float(out["loss"].mean()) - 2.0) < 0.5
+
+    def test_lumina_mode_forward_time(self):
+        ode = MiniODE(num_steps=50, sampler_type="euler")
+        out = ode.sample(jnp.ones((2, 3)), lambda x, t: -x)
+        np.testing.assert_allclose(np.asarray(out), np.exp(-1.0), atol=3e-2)
+
+    def test_sd3_mode_reversed_time_and_cfg(self):
+        """SD3 mode: t runs 1 -> 0, model receives t*1000, CFG folded in."""
+        ode = MiniODE(num_steps=3, use_sd3=True)
+        # schedule reversed: 1 -> 0
+        np.testing.assert_allclose(np.asarray(ode.t), [1.0, 0.5, 0.0], atol=1e-6)
+
+        def model_fn(x, t):
+            # velocity depends on the scaled time: cond rows t/1000, uncond 0
+            b = x.shape[0] // 2
+            v = (t / 1000.0)[:, None] * jnp.ones_like(x)
+            return v.at[:b].set(0.0)  # uncond half first
+
+        x = jnp.zeros((2, 2))
+        out = ode.sample(x, model_fn, cfg_scale=2.0)
+        # euler over [1, .5, 0]: dx = -0.5*2*1 + -0.5*2*0.5 = -1.5
+        # (nonzero only if the model saw t*1000 ~ O(1000), else ~0)
+        np.testing.assert_allclose(np.asarray(out), -1.5, atol=1e-5)
+
+    def test_sd3_shift_formula(self):
+        ode = MiniODE(num_steps=5, use_sd3=True, time_shifting_factor=3.0)
+        t = np.asarray(ode.t)
+        ref = np.linspace(1, 0, 5)
+        ref = 3 * ref / (1 + 2 * ref)
+        np.testing.assert_allclose(t, ref, atol=1e-6)
+
+    def test_strength_truncation(self):
+        ode = MiniODE(num_steps=10, strength=0.6)
+        assert len(ode.t) == 6  # drops first 40%
+        np.testing.assert_allclose(float(ode.t[0]), 0.4444444, atol=1e-4)
+
+
+class TestT2IYamlTraining:
+    def test_t2i_train_runs(self, tmp_path):
+        # build a tiny yaml dataset of real image files
+        imgdir = tmp_path / "imgs"
+        imgdir.mkdir()
+        ann = []
+        for i in range(8):
+            p = imgdir / f"{i}.png"
+            Image.new("RGB", (64, 48), (i * 30 % 255, 10, 10)).save(p)
+            ann.append({"path": str(p), "prompt": f"image number {i}"})
+        annfile = tmp_path / "ann.json"
+        annfile.write_text(json.dumps(ann))
+        cfg = tmp_path / "data.yaml"
+        cfg.write_text(json.dumps({"META": [{"path": str(annfile)}]}))
+
+        from lumina_t2x_tpu import models as m
+        from lumina_t2x_tpu.pipelines.train import main
+
+        m.MODELS["NextDiT_2B_patch2"] = lambda **kw: NextDiT(
+            **{**dict(dim=32, n_layers=2, n_heads=4, multiple_of=16),
+               **{k: v for k, v in kw.items() if k != "remat"}}
+        )
+        state = main([
+            "--model", "NextDiT_2B_patch2",
+            "--data_path", str(cfg),
+            "--results_dir", str(tmp_path / "results"),
+            "--image_size", "256",
+            "--global_batch_size", "8",
+            "--max_steps", "2",
+            "--log_every", "1",
+            "--ckpt_every", "2",
+            "--precision", "fp32",
+            "--cap_feat_dim", "16",
+        ])
+        assert int(state.step) == 2
