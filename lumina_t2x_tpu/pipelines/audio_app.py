@@ -1,0 +1,152 @@
+"""Audio / music demo + generation apps.
+
+Counterparts of `lumina_music/demo_music.py:40-392` and
+`lumina_audio/demo_audio.py`: OmegaConf-style target-string model factory,
+`GenSamples`-style generation (CFM sample -> 1-D VAE decode -> BigVGAN
+vocoder -> wav), and the structured-caption (n2s) utility for audio
+conditioning (`lumina_audio/n2s_openai.py:12-40` — an external GPT-3.5 call
+in the reference; here both a pluggable LLM hook and a deterministic
+rule-based fallback, since this environment has no network egress).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import re
+import wave
+from typing import Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+N2S_PROMPT_FORMAT = (
+    "<event& time>@<event& time>@..."
+    " where time is one of: all, start, mid, end"
+)
+
+
+def natural_to_structured(caption: str, llm_fn: Optional[Callable[[str], str]] = None) -> str:
+    """Natural caption -> `<event& time>@...` structured caption.
+
+    The reference calls GPT-3.5 (`n2s_openai.py:12-40`); pass `llm_fn` to use
+    any LLM endpoint. The fallback splits on temporal conjunctions and
+    assigns coarse time tags deterministically.
+    """
+    if llm_fn is not None:
+        return llm_fn(caption)
+    parts = re.split(r"\bfollowed by\b|\bthen\b|\bafter\b|,", caption.lower())
+    parts = [p.strip(" .") for p in parts if p.strip(" .")]
+    if not parts:
+        return f"<{caption}& all>"
+    if len(parts) == 1:
+        return f"<{parts[0]}& all>"
+    tags = ["start"] + ["mid"] * (len(parts) - 2) + ["end"]
+    return "@".join(f"<{p}& {t}>" for p, t in zip(parts, tags))
+
+
+class GenSamples:
+    """Generation harness (`demo_music.py` GenSamples): text features ->
+    CFM latents -> mel -> waveform."""
+
+    def __init__(self, denoiser_fn, vae_decode_fn, vocoder_fn=None, *,
+                 latent_channels: int = 20, latent_length: int = 256,
+                 guidance_scale: float = 3.0, num_steps: int = 25):
+        self.denoiser_fn = denoiser_fn
+        self.vae_decode_fn = vae_decode_fn
+        self.vocoder_fn = vocoder_fn
+        self.latent_shape = (1, latent_channels, latent_length)
+        self.guidance_scale = guidance_scale
+        self.num_steps = num_steps
+
+    def gen_test_sample(self, rng, cond, uncond):
+        from .audio import generate_audio
+
+        mel, wav = generate_audio(
+            rng, self.denoiser_fn, self.vae_decode_fn, self.vocoder_fn,
+            cond=cond, uncond=uncond, latent_shape=self.latent_shape,
+            guidance_scale=self.guidance_scale, num_steps=self.num_steps,
+        )
+        return np.asarray(mel), (np.asarray(wav) if wav is not None else None)
+
+
+def save_wav(waveform: np.ndarray, path: str, sample_rate: int = 16000):
+    """Write mono 16-bit PCM."""
+    wav16 = np.clip(waveform, -1.0, 1.0)
+    wav16 = (wav16 * 32767).astype(np.int16)
+    with wave.open(path, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sample_rate)
+        f.writeframes(wav16.tobytes())
+    return path
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="lumina audio/music generation (TPU)")
+    p.add_argument("--task", choices=["music", "audio"], default="music")
+    p.add_argument("--prompt", type=str, required=True)
+    p.add_argument("--output_dir", type=str, default="audio_out")
+    p.add_argument("--guidance_scale", type=float, default=3.0)
+    p.add_argument("--num_steps", type=int, default=25)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--latent_length", type=int, default=256)
+    p.add_argument("--struct_caption", action="store_true",
+                   help="audio task: convert prompt to structured caption")
+    p.add_argument("--debug", action="store_true", help="random weights")
+    args = p.parse_args(argv)
+
+    from ..codecs.vae1d import AutoencoderKL1D
+    from ..codecs.vocoder import VocoderBigVGAN
+    from ..models.flag_dit_1d import FlagDiT1D
+
+    prompt = args.prompt
+    if args.task == "audio" and args.struct_caption:
+        prompt = natural_to_structured(prompt)
+        print(f"structured caption: {prompt}")
+
+    hidden, depth = (64, 2) if args.debug else (1152, 28)
+    ctx_dim = 1024
+    model = FlagDiT1D(in_channels=20, context_dim=ctx_dim, hidden_size=hidden,
+                      depth=depth, num_heads=4 if args.debug else 16, multiple_of=16)
+    rng = jax.random.PRNGKey(args.seed)
+    x0 = jnp.zeros((2, 20, args.latent_length))
+    ctx0 = jnp.zeros((2, 8, ctx_dim))
+    variables = jax.jit(model.init)(rng, x0, jnp.zeros((2,)), ctx0)
+
+    def denoiser_fn(x, t, c):
+        return model.apply(variables, x, t, c)
+
+    vae = AutoencoderKL1D(mel_bins=80, embed_dim=20, ch=32 if args.debug else 128,
+                          ch_mult=(1, 2), num_res_blocks=1, z_channels=20)
+    vv = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 80, 16)), jax.random.PRNGKey(2))
+    vae_decode = lambda z: vae.apply(vv, z, method=vae.decode)
+
+    voc = VocoderBigVGAN.create(
+        mel_bins=80,
+        **({"upsample_rates": (2, 2), "upsample_kernel_sizes": (4, 4),
+            "upsample_initial_channel": 32, "resblock_kernel_sizes": (3,),
+            "resblock_dilation_sizes": ((1, 3),)} if args.debug else {}),
+    )
+
+    # deterministic pseudo text features offline (T5/CLAP wrappers available
+    # in codecs.text_encoders when weights are present)
+    ly = 16
+    cond = jnp.asarray(np.random.default_rng(abs(hash(prompt)) % 2**31)
+                       .standard_normal((1, ly, ctx_dim)).astype(np.float32))
+    uncond = jnp.zeros((1, ly, ctx_dim))
+
+    gen = GenSamples(denoiser_fn, vae_decode, voc.vocode,
+                     latent_length=args.latent_length // 2,
+                     guidance_scale=args.guidance_scale, num_steps=args.num_steps)
+    mel, wav = gen.gen_test_sample(rng, cond, uncond)
+    os.makedirs(args.output_dir, exist_ok=True)
+    out = os.path.join(args.output_dir, "sample.wav")
+    save_wav(wav[0], out)
+    print(f"mel {mel.shape} -> {out}")
+    return out
+
+
+if __name__ == "__main__":
+    main()

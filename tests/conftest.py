@@ -26,3 +26,18 @@ jax.config.update("jax_default_matmul_precision", "highest")
 
 def pytest_report_header(config):
     return f"jax devices: {jax.devices()}"
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _restore_model_registry():
+    """Some app-level tests shrink registry entries in place; snapshot and
+    restore so test order doesn't matter."""
+    from lumina_t2x_tpu import models as m
+
+    saved = dict(m.MODELS)
+    yield
+    m.MODELS.clear()
+    m.MODELS.update(saved)

@@ -1,0 +1,83 @@
+"""Tests for the anagrams app, audio app, and structured captions."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lumina_t2x_tpu.pipelines.anagrams_app import (
+    animate_two_view,
+    generate_anagram,
+    save_illusion,
+)
+from lumina_t2x_tpu.pipelines.audio_app import (
+    GenSamples,
+    natural_to_structured,
+    save_wav,
+)
+
+
+class TestAnagramsApp:
+    def test_generate_anagram_tiny(self, tmp_path):
+        from lumina_t2x_tpu.models.next_dit import NextDiT
+        from lumina_t2x_tpu.pipelines.anagrams import get_anagrams_views
+
+        model = NextDiT(dim=32, n_layers=1, n_heads=4, multiple_of=16,
+                        cap_feat_dim=16, attn_impl="xla")
+        views = get_anagrams_views(["identity", "rotate_180"])
+        rng = jax.random.PRNGKey(0)
+        caps = [jax.random.normal(jax.random.fold_in(rng, i), (2, 4, 16)) for i in range(2)]
+        masks = [jnp.ones((2, 4), jnp.int32)] * 2
+        variables = model.init(rng, jnp.zeros((2, 4, 8, 8)), jnp.zeros((2,)),
+                               caps[0], masks[0])
+        phase1, phase2 = generate_anagram(
+            model, variables, caps, masks, views, base_latent=8, num_steps=3,
+        )
+        assert phase1.shape == (1, 4, 8, 8)
+        assert phase2 is None
+        paths = save_illusion(phase1, views, str(tmp_path))
+        assert len(paths) == 2 and all(os.path.exists(p) for p in paths)
+
+    def test_animate(self, tmp_path):
+        a = np.zeros((16, 16, 3), np.uint8)
+        b = np.full((16, 16, 3), 255, np.uint8)
+        out = animate_two_view(a, b, str(tmp_path / "m.gif"), num_frames=4, hold_frames=2)
+        assert os.path.exists(out)
+
+
+class TestStructuredCaptions:
+    def test_single_event(self):
+        s = natural_to_structured("a dog barking")
+        assert s == "<a dog barking& all>"
+
+    def test_sequence(self):
+        s = natural_to_structured("train passing followed by short honks")
+        assert s == "<train passing& start>@<short honks& end>"
+
+    def test_three_events(self):
+        s = natural_to_structured("rain, thunder, then wind")
+        parts = s.split("@")
+        assert len(parts) == 3
+        assert "start" in parts[0] and "mid" in parts[1] and "end" in parts[2]
+
+    def test_llm_hook(self):
+        s = natural_to_structured("x", llm_fn=lambda c: "<custom& all>")
+        assert s == "<custom& all>"
+
+
+class TestAudioApp:
+    def test_save_wav(self, tmp_path):
+        path = save_wav(np.sin(np.linspace(0, 100, 1600)), str(tmp_path / "t.wav"))
+        assert os.path.getsize(path) > 3000
+
+    def test_main_debug(self, tmp_path):
+        from lumina_t2x_tpu.pipelines.audio_app import main
+
+        out = main([
+            "--task", "music", "--prompt", "upbeat jazz",
+            "--output_dir", str(tmp_path), "--num_steps", "2",
+            "--latent_length", "16", "--debug",
+        ])
+        assert os.path.exists(out)
