@@ -1,0 +1,195 @@
+"""DreamBooth fine-tuning (subject-driven personalization).
+
+Counterpart of `lumina_next_t2i_mini/train_dreambooth_sd3.py:396+` (an
+HF-Accelerate script around `SD3Transformer2DModel`): fine-tune a flow
+denoiser on a handful of instance images with prior-preservation —
+
+  loss = MSE(instance batch) + prior_loss_weight * MSE(class batch)
+
+where the class batch is pre-generated with the class prompt to anchor the
+prior. The flow objective is the mini linear-velocity loss
+(`transport/mini.py`); the full train-step machinery (sharding, EMA, clip,
+AdamW) is reused from `train_lib`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Dict, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.checkpoint import save_checkpoint
+from ..core.logging import create_logger
+from ..models import get_model
+from ..parallel import create_mesh
+from ..transport.mini import training_losses_mini
+from .train_lib import TrainState, create_optimizer, create_train_state
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="DreamBooth fine-tuning (TPU)")
+    p.add_argument("--model", type=str, default="NextDiT_2B_patch2")
+    p.add_argument("--pretrained_ckpt", type=str, default=None)
+    p.add_argument("--instance_data_dir", type=str, required=True)
+    p.add_argument("--class_data_dir", type=str, default=None)
+    p.add_argument("--instance_prompt", type=str, required=True)
+    p.add_argument("--class_prompt", type=str, default=None)
+    p.add_argument("--with_prior_preservation", action="store_true")
+    p.add_argument("--prior_loss_weight", type=float, default=1.0)
+    p.add_argument("--output_dir", type=str, default="dreambooth_out")
+    p.add_argument("--resolution", type=int, default=256)
+    p.add_argument("--train_batch_size", type=int, default=1)
+    p.add_argument("--max_train_steps", type=int, default=500)
+    p.add_argument("--learning_rate", type=float, default=1e-5)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cap_feat_dim", type=int, default=2048)
+    p.add_argument("--text_encoder", type=str, default=None)
+    p.add_argument("--vae_ckpt", type=str, default=None)
+    p.add_argument("--precision", choices=["fp32", "bf16"], default="bf16")
+    return p.parse_args(argv)
+
+
+def _image_latents(paths, resolution, vae=None, vae_variables=None, vae_type="ema",
+                   rng=None):
+    from PIL import Image
+
+    from ..data.imgproc import center_crop_arr, to_latent_input
+
+    imgs = np.stack([
+        to_latent_input(center_crop_arr(Image.open(p).convert("RGB"), resolution))
+        for p in paths
+    ])
+    if vae is None:
+        # latent stand-in: 8x avg-pool (smoke mode without VAE weights)
+        b, c, h, w = imgs.shape
+        pooled = imgs.reshape(b, c, h // 8, 8, w // 8, 8).mean((3, 5))
+        return np.concatenate([pooled, pooled[:, :1]], axis=1)
+    from ..codecs.vae import encode_to_latent
+
+    return np.asarray(encode_to_latent(vae, vae_variables, jnp.asarray(imgs), rng, vae_type))
+
+
+def _caption_features(prompt: str, n: int, cap_feat_dim: int, text_encoder=None):
+    if text_encoder is not None:
+        feats, mask = text_encoder.encode([prompt] * n)
+        return np.asarray(feats), np.asarray(mask)
+    ly = 32
+    r = np.random.default_rng(abs(hash(prompt)) % 2**31)
+    feats = np.repeat(r.standard_normal((1, ly, cap_feat_dim)).astype(np.float32), n, 0)
+    return feats, np.ones((n, ly), np.int32)
+
+
+def dreambooth_batches(args, text_encoder=None, vae=None, vae_variables=None) -> Iterator[Dict]:
+    exts = (".jpg", ".jpeg", ".png", ".webp")
+    inst_paths = sorted(
+        os.path.join(args.instance_data_dir, f)
+        for f in os.listdir(args.instance_data_dir) if f.lower().endswith(exts)
+    )
+    cls_paths = []
+    if args.with_prior_preservation and args.class_data_dir:
+        cls_paths = sorted(
+            os.path.join(args.class_data_dir, f)
+            for f in os.listdir(args.class_data_dir) if f.lower().endswith(exts)
+        )
+    rng = np.random.default_rng(args.seed)
+    b = args.train_batch_size
+    while True:
+        pick = rng.choice(len(inst_paths), b)
+        x_inst = _image_latents([inst_paths[i] for i in pick], args.resolution,
+                                vae, vae_variables, rng=jax.random.PRNGKey(int(rng.integers(1 << 30))))
+        cf_i, cm_i = _caption_features(args.instance_prompt, b, args.cap_feat_dim, text_encoder)
+        batch = {"x": x_inst, "cap_feats": cf_i, "cap_mask": cm_i}
+        if cls_paths:
+            pick_c = rng.choice(len(cls_paths), b)
+            x_cls = _image_latents([cls_paths[i] for i in pick_c], args.resolution,
+                                   vae, vae_variables,
+                                   rng=jax.random.PRNGKey(int(rng.integers(1 << 30))))
+            cf_c, cm_c = _caption_features(args.class_prompt or "", b, args.cap_feat_dim,
+                                           text_encoder)
+            # instance rows then class rows (`train_dreambooth_sd3.py` concat)
+            batch = {
+                "x": np.concatenate([x_inst, x_cls]),
+                "cap_feats": np.concatenate([cf_i, cf_c]),
+                "cap_mask": np.concatenate([cm_i, cm_c]),
+            }
+        yield batch
+
+
+def make_dreambooth_step(model, optimizer, prior_loss_weight: float,
+                         with_prior: bool, ema_decay: float = 0.0):
+    """Prior-preservation train step: split the batch into (instance, class)
+    halves and weight the class loss (`train_dreambooth_sd3.py` loss block)."""
+    import optax
+
+    def step(state: TrainState, batch, rng):
+        step_rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            def model_fn(xt, t):
+                return model.apply({"params": params}, xt, t,
+                                   batch["cap_feats"], batch["cap_mask"])
+
+            terms = training_losses_mini(step_rng, model_fn, batch["x"])
+            per_item = terms["loss"]
+            if with_prior:
+                half = per_item.shape[0] // 2
+                inst = per_item[:half].mean()
+                prior = per_item[half:].mean()
+                return inst + prior_loss_weight * prior, {"instance_loss": inst,
+                                                          "prior_loss": prior}
+            return per_item.mean(), {}
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        gnorm = optax.global_norm(grads)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=params, opt_state=opt_state)
+        return new_state, {"loss": loss, "grad_norm": gnorm, **aux}
+
+    return step
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    logger = create_logger(args.output_dir)
+    dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
+
+    text_encoder = None
+    if args.text_encoder:
+        from ..codecs.text_encoders import DecoderTextEncoder
+
+        text_encoder = DecoderTextEncoder.from_pretrained(args.text_encoder, dtype=dtype)
+        args.cap_feat_dim = text_encoder.hidden_size
+
+    model = get_model(args.model, cap_feat_dim=args.cap_feat_dim, dtype=dtype, qk_norm=True)
+    batches = dreambooth_batches(args, text_encoder)
+    first = next(batches)
+    cond = lambda b: {"cap_feats": b["cap_feats"], "cap_mask": b["cap_mask"]}
+    optimizer = create_optimizer(args.learning_rate)
+    state = create_train_state(jax.random.PRNGKey(args.seed), model, first, optimizer, cond)
+    if args.pretrained_ckpt:
+        from ..core.checkpoint import init_from
+
+        state = state.replace(params=init_from(args.pretrained_ckpt, state.params))
+        logger.info(f"loaded pretrained weights from {args.pretrained_ckpt}")
+
+    step = jax.jit(make_dreambooth_step(model, optimizer, args.prior_loss_weight,
+                                        args.with_prior_preservation))
+    rng = jax.random.PRNGKey(args.seed)
+    batch = first
+    for i in range(args.max_train_steps):
+        state, m = step(state, batch, rng)
+        if (i + 1) % 50 == 0 or i == 0:
+            logger.info(f"(step={i + 1:07d}) Train Loss: {float(m['loss']):.4f}")
+        batch = next(batches)
+    path = save_checkpoint(args.output_dir, int(state.step), state, model_args=vars(args))
+    logger.info(f"saved to {path}")
+    return state
+
+
+if __name__ == "__main__":
+    main()
