@@ -68,9 +68,12 @@ def rope_angles_2d(
 ):
     """Angles for 2-D axis-factorized RoPE: (height, width, head_dim // 2).
 
-    Per position (i, j) the angle vector is concat(phi_h[i], phi_w[j]) with
-    head_dim // 4 entries each, frequencies (theta*ntk)^(-4k/d)/linear
-    (`model.py:952-961`). Requires head_dim % 4 == 0 (`model.py:731`).
+    Per position (i, j) the angle vector INTERLEAVES the axis frequencies:
+    [phi_h[i,0], phi_w[j,0], phi_h[i,1], phi_w[j,1], ...] — the reference
+    concatenates on a trailing singleton dim and flattens
+    (`model.py:959-961`), which interleaves, not halves. Frequencies are
+    (theta*ntk)^(-4k/d)/linear (`model.py:952-957`). Requires
+    head_dim % 4 == 0 (`model.py:731`).
     """
     assert head_dim % 4 == 0, "2d rope needs head dim to be divisible by 4"
     exponents = jnp.arange(0, head_dim, 4, dtype=jnp.float32)[: head_dim // 4] / head_dim
@@ -78,14 +81,14 @@ def rope_angles_2d(
     freqs = jnp.exp(-exponents * jnp.log(theta_eff)) / jnp.asarray(linear_factor, jnp.float32)
     angles_h = jnp.outer(jnp.arange(height, dtype=jnp.float32), freqs)  # (H, d/4)
     angles_w = jnp.outer(jnp.arange(width, dtype=jnp.float32), freqs)  # (W, d/4)
-    grid = jnp.concatenate(
+    grid = jnp.stack(
         [
             jnp.broadcast_to(angles_h[:, None, :], (height, width, head_dim // 4)),
             jnp.broadcast_to(angles_w[None, :, :], (height, width, head_dim // 4)),
         ],
         axis=-1,
-    )
-    return grid
+    )  # (H, W, d/4, 2)
+    return grid.reshape(height, width, head_dim // 2)
 
 
 def rope_angles_2d_timeaware(

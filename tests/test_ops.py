@@ -37,13 +37,15 @@ def np_freqs_cis_1d(dim, end, theta=10000.0, rope_scaling_factor=1.0, ntk_factor
 
 
 def np_freqs_cis_2d(dim, end, theta=10000.0, linear_factor=1.0, ntk_factor=1.0):
+    """Mirror of the reference's complex precompute (`model.py:952-961`):
+    note the trailing-singleton cat + flatten INTERLEAVES h/w frequencies."""
     theta = theta * ntk_factor
     freqs = 1.0 / (theta ** (np.arange(0, dim, 4)[: dim // 4].astype(np.float64) / dim)) / linear_factor
     t = np.arange(end, dtype=np.float64)
     fc = np.exp(1j * np.outer(t, freqs))  # (end, dim/4)
-    h = np.broadcast_to(fc[:, None, :], (end, end, dim // 4))
-    w = np.broadcast_to(fc[None, :, :], (end, end, dim // 4))
-    return np.concatenate([h, w], axis=-1)  # (end, end, dim/2)
+    h = np.broadcast_to(fc[:, None, :, None], (end, end, dim // 4, 1))
+    w = np.broadcast_to(fc[None, :, :, None], (end, end, dim // 4, 1))
+    return np.concatenate([h, w], axis=-1).reshape(end, end, dim // 2)
 
 
 def np_apply_rope(x, freqs_cis):
@@ -74,11 +76,12 @@ class TestRope:
         np.testing.assert_allclose(np.exp(1j * np.asarray(angles)), ref, atol=1e-6)
 
     def test_2d_axis_factorization(self):
-        """Angle at (i, j) = concat(angle_h[i], angle_w[j])."""
+        """Interleaved layout: even slots follow the row index, odd slots the
+        column index."""
         D = 8
         a = np.asarray(rope_angles_2d(D, 5, 7))
-        np.testing.assert_allclose(a[3, 0, : D // 4], a[3, 4, : D // 4], atol=1e-7)
-        np.testing.assert_allclose(a[0, 2, D // 4 :], a[4, 2, D // 4 :], atol=1e-7)
+        np.testing.assert_allclose(a[3, 0, 0::2], a[3, 4, 0::2], atol=1e-7)
+        np.testing.assert_allclose(a[0, 2, 1::2], a[4, 2, 1::2], atol=1e-7)
 
     def test_apply_rope_matches_complex_multiply(self):
         B, S, H, D = 2, 10, 3, 16
