@@ -40,6 +40,36 @@ def default_attn_scale(head_dim: int) -> float:
     return math.sqrt(1.0 / head_dim)
 
 
+def anagram_attn_scale(seqlen: int, base_seqlen: int, head_dim: int) -> float:
+    """Visual-anagrams' altered proportional scale
+    log_base(seqlen) / sqrt(head_dim) (`visual_anagrams/models/nextdit.py:333`)."""
+    return math.log(seqlen, base_seqlen) / math.sqrt(head_dim)
+
+
+def pool_kv_2d(k, v, grid_h: int, grid_w: int, merge_ratio: int):
+    """Average-pool K/V over the 2-D token grid — the visual-anagrams
+    `kv_merge` long-sequence trick (`visual_anagrams/models/nextdit.py:342-358`):
+    keys/values of an (H, W) grid are AvgPool2d'ed with kernel=stride=
+    merge_ratio, shrinking the KV length by merge_ratio^2 while queries stay
+    full length.
+
+    k, v: (B, S, Hkv, D) with S == grid_h * grid_w. Returns pooled (k, v)
+    of length (grid_h // r) * (grid_w // r).
+    """
+    if merge_ratio <= 1:
+        return k, v
+
+    def pool(x):
+        b, s, hh, d = x.shape
+        x = x.reshape(b, grid_h, grid_w, hh, d)
+        gh, gw = grid_h // merge_ratio, grid_w // merge_ratio
+        x = x[:, : gh * merge_ratio, : gw * merge_ratio]
+        x = x.reshape(b, gh, merge_ratio, gw, merge_ratio, hh, d).mean(axis=(2, 4))
+        return x.reshape(b, gh * gw, hh, d)
+
+    return pool(k), pool(v)
+
+
 def sdpa(
     q,
     k,

@@ -280,3 +280,37 @@ class TestFlashAttention:
         q = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 2, 8))
         out = attention(q, q, q, impl="auto")
         assert out.shape == q.shape
+
+
+class TestAnagramAttentionTricks:
+    def test_anagram_scale_formula(self):
+        from lumina_t2x_tpu.ops.attention import anagram_attn_scale
+
+        import math
+        assert abs(anagram_attn_scale(4096, 1024, 64) - math.log(4096, 1024) / 8) < 1e-9
+
+    def test_pool_kv_identity_ratio1(self):
+        from lumina_t2x_tpu.ops.attention import pool_kv_2d
+
+        k = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 2, 8))
+        k2, v2 = pool_kv_2d(k, k, 4, 4, 1)
+        np.testing.assert_allclose(np.asarray(k2), np.asarray(k))
+
+    def test_pool_kv_downsamples(self):
+        from lumina_t2x_tpu.ops.attention import pool_kv_2d
+
+        k = jnp.arange(16, dtype=jnp.float32).reshape(1, 16, 1, 1)
+        k2, _ = pool_kv_2d(k, k, 4, 4, 2)
+        assert k2.shape == (1, 4, 1, 1)
+        # first pooled cell = mean of grid[(0,0),(0,1),(1,0),(1,1)] = mean(0,1,4,5)
+        np.testing.assert_allclose(float(k2[0, 0, 0, 0]), 2.5)
+
+    def test_pooled_attention_runs(self):
+        from lumina_t2x_tpu.ops.attention import pool_kv_2d, sdpa
+
+        q = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 2, 8))
+        k = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 2, 8))
+        v = jax.random.normal(jax.random.PRNGKey(2), (1, 64, 2, 8))
+        kp, vp = pool_kv_2d(k, v, 8, 8, 2)
+        out = sdpa(q, kp, vp)
+        assert out.shape == q.shape
