@@ -136,6 +136,74 @@ class Decoder1D(nn.Module):
                        name="conv_out")(nn.silu(h))
 
 
+class VectorQuantizer(nn.Module):
+    """Codebook quantizer for the VQ variant (`autoencoder1d.py` VQModel):
+    nearest-codebook lookup with straight-through gradients and the standard
+    commitment loss."""
+
+    n_embed: int = 1024
+    embed_dim: int = 20
+    beta: float = 0.25
+
+    @nn.compact
+    def __call__(self, z):
+        """z: (B, T, embed_dim) -> (z_q, indices, vq_loss)."""
+        codebook = self.param(
+            "embedding", nn.initializers.uniform(scale=2.0 / self.n_embed),
+            (self.n_embed, self.embed_dim), jnp.float32,
+        )
+        zf = z.astype(jnp.float32)
+        d = (
+            jnp.sum(zf**2, axis=-1, keepdims=True)
+            - 2.0 * zf @ codebook.T
+            + jnp.sum(codebook**2, axis=-1)[None, None, :]
+        )
+        idx = jnp.argmin(d, axis=-1)  # (B, T)
+        z_q = codebook[idx]
+        loss = jnp.mean((jax.lax.stop_gradient(z_q) - zf) ** 2) * self.beta + jnp.mean(
+            (z_q - jax.lax.stop_gradient(zf)) ** 2
+        )
+        z_q = zf + jax.lax.stop_gradient(z_q - zf)  # straight-through
+        return z_q.astype(z.dtype), idx, loss
+
+
+class VQModel1D(nn.Module):
+    """VQ variant of the 1-D autoencoder (`autoencoder1d.py` VQModel)."""
+
+    mel_bins: int = 80
+    embed_dim: int = 20
+    n_embed: int = 1024
+    ch: int = 128
+    ch_mult: Sequence[int] = (1, 2, 4)
+    num_res_blocks: int = 2
+    z_channels: int = 20
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.encoder = Encoder1D(self.ch, self.ch_mult, self.num_res_blocks,
+                                 self.z_channels, False, dtype=self.dtype)
+        self.decoder = Decoder1D(self.ch, self.ch_mult, self.num_res_blocks,
+                                 self.mel_bins, dtype=self.dtype)
+        self.quant_conv = nn.Conv(self.embed_dim, (1,), dtype=self.dtype, name="quant_conv")
+        self.post_quant_conv = nn.Conv(self.z_channels, (1,), dtype=self.dtype,
+                                       name="post_quant_conv")
+        self.quantize = VectorQuantizer(self.n_embed, self.embed_dim)
+
+    def encode(self, x):
+        h = self.encoder(x.transpose(0, 2, 1))
+        h = self.quant_conv(h)
+        z_q, idx, loss = self.quantize(h)
+        return z_q.transpose(0, 2, 1), idx, loss
+
+    def decode(self, z_q):
+        h = self.post_quant_conv(z_q.transpose(0, 2, 1))
+        return self.decoder(h).transpose(0, 2, 1)
+
+    def __call__(self, x):
+        z_q, idx, loss = self.encode(x)
+        return self.decode(z_q), idx, loss
+
+
 class AutoencoderKL1D(nn.Module):
     """(B, mel_bins, T) <-> (B, embed_dim, T / 2^(levels-1))."""
 

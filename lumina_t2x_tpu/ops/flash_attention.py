@@ -151,9 +151,11 @@ def _flash_attention_fwd_impl(q, k, v, kv_mask, scale, block_q, block_k, logits_
 
 
 def _pick_blocks(sq: int, sk: int, d: int):
-    block_q = min(512, _round_up(sq, 128))
-    block_k = min(1024, _round_up(sk, 128))
-    return block_q, block_k
+    import os
+
+    block_q = int(os.environ.get("LUMINA_FLASH_BQ", 0)) or min(512, _round_up(sq, 128))
+    block_k = int(os.environ.get("LUMINA_FLASH_BK", 0)) or min(1024, _round_up(sk, 128))
+    return min(block_q, _round_up(sq, 128)), min(block_k, _round_up(sk, 128))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))

@@ -81,3 +81,27 @@ class TestAudioApp:
             "--latent_length", "16", "--debug",
         ])
         assert os.path.exists(out)
+
+
+class TestCompositionalApp:
+    def test_main_debug(self, tmp_path, monkeypatch):
+        import lumina_t2x_tpu.pipelines.compositional_app as ca
+        from lumina_t2x_tpu.models.compositional import NextDiTCompositional
+
+        monkeypatch.setattr(
+            ca, "NextDiT_2B_patch2_Compositional",
+            lambda **kw: NextDiTCompositional(
+                **{**dict(dim=32, n_layers=1, n_heads=4, multiple_of=16),
+                   **{k: v for k, v in kw.items()}}
+            ),
+        )
+        out = ca.main([
+            "--region_prompts", "a cat", "a dog",
+            "--global_prompt", "two animals",
+            "--h_split_num", "1", "--w_split_num", "2",
+            "--resolution", "64x64",
+            "--num_sampling_steps", "2",
+            "--image_save_path", str(tmp_path),
+            "--debug",
+        ])
+        assert os.path.exists(out)

@@ -236,3 +236,31 @@ class TestEndToEnd:
         )
         assert mel.shape == (1, 16, 8)
         assert np.all(np.isfinite(np.asarray(mel)))
+
+
+class TestVQModel1D:
+    def test_roundtrip_shapes_and_loss(self):
+        from lumina_t2x_tpu.codecs.vae1d import VQModel1D
+
+        vq = VQModel1D(mel_bins=16, embed_dim=4, n_embed=32, ch=32, ch_mult=(1, 2),
+                       num_res_blocks=1, z_channels=4)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 32))
+        variables = vq.init(jax.random.PRNGKey(1), x)
+        rec, idx, loss = vq.apply(variables, x)
+        assert rec.shape == x.shape
+        assert idx.shape == (2, 16)  # one downsample
+        assert float(loss) >= 0
+
+    def test_straight_through_gradient(self):
+        from lumina_t2x_tpu.codecs.vae1d import VectorQuantizer
+
+        vq = VectorQuantizer(n_embed=8, embed_dim=4)
+        z = jax.random.normal(jax.random.PRNGKey(0), (1, 6, 4))
+        params = vq.init(jax.random.PRNGKey(1), z)
+
+        def f(zz):
+            z_q, _, _ = vq.apply(params, zz)
+            return jnp.sum(z_q**2)
+
+        g = jax.grad(f)(z)
+        assert np.any(np.asarray(g) != 0)  # straight-through passes grads
