@@ -151,3 +151,23 @@ class TestShardedTrainStep:
         assert not np.allclose(np.asarray(p), np.asarray(e)) or np.allclose(
             np.asarray(p), 0.0
         )
+
+
+class TestShardedSampling:
+    def test_class_cond_sampling_under_tp(self):
+        """The full jitted sampling loop must run with TP2+FSDP-sharded
+        params and match the unsharded result."""
+        from lumina_t2x_tpu.parallel import shard_params
+        from lumina_t2x_tpu.pipelines.sample_lib import build_class_cond_sample_fn
+
+        mesh = create_mesh(model_parallel_size=2)
+        model = tiny_model()
+        labels = jnp.array([1, 3])
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 16, 16)),
+                               jnp.zeros((1,)), labels[:1])
+        fn = jax.jit(build_class_cond_sample_fn(model, num_steps=4, latent_size=16))
+        ref = fn(variables, jax.random.PRNGKey(1), labels)
+
+        sharded = {"params": shard_params(mesh, variables["params"], fsdp=True)}
+        out = fn(sharded, jax.random.PRNGKey(1), labels)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
