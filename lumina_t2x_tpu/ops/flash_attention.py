@@ -153,8 +153,10 @@ def _flash_attention_fwd_impl(q, k, v, kv_mask, scale, block_q, block_k, logits_
 def _pick_blocks(sq: int, sk: int, d: int):
     import os
 
-    block_q = int(os.environ.get("LUMINA_FLASH_BQ", 0)) or min(512, _round_up(sq, 128))
-    block_k = int(os.environ.get("LUMINA_FLASH_BK", 0)) or min(1024, _round_up(sk, 128))
+    # defaults tuned on v5e at 4k tokens (1024/2048 beats 512/1024 by ~4.5%
+    # end-to-end); overridable for sweeps
+    block_q = int(os.environ.get("LUMINA_FLASH_BQ", 0)) or min(1024, _round_up(sq, 128))
+    block_k = int(os.environ.get("LUMINA_FLASH_BK", 0)) or min(2048, _round_up(sk, 128))
     return min(block_q, _round_up(sq, 128)), min(block_k, _round_up(sk, 128))
 
 

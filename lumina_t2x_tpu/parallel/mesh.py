@@ -57,5 +57,23 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(AXIS_DATA))
 
 
+def form_global_batch(mesh: Mesh, local_batch):
+    """Assemble per-process local batches into global arrays sharded over the
+    data axis (multi-host training; the analogue of the reference's per-rank
+    DataLoader shards feeding FSDP, `train.py:496-520`).
+
+    Single-process: a plain device_put with the batch sharding. Multi-host:
+    each process contributes its local shard via
+    `jax.make_array_from_process_local_data`.
+    """
+    sharding = batch_sharding(mesh)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda a: jax.device_put(a, sharding), local_batch)
+    return jax.tree.map(
+        lambda a: jax.make_array_from_process_local_data(sharding, np.asarray(a)),
+        local_batch,
+    )
+
+
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())

@@ -94,8 +94,8 @@ def parse_args(argv=None):
 
 def synthetic_batches(args, latent_hw: int, class_cond: bool = True,
                       num_classes: int = 1000) -> Iterator[Dict]:
-    rng = np.random.default_rng(args.global_seed)
-    b = args.global_batch_size
+    rng = np.random.default_rng(args.global_seed + jax.process_index())
+    b = args.global_batch_size // jax.process_count()
     while True:
         batch = {"x": rng.standard_normal((b, 4, latent_hw, latent_hw), np.float32)}
         if class_cond:
@@ -125,12 +125,15 @@ def imagenet_batches(args) -> Iterator[Dict]:
         len(samples), args.global_batch_size, rank=jax.process_index(),
         world_size=jax.process_count(), seed=args.global_seed,
     )
+    # each process loads its 1/process_count share of the global batch; the
+    # shards assemble into a global array via form_global_batch
+    per_process = args.global_batch_size // jax.process_count()
     stream = threaded_prefetch(indices, fetch, num_workers=args.num_workers)
     buf = []
     while True:
         for item in stream:
             buf.append(item)
-            if len(buf) == args.global_batch_size:
+            if len(buf) == per_process:
                 yield collate_image_label(buf)
                 buf = []
 
@@ -182,7 +185,8 @@ def t2i_batches(args, text_encoder=None):
             cap_mask = np.ones((len(captions), ly), np.int32)
         return {"x": xs, "cap_feats": cap_feats, "cap_mask": cap_mask}
 
-    for _, batch in bucket_batched(stream, args.global_batch_size, collate):
+    per_process = args.global_batch_size // jax.process_count()
+    for _, batch in bucket_batched(stream, per_process, collate):
         yield batch
 
 
@@ -307,6 +311,10 @@ def main(argv=None):
             batch = dict(batch)
             batch["x"] = encode_batch(vae_variables, jnp.asarray(batch["x"]),
                                       jax.random.fold_in(rng, step))
+        if jax.process_count() > 1:
+            from ..parallel.mesh import form_global_batch
+
+            batch = form_global_batch(mesh, batch)
         state, m = jitted(state, batch, rng)
         running.append(m)
         if (step + 1) % args.log_every == 0:
