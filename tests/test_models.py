@@ -278,3 +278,63 @@ class TestParamCounts:
         )
         n = sum(int(np.prod(s.shape)) for s in jax.tree.leaves(shapes))
         assert 1.5e9 < n < 2.5e9, f"param count {n/1e9:.2f}B out of range"
+
+
+class TestMMDiT:
+    def _tiny(self):
+        from lumina_t2x_tpu.models.mmdit import MMDiT
+
+        return MMDiT(patch_size=2, in_channels=4, dim=32, n_layers=2, n_heads=4,
+                     context_dim=16, pooled_dim=8)
+
+    def _inputs(self):
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 8, 8))
+        t = jnp.array([100.0, 900.0])
+        ctx = jax.random.normal(jax.random.PRNGKey(1), (2, 5, 16))
+        pooled = jax.random.normal(jax.random.PRNGKey(2), (2, 8))
+        return x, t, ctx, pooled
+
+    def test_forward_shape(self):
+        model = self._tiny()
+        x, t, ctx, pooled = self._inputs()
+        params = model.init(jax.random.PRNGKey(0), x, t, ctx, pooled)
+        out = model.apply(params, x, t, ctx, pooled)
+        assert out.shape == x.shape
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_zero_init_final(self):
+        model = self._tiny()
+        x, t, ctx, pooled = self._inputs()
+        params = model.init(jax.random.PRNGKey(0), x, t, ctx, pooled)
+        np.testing.assert_allclose(np.asarray(model.apply(params, x, t, ctx, pooled)), 0.0,
+                                   atol=1e-6)
+
+    def test_context_affects_output(self):
+        model = self._tiny()
+        x, t, ctx, pooled = self._inputs()
+        params = model.init(jax.random.PRNGKey(0), x, t, ctx, pooled)
+        params = jax.tree.map(
+            lambda a: a + 0.02 * np.random.RandomState(0).standard_normal(a.shape).astype(np.float32),
+            params,
+        )
+        o1 = model.apply(params, x, t, ctx, pooled)
+        o2 = model.apply(params, x, t, ctx * 2.0, pooled)
+        assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+    def test_with_sd3_ode(self):
+        """MMDiT + MiniODE(use_sd3=True) end-to-end sampling."""
+        from lumina_t2x_tpu.transport.mini import MiniODE
+
+        model = self._tiny()
+        x, t, ctx, pooled = self._inputs()
+        params = model.init(jax.random.PRNGKey(0), x, t, ctx, pooled)
+        ctx2 = jnp.concatenate([jnp.zeros_like(ctx[:1]), ctx[:1]], axis=0)  # uncond, cond
+        pooled2 = jnp.concatenate([jnp.zeros_like(pooled[:1]), pooled[:1]], axis=0)
+
+        def model_fn(xx, tt):
+            return model.apply(params, xx, tt, ctx2, pooled2)
+
+        ode = MiniODE(num_steps=3, use_sd3=True, time_shifting_factor=3.0)
+        out = ode.sample(jnp.zeros((2, 4, 8, 8)), model_fn, cfg_scale=5.0)
+        assert out.shape == (2, 4, 8, 8)
+        assert np.all(np.isfinite(np.asarray(out)))
