@@ -22,6 +22,7 @@ from .compositional import (
     NextDiT_2B_patch2_Compositional,
 )
 from .flag_dit_1d import FlagDiT1D
+from .mmdit import MMDiT, MMDiT_SD3_Medium
 from .moe import (
     NextDiTMoE,
     NextDiT_MoE_600M_patch2_Both,
@@ -63,6 +64,8 @@ MODELS = {
     "FlagDiT1D_music": lambda **kw: FlagDiT1D(
         **{**dict(in_channels=20, context_dim=1024), **kw}
     ),
+    # SD3 (mini pipeline backbone)
+    "MMDiT_SD3_Medium": MMDiT_SD3_Medium,
 }
 
 

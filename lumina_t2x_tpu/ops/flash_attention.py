@@ -15,9 +15,12 @@ Kernel structure (one compiled program per shape bucket):
   h // rep) — the KV-head repeat at `model.py:423-426` never materializes;
 - proportional-attention scale (`model.py:373-376`) is a kernel parameter.
 
-Training uses `jax.custom_vjp`: forward runs the kernel, backward recomputes
-through the XLA sdpa path (flash-style fused backward kernel is a later
-optimization; the hot benchmark path — inference — runs fully in the kernel).
+Training uses `jax.custom_vjp` with fully fused Pallas backward kernels
+(flash-attention-2 style): the residual-saving forward additionally emits the
+log-sum-exp rows; backward runs two kernels — dQ (grid over q blocks, kv
+innermost) and dK/dV (grid over kv blocks, q innermost) — recomputing
+probabilities from LSE, with `delta = rowsum(dO * O)` precomputed by XLA.
+GQA gradients are summed over the query-head group in the wrapper.
 """
 
 from __future__ import annotations
@@ -150,6 +153,238 @@ def _flash_attention_fwd_impl(q, k, v, kv_mask, scale, block_q, block_k, logits_
     return out[:, :, :sq].transpose(0, 2, 1, 3)
 
 
+def _flash_kernel_res(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref,
+                      acc_ref, *, scale):
+    """Forward + log-sum-exp residual (lane-replicated to width 128)."""
+    ki = pl.program_id(3)
+    nk = pl.num_programs(3)
+    _flash_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, scale=scale)
+
+    @pl.when(ki == nk - 1)
+    def _write_lse():
+        lse = m_ref[:, 0:1] + jnp.log(jnp.maximum(l_ref[:, 0:1], 1e-30))
+        lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
+def _flash_fwd_res_impl(q, k, v, kv_mask, scale, block_q, block_k):
+    """Forward returning (out, lse) for the backward pass."""
+    b, sq, hq, d = q.shape
+    _, sk, hkv, _ = k.shape
+    rep = hq // hkv
+    sq_p = _round_up(sq, block_q)
+    sk_p = _round_up(sk, block_k)
+
+    qt = jnp.pad(q.transpose(0, 2, 1, 3), ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
+    kt = jnp.pad(k.transpose(0, 2, 1, 3), ((0, 0), (0, 0), (0, sk_p - sk), (0, 0)))
+    vt = jnp.pad(v.transpose(0, 2, 1, 3), ((0, 0), (0, 0), (0, sk_p - sk), (0, 0)))
+    mask = jnp.pad(kv_mask.astype(jnp.int32), ((0, 0), (0, sk_p - sk)))[:, None, :]
+
+    grid = (b, hq, sq_p // block_q, sk_p // block_k)
+    interpret = jax.default_backend() == "cpu"
+
+    out, lse = pl.pallas_call(
+        functools.partial(_flash_kernel_res, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_k), lambda bi, hi, qi, ki: (bi, 0, ki),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi // rep, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi // rep, ki, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, 128), lambda bi, hi, qi, ki: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, hq, sq_p, d), q.dtype),
+            jax.ShapeDtypeStruct((b, hq, sq_p, 128), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(mask, qt, kt, vt)
+    return out[:, :, :sq].transpose(0, 2, 1, 3), lse
+
+
+def _bwd_dq_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+                   dq_acc, *, scale):
+    ki = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    q = q_ref[0, 0]   # (bq, D)
+    k = k_ref[0, 0]   # (bk, D)
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]  # (bq, D)
+    lse = lse_ref[0, 0][:, 0:1]  # (bq, 1)
+    delta = delta_ref[0, 0][:, 0:1]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    s = jnp.where(mask_ref[0] != 0, s, _NEG_INF)
+    # clamp: legit s - lse <= 0; padded rows carry garbage lse and dO == 0
+    p = jnp.exp(jnp.minimum(s - lse, 0.0))  # (bq, bk)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # (bq, bk)
+    ds = p * (dp - delta) * scale
+    dq_acc[:] += jax.lax.dot_general(ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        dq_ref[0, 0] = dq_acc[:].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, dk_acc, dv_acc, *, scale):
+    qi = pl.program_id(3)
+    nq = pl.num_programs(3)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0, 0]   # (bq, D)
+    k = k_ref[0, 0]   # (bk, D)
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]
+    lse = lse_ref[0, 0][:, 0:1]
+    delta = delta_ref[0, 0][:, 0:1]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    s = jnp.where(mask_ref[0] != 0, s, _NEG_INF)
+    p = jnp.exp(jnp.minimum(s - lse, 0.0))  # (bq, bk)
+    dv_acc[:] += jax.lax.dot_general(p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)  # (bk, D)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # (bq, bk)
+    ds = p * (dp - delta) * scale  # (bq, bk)
+    dk_acc[:] += jax.lax.dot_general(ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)  # (bk, D)
+
+    @pl.when(qi == nq - 1)
+    def _finalize():
+        dk_ref[0, 0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
+def _flash_bwd_impl(q, k, v, kv_mask, out, lse, g, scale, block_q, block_k):
+    """Returns (dq, dk_per_qhead, dv_per_qhead); GQA group-sum happens in the
+    caller."""
+    b, sq, hq, d = q.shape
+    _, sk, hkv, _ = k.shape
+    rep = hq // hkv
+    sq_p = _round_up(sq, block_q)
+    sk_p = _round_up(sk, block_k)
+
+    qt = jnp.pad(q.transpose(0, 2, 1, 3), ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
+    kt = jnp.pad(k.transpose(0, 2, 1, 3), ((0, 0), (0, 0), (0, sk_p - sk), (0, 0)))
+    vt = jnp.pad(v.transpose(0, 2, 1, 3), ((0, 0), (0, 0), (0, sk_p - sk), (0, 0)))
+    dot = jnp.pad(g.transpose(0, 2, 1, 3), ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
+    mask = jnp.pad(kv_mask.astype(jnp.int32), ((0, 0), (0, sk_p - sk)))[:, None, :]
+
+    # delta = rowsum(dO * O), lane-replicated like lse
+    delta = jnp.einsum("bshd,bshd->bhs", g.astype(jnp.float32), out.astype(jnp.float32))
+    delta = jnp.pad(delta, ((0, 0), (0, 0), (0, sq_p - sq)))[..., None]
+    delta = jnp.broadcast_to(delta, (b, hq, sq_p, 128))
+
+    interpret = jax.default_backend() == "cpu"
+
+    # ---- dQ: grid (b, hq, q_blocks, kv_blocks), kv innermost ----
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale),
+        grid=(b, hq, sq_p // block_q, sk_p // block_k),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_k), lambda bi, hi, qi, ki: (bi, 0, ki),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi // rep, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi // rep, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, 128), lambda bi, hi, qi, ki: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, 128), lambda bi, hi, qi, ki: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, hq, sq_p, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(mask, qt, kt, vt, dot, lse, delta)
+
+    # ---- dK/dV: grid (b, hq, kv_blocks, q_blocks), q innermost ----
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale),
+        grid=(b, hq, sk_p // block_k, sq_p // block_q),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_k), lambda bi, hi, ki, qi: (bi, 0, ki),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, ki, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki, qi: (bi, hi // rep, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki, qi: (bi, hi // rep, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, ki, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, 128), lambda bi, hi, ki, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, 128), lambda bi, hi, ki, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki, qi: (bi, hi, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki, qi: (bi, hi, ki, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, hq, sk_p, d), k.dtype),
+            jax.ShapeDtypeStruct((b, hq, sk_p, d), v.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(mask, qt, kt, vt, dot, lse, delta)
+
+    dq = dq[:, :, :sq].transpose(0, 2, 1, 3)
+    dk = dk[:, :, :sk].transpose(0, 2, 1, 3)  # (B, Sk, Hq, D)
+    dv = dv[:, :, :sk].transpose(0, 2, 1, 3)
+    return dq, dk, dv
+
+
 def _pick_blocks(sq: int, sk: int, d: int):
     import os
 
@@ -160,6 +395,14 @@ def _pick_blocks(sq: int, sk: int, d: int):
     return min(block_q, _round_up(sq, 128)), min(block_k, _round_up(sk, 128))
 
 
+def _pick_bwd_blocks(sq: int, sk: int, d: int):
+    import os
+
+    block_q = int(os.environ.get("LUMINA_FLASH_BWD_BQ", 0)) or min(512, _round_up(sq, 128))
+    block_k = int(os.environ.get("LUMINA_FLASH_BWD_BK", 0)) or min(512, _round_up(sk, 128))
+    return min(block_q, _round_up(sq, 128)), min(block_k, _round_up(sk, 128))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _flash_attention(q, k, v, kv_mask, scale):
     block_q, block_k = _pick_blocks(q.shape[1], k.shape[1], q.shape[3])
@@ -167,15 +410,22 @@ def _flash_attention(q, k, v, kv_mask, scale):
 
 
 def _fwd(q, k, v, kv_mask, scale):
-    return _flash_attention(q, k, v, kv_mask, scale), (q, k, v, kv_mask)
+    block_q, block_k = _pick_blocks(q.shape[1], k.shape[1], q.shape[3])
+    out, lse = _flash_fwd_res_impl(q, k, v, kv_mask, scale, block_q, block_k)
+    return out, (q, k, v, kv_mask, out, lse)
 
 
 def _bwd(scale, res, g):
-    q, k, v, kv_mask = res
-    # Recompute through the XLA path; gradients match the kernel's math.
-    _, vjp = jax.vjp(lambda qq, kk, vv: sdpa(qq, kk, vv, kv_mask=kv_mask, scale=scale), q, k, v)
-    dq, dk, dv = vjp(g)
-    return dq, dk, dv, None
+    q, k, v, kv_mask, out, lse = res
+    hq, hkv = q.shape[2], k.shape[2]
+    block_q, block_k = _pick_bwd_blocks(q.shape[1], k.shape[1], q.shape[3])
+    dq, dk, dv = _flash_bwd_impl(q, k, v, kv_mask, out, lse, g, scale, block_q, block_k)
+    if hq != hkv:  # GQA: sum gradients over the query-head group
+        b, sk, _, d = dk.shape
+        rep = hq // hkv
+        dk = dk.reshape(b, sk, hkv, rep, d).sum(axis=3)
+        dv = dv.reshape(b, sk, hkv, rep, d).sum(axis=3)
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype), None
 
 
 _flash_attention.defvjp(_fwd, _bwd)
