@@ -75,23 +75,18 @@ def main():
         lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, variables
     )
 
+    # batch 1: reliable compile budget through the remote-compile tunnel.
+    # (batch 4 measures ~equal per-sample throughput but compiles too slowly
+    # for a bounded benchmark run.)
     tput1, dt1 = measure(model, variables, batch=1, rng=rng)
-    try:
-        tput4, dt4 = measure(model, variables, batch=4, rng=jax.random.fold_in(rng, 99))
-    except Exception:
-        tput4, dt4 = 0.0, float("inf")
-
-    best = max(tput1, tput4)
     print(
         json.dumps(
             {
                 "metric": "samples/sec/chip at 1024^2 (2B NextDiT, 30-step midpoint ODE, CFG)",
-                "value": round(best, 4),
+                "value": round(tput1, 4),
                 "unit": "samples/sec",
-                "vs_baseline": round(best / A100_REFERENCE_SAMPLES_PER_SEC, 3),
-                "per_step_latency_ms_b1": round(dt1 / NUM_STEPS * 1000, 2),
-                "throughput_b1": round(tput1, 4),
-                "throughput_b4": round(tput4, 4),
+                "vs_baseline": round(tput1 / A100_REFERENCE_SAMPLES_PER_SEC, 3),
+                "per_step_latency_ms": round(dt1 / NUM_STEPS * 1000, 2),
                 "backend": jax.default_backend(),
             }
         )
