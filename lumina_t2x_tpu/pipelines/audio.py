@@ -16,7 +16,6 @@ lumina_music (SURVEY.md §2.7):
 from __future__ import annotations
 
 import importlib
-from functools import partial
 from typing import Callable, Optional
 
 import jax

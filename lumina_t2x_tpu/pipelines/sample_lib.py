@@ -12,13 +12,12 @@ attention, and scale-factor/watershed knobs mirror the reference CLI flags
 from __future__ import annotations
 
 import math
-from functools import partial
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
-from ..models.flag_dit import forward_with_cfg as flag_dit_cfg
+
 from ..models.next_dit import forward_with_cfg as next_dit_cfg
 from ..models.next_dit_imagenet import forward_with_cfg as imagenet_cfg
 from ..transport import Sampler, create_transport

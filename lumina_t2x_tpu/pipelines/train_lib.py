@@ -19,7 +19,6 @@ What maps where:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, Dict, Optional
 
 import jax

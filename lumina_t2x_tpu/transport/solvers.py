@@ -17,7 +17,6 @@ The time-shift warp t -> t / (t + f - f*t) matches
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional
 
 import jax
