@@ -126,6 +126,11 @@ class NextDiT(nn.Module):
     attn_impl: str = "auto"
     scan_blocks: bool = True
     remat: bool = False
+    # context parallelism: shard the token axis over this mesh axis (GSPMD
+    # partitions attention; the manual ring kernel lives in
+    # ops/context_parallel.py). The reference has no sequence parallelism at
+    # all (SURVEY.md §2.1) — this is the TPU-native extension.
+    seq_shard_axis: Optional[str] = None
 
     @property
     def out_channels(self):
@@ -213,6 +218,13 @@ class NextDiT(nn.Module):
             tokens = jnp.take_along_axis(tokens, gather_idx[:, :, None], axis=1)
             tokens = jnp.where(
                 x_mask[:, :, None].astype(bool), tokens, pad_token.astype(tokens.dtype)[None, None, :]
+            )
+
+        if self.seq_shard_axis is not None:
+            from jax.sharding import PartitionSpec as _P
+
+            tokens = jax.lax.with_sharding_constraint(
+                tokens, _P(None, self.seq_shard_axis, None)
             )
 
         # -- conditioning -----------------------------------------------------

@@ -81,3 +81,28 @@ class TestRingCP:
         out = jax.jit(lambda a, b, c: ring_context_attention(a, b, c, mesh))(qs, ks, vs)
         ref = sdpa(q, k, v)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+class TestModelSequenceSharding:
+    def test_next_dit_seq_sharded_forward_parity(self):
+        """seq_shard_axis partitions the token axis over the mesh; results
+        must match the unsharded forward."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from lumina_t2x_tpu.models.next_dit import NextDiT
+
+        mesh = create_mesh(model_parallel_size=1)
+        kw = dict(dim=32, n_layers=2, n_heads=4, multiple_of=16, cap_feat_dim=16,
+                  attn_impl="xla")
+        model_ref = NextDiT(**kw)
+        model_cp = NextDiT(**kw, seq_shard_axis="data")
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 16, 16))
+        t = jnp.full((2,), 0.5)
+        cap = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 16))
+        mask = jnp.ones((2, 4), jnp.int32)
+        params = model_ref.init(jax.random.PRNGKey(2), x, t, cap, mask)
+        ref = model_ref.apply(params, x, t, cap, mask)
+
+        with jax.set_mesh(mesh):
+            out = jax.jit(lambda p, xx: model_cp.apply(p, xx, t, cap, mask))(params, x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
