@@ -44,6 +44,8 @@ DEFAULT_SETTINGS = {
 
 
 def load_settings(config_path):
+    if config_path and not os.path.exists(config_path):
+        click.echo(f"note: config {config_path!r} not found; using built-in defaults", err=True)
     if config_path and os.path.exists(config_path):
         import yaml
 

@@ -116,6 +116,8 @@ def main(argv=None):
     else:
         prompts = ["a photo of an astronaut riding a horse"]
         if args.caption_path:
+            if not os.path.exists(args.caption_path):
+                raise SystemExit(f"error: --caption_path file not found: {args.caption_path}")
             with open(args.caption_path) as f:
                 prompts = [l.strip() for l in f if l.strip()]
         if args.text_encoder and not args.debug:

@@ -245,6 +245,109 @@ def odeint_adaptive(
 # ---------------------------------------------------------------------------
 
 
+def odeint_dopri8(
+    drift_fn: Callable,
+    x0,
+    ts,
+    atol: float = 1e-6,
+    rtol: float = 1e-3,
+    max_steps: int = 4096,
+    return_all: bool = False,
+):
+    """8th-order Dormand-Prince (DOP853) under lax.while_loop.
+
+    Covers the reference CLI's dopri8 surface (`sample.py:73-78`,
+    `settings.yaml:26`). Coefficients come from scipy's published DOP853
+    tables; the combined 5th/3rd-order error estimator follows Hairer's
+    algorithm (as in torchdiffeq/scipy).
+    """
+    from scipy.integrate._ivp import dop853_coefficients as _dc
+
+    n_stages = int(_dc.N_STAGES)  # 12
+    A = np.asarray(_dc.A)[: n_stages, : n_stages]
+    B = np.asarray(_dc.B)
+    C = np.asarray(_dc.C)[: n_stages]
+    E3 = np.asarray(_dc.E3)  # 13 entries (includes f(x_new))
+    E5 = np.asarray(_dc.E5)
+    safety, min_factor, max_factor, order = 0.9, 0.2, 10.0, 8.0
+
+    n_el = sum(np.prod(a.shape) for a in jax.tree.leaves(x0))
+
+    def rk_step(x, t, dt):
+        ks = []
+        for i in range(n_stages):
+            xi = x
+            for j in range(i):
+                if A[i, j] != 0.0:
+                    xi = jax.tree.map(lambda xx, kk: xx + dt * A[i, j] * kk, xi, ks[j])
+            ks.append(drift_fn(xi, t + C[i] * dt))
+        x_next = x
+        for i in range(n_stages):
+            if B[i] != 0.0:
+                x_next = jax.tree.map(lambda xx, kk: xx + dt * B[i] * kk, x_next, ks[i])
+        ks.append(drift_fn(x_next, t + dt))  # k13
+
+        def weighted(E):
+            acc = jax.tree.map(jnp.zeros_like, x)
+            for i, e in enumerate(E):
+                if e != 0.0:
+                    acc = jax.tree.map(lambda aa, kk: aa + e * kk, acc, ks[i])
+            return acc
+
+        return x_next, weighted(E5), weighted(E3)
+
+    def error_norm(x, x_new, err5, err3, dt):
+        def scaled_sq(e):
+            sq = jax.tree.map(
+                lambda ee, a, b: (
+                    ee.astype(jnp.float32)
+                    / (atol + rtol * jnp.maximum(jnp.abs(a), jnp.abs(b)).astype(jnp.float32))
+                ) ** 2,
+                e, x, x_new,
+            )
+            return sum(jax.tree.leaves(jax.tree.map(jnp.sum, sq)))
+
+        e5, e3 = scaled_sq(err5), scaled_sq(err3)
+        denom = e5 + 0.01 * e3
+        corr = jnp.where(denom > 0, e5 / jnp.sqrt(denom * n_el), 0.0)
+        return jnp.abs(dt) * corr
+
+    def advance_to(x, t_start, t_end, dt0):
+        def cond(state):
+            _, t, dt, nsteps = state
+            return jnp.logical_and(t < t_end - 1e-12, nsteps < max_steps)
+
+        def body(state):
+            x, t, dt, nsteps = state
+            dt = jnp.minimum(dt, t_end - t)
+            x_prop, err5, err3 = rk_step(x, t, dt)
+            ratio = error_norm(x, x_prop, err5, err3, dt)
+            accept = ratio <= 1.0
+            x_new = jax.tree.map(lambda a, b: jnp.where(accept, b, a), x, x_prop)
+            t_new = jnp.where(accept, t + dt, t)
+            factor = jnp.clip(
+                safety * jnp.power(jnp.maximum(ratio, 1e-10), -1.0 / order),
+                min_factor, max_factor,
+            )
+            return x_new, t_new, dt * factor, nsteps + 1
+
+        x, _, dt, _ = jax.lax.while_loop(cond, body, (x, t_start, dt0, jnp.array(0, jnp.int32)))
+        return x, dt
+
+    dt_init = (ts[-1] - ts[0]) / 50.0
+    t_pairs = jnp.stack([ts[:-1], ts[1:]], axis=1)
+
+    def save_body(carry, t_pair):
+        x, dt = carry
+        x, dt = advance_to(x, t_pair[0], t_pair[1], dt)
+        return (x, dt), (x if return_all else None)
+
+    (x_final, _), ys = jax.lax.scan(save_body, (x0, dt_init), t_pairs)
+    if return_all:
+        return jax.tree.map(lambda first, rest: jnp.concatenate([first[None], rest], axis=0), x0, ys)
+    return x_final
+
+
 def sdeint(
     drift_fn: Callable,
     diffusion_fn: Callable,

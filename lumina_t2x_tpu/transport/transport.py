@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from . import path as path_mod
-from .solvers import make_time_grid, odeint_adaptive, odeint_fixed, sdeint
+from .solvers import make_time_grid, odeint_adaptive, odeint_dopri8, odeint_fixed, sdeint
 
 
 class ModelType(enum.Enum):
@@ -231,7 +231,8 @@ class Sampler:
                 return drift(xx, jnp.full((b,), t_scalar, dtype=jnp.float32), model_fn)
 
             if adaptive:
-                return odeint_adaptive(f, x, ts, atol=atol, rtol=rtol, return_all=return_all)
+                solver = odeint_dopri8 if sampling_method.lower() == "dopri8" else odeint_adaptive
+                return solver(f, x, ts, atol=atol, rtol=rtol, return_all=return_all)
             return odeint_fixed(f, x, ts, method=sampling_method, return_all=return_all)
 
         return sample_fn
@@ -324,7 +325,8 @@ class Sampler:
 
             init = (x, jnp.zeros((b,), x.dtype))
             if adaptive:
-                z_final, delta_logp = odeint_adaptive(f, init, ts, atol=atol, rtol=rtol)
+                solver = odeint_dopri8 if sampling_method.lower() == "dopri8" else odeint_adaptive
+                z_final, delta_logp = solver(f, init, ts, atol=atol, rtol=rtol)
             else:
                 z_final, delta_logp = odeint_fixed(f, init, ts, method=sampling_method)
             prior_logp = transport.prior_logp(z_final)

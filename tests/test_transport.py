@@ -333,3 +333,38 @@ class TestFactory:
         t = create_transport("Linear", "velocity")
         t0, t1 = t.check_interval(t.train_eps, t.sample_eps, eval=True)
         assert t0 == 0.0 and t1 == 1.0
+
+
+class TestDopri8:
+    def test_accuracy_exponential(self):
+        from lumina_t2x_tpu.transport.solvers import odeint_dopri8
+
+        f = lambda x, t: -x
+        out = odeint_dopri8(f, jnp.ones((2, 2)), jnp.linspace(0.0, 1.0, 3),
+                            atol=1e-9, rtol=1e-9)
+        np.testing.assert_allclose(np.asarray(out), np.exp(-1.0), rtol=1e-5)
+
+    def test_high_order_efficiency(self):
+        """dopri8 should hit tight tolerance on a smooth problem."""
+        from lumina_t2x_tpu.transport.solvers import odeint_dopri8
+
+        f = lambda x, t: jnp.cos(10.0 * t) * x  # x(1) = exp(sin(10)/10)
+        out = odeint_dopri8(f, jnp.ones(()), jnp.linspace(0.0, 1.0, 2),
+                            atol=1e-10, rtol=1e-10)
+        np.testing.assert_allclose(float(out), np.exp(np.sin(10.0) / 10.0), rtol=1e-5)
+
+    def test_sampler_routes_dopri8(self):
+        transport = create_transport("Linear", "velocity")
+        sampler = Sampler(transport)
+        fn = sampler.sample_ode(sampling_method="dopri8", num_steps=3, atol=1e-7, rtol=1e-7)
+        out = fn(jnp.ones((1, 2)), lambda x, t: -x)
+        np.testing.assert_allclose(np.asarray(out), np.exp(-1.0), rtol=1e-5)
+
+    def test_pytree_state(self):
+        from lumina_t2x_tpu.transport.solvers import odeint_dopri8
+
+        f = lambda s, t: (-s[0], jnp.ones_like(s[1]))
+        out = odeint_dopri8(f, (jnp.ones(()), jnp.zeros(())), jnp.linspace(0, 1, 3),
+                            atol=1e-8, rtol=1e-8)
+        np.testing.assert_allclose(float(out[0]), np.exp(-1.0), rtol=1e-5)
+        np.testing.assert_allclose(float(out[1]), 1.0, rtol=1e-5)
