@@ -24,6 +24,7 @@ from __future__ import annotations
 import random
 from typing import List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -118,16 +119,78 @@ class T5TextEncoder:
         return jnp.asarray(out.last_hidden_state), jnp.asarray(batch.attention_mask)
 
 
-class CLAPTextEncoder:
-    """CLAP text tower + projection (`lumina_audio/models/encoders/CLAP/clap.py`):
-    a (Ro)BERTa-family text model followed by a learned projection, used
-    jointly with T5 for structured-caption audio conditioning."""
+def clap_projection(x, params, eps: float = 1e-5):
+    """CLAP Projection head (`CLAP/clap.py:12-25`, eval mode):
+    LayerNorm(linear1(x) + linear2(gelu(linear1(x))))."""
 
-    def __init__(self, model, tokenizer, projection=None, max_length: int = 77):
+
+    e1 = x @ params["linear1"]["kernel"]
+    e2 = jax.nn.gelu(e1, approximate=False) @ params["linear2"]["kernel"]
+    h = (e1 + e2).astype(jnp.float32)
+    mu = h.mean(-1, keepdims=True)
+    var = ((h - mu) ** 2).mean(-1, keepdims=True)
+    normed = (h - mu) * jax.lax.rsqrt(var + eps)
+    return normed * params["layer_norm"]["scale"] + params["layer_norm"]["bias"]
+
+
+def extract_clap_caption_weights(clap_state_dict):
+    """Split a CLAP checkpoint's `caption_encoder.*` tensors
+    (`FrozenCLAPFLANEmbedder`, `modules.py:122-126`) into (base HF text-model
+    state dict, flax projection params)."""
+    base, proj = {}, {}
+    for key, val in clap_state_dict.items():
+        if not key.startswith("caption_encoder."):
+            continue
+        sub = key[len("caption_encoder."):]
+        arr = np.asarray(val, np.float32)
+        if sub.startswith("base."):
+            base[sub[len("base."):]] = arr
+        elif sub.startswith("projection."):
+            name = sub[len("projection."):]
+            if name == "linear1.weight":
+                proj.setdefault("linear1", {})["kernel"] = arr.T
+            elif name == "linear2.weight":
+                proj.setdefault("linear2", {})["kernel"] = arr.T
+            elif name == "layer_norm.weight":
+                proj.setdefault("layer_norm", {})["scale"] = arr
+            elif name == "layer_norm.bias":
+                proj.setdefault("layer_norm", {})["bias"] = arr
+    return base, proj
+
+
+class CLAPTextEncoder:
+    """CLAP text tower + projection (`lumina_audio/models/encoders/CLAP/clap.py:56-71`):
+    an HF text model followed by the CLAP Projection head; features =
+    projection(last_hidden_state) (`modules.py:109-110`), used jointly with
+    T5 for structured-caption audio conditioning."""
+
+    def __init__(self, model, tokenizer, projection_params=None, max_length: int = 77):
         self.model = model
         self.tokenizer = tokenizer
-        self.projection = projection
+        self.projection_params = projection_params
         self.max_length = max_length
+
+    @classmethod
+    def from_clap_checkpoint(cls, ckpt_path: str, flax_text_model, tokenizer,
+                             max_length: int = 77):
+        """Load the caption-encoder branch out of a CLAP checkpoint
+        (`modules.py:122-126`): `flax_text_model` is the (architecture-matching)
+        HF Flax text model to receive the base weights."""
+        import torch
+        from transformers.modeling_flax_pytorch_utils import (
+            convert_pytorch_state_dict_to_flax,
+        )
+
+        sd = torch.load(ckpt_path, map_location="cpu", weights_only=True)
+        if isinstance(sd, dict) and "model" in sd:
+            sd = sd["model"]
+        base_np, proj = extract_clap_caption_weights(
+            {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
+        )
+        pt_state = {k: torch.from_numpy(np.asarray(v)) for k, v in base_np.items()}
+        flax_params = convert_pytorch_state_dict_to_flax(pt_state, flax_text_model)
+        flax_text_model.params = flax_params
+        return cls(flax_text_model, tokenizer, proj, max_length)
 
     def encode(self, prompts: Sequence[str]):
         batch = self.tokenizer(
@@ -136,6 +199,6 @@ class CLAPTextEncoder:
         )
         out = self.model(input_ids=batch.input_ids, attention_mask=batch.attention_mask)
         feats = jnp.asarray(out.last_hidden_state)
-        if self.projection is not None:
-            feats = feats @ self.projection
+        if self.projection_params is not None:
+            feats = clap_projection(feats, jax.tree.map(jnp.asarray, self.projection_params))
         return feats, jnp.asarray(batch.attention_mask)

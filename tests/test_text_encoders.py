@@ -81,3 +81,46 @@ class TestDecoderTextEncoder:
     def test_empty_prompt_encodes(self, tiny_gemma):
         feats, mask = tiny_gemma.encode([""])
         assert np.all(np.isfinite(np.asarray(feats)))
+
+
+class TestCLAPExtraction:
+    def test_projection_math(self):
+        import jax.numpy as jnp
+
+        from lumina_t2x_tpu.codecs.text_encoders import clap_projection
+
+        d_in, d_out = 8, 4
+        rng = np.random.RandomState(0)
+        params = {
+            "linear1": {"kernel": rng.randn(d_in, d_out).astype(np.float32)},
+            "linear2": {"kernel": rng.randn(d_out, d_out).astype(np.float32)},
+            "layer_norm": {"scale": np.ones(d_out, np.float32),
+                           "bias": np.zeros(d_out, np.float32)},
+        }
+        x = rng.randn(2, 3, d_in).astype(np.float32)
+        out = clap_projection(jnp.asarray(x), params)
+        # torch-reference math
+        import torch
+        import torch.nn.functional as F
+
+        e1 = torch.from_numpy(x) @ torch.from_numpy(params["linear1"]["kernel"])
+        e2 = F.gelu(e1) @ torch.from_numpy(params["linear2"]["kernel"])
+        ref = F.layer_norm(e1 + e2, (d_out,)).numpy()
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+    def test_extract_caption_weights(self):
+        from lumina_t2x_tpu.codecs.text_encoders import extract_clap_caption_weights
+
+        sd = {
+            "caption_encoder.base.embeddings.word_embeddings.weight": np.zeros((10, 4)),
+            "caption_encoder.projection.linear1.weight": np.ones((4, 8)),
+            "caption_encoder.projection.layer_norm.weight": np.ones(4),
+            "caption_encoder.projection.layer_norm.bias": np.zeros(4),
+            "caption_encoder.projection.linear2.weight": np.ones((4, 4)),
+            "audio_encoder.base.conv.weight": np.zeros((3, 3)),  # must be ignored
+        }
+        base, proj = extract_clap_caption_weights(sd)
+        assert "embeddings.word_embeddings.weight" in base
+        assert not any("audio" in k for k in base)
+        assert proj["linear1"]["kernel"].shape == (8, 4)  # transposed
+        assert proj["layer_norm"]["scale"].shape == (4,)
