@@ -338,3 +338,62 @@ class TestMMDiT:
         out = ode.sample(jnp.zeros((2, 4, 8, 8)), model_fn, cfg_scale=5.0)
         assert out.shape == (2, 4, 8, 8)
         assert np.all(np.isfinite(np.asarray(out)))
+
+
+class TestMMDiTImport:
+    def test_synthetic_sd3_state_dict_import(self):
+        from lumina_t2x_tpu.codecs.mmdit_import import import_sd3_mmdit_weights
+        from lumina_t2x_tpu.models.mmdit import MMDiT
+
+        dim, n_layers, heads, ctx, pooled, p, cin = 32, 2, 4, 16, 8, 2, 4
+        rng = np.random.RandomState(0)
+        sd = {}
+
+        def lin(name, i, o, bias=True):
+            sd[f"{name}.weight"] = rng.randn(o, i).astype(np.float32) * 0.02
+            if bias:
+                sd[f"{name}.bias"] = np.zeros(o, np.float32)
+
+        sd["pos_embed.proj.weight"] = rng.randn(dim, cin, p, p).astype(np.float32) * 0.02
+        sd["pos_embed.proj.bias"] = np.zeros(dim, np.float32)
+        lin("context_embedder", ctx, dim)
+        lin("time_text_embed.timestep_embedder.linear_1", 256, dim)
+        lin("time_text_embed.timestep_embedder.linear_2", dim, dim)
+        lin("time_text_embed.text_embedder.linear_1", pooled, dim)
+        lin("time_text_embed.text_embedder.linear_2", dim, dim)
+        lin("norm_out.linear", dim, 2 * dim)
+        lin("proj_out", dim, p * p * cin)
+        hd = dim // heads
+        for i in range(n_layers):
+            pre = f"transformer_blocks.{i}"
+            lin(f"{pre}.norm1.linear", dim, 6 * dim)
+            last = i == n_layers - 1
+            lin(f"{pre}.norm1_context.linear", dim, 2 * dim if last else 6 * dim)
+            for nm in ("to_q", "to_k", "to_v", "add_q_proj", "add_k_proj", "add_v_proj"):
+                lin(f"{pre}.attn.{nm}", dim, dim)
+            for nm in ("norm_q", "norm_k", "norm_added_q", "norm_added_k"):
+                sd[f"{pre}.attn.{nm}.weight"] = np.ones(hd, np.float32)
+            lin(f"{pre}.attn.to_out.0", dim, dim)
+            lin(f"{pre}.ff.net.0.proj", dim, 4 * dim)
+            lin(f"{pre}.ff.net.2", 4 * dim, dim)
+            if not last:
+                lin(f"{pre}.attn.to_add_out", dim, dim)
+                lin(f"{pre}.ff_context.net.0.proj", dim, 4 * dim)
+                lin(f"{pre}.ff_context.net.2", 4 * dim, dim)
+
+        params = import_sd3_mmdit_weights(sd, n_layers=n_layers)
+
+        model = MMDiT(patch_size=p, in_channels=cin, dim=dim, n_layers=n_layers,
+                      n_heads=heads, context_dim=ctx, pooled_dim=pooled)
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, cin, 8, 8))
+        t = jnp.array([500.0])
+        c = jax.random.normal(jax.random.PRNGKey(1), (1, 5, ctx))
+        pl = jax.random.normal(jax.random.PRNGKey(2), (1, pooled))
+        ref = model.init(jax.random.PRNGKey(3), x, t, c, pl)["params"]
+
+        ref_shapes = jax.tree.map(np.shape, ref)
+        got_shapes = jax.tree.map(np.shape, params)
+        assert jax.tree.structure(ref_shapes) == jax.tree.structure(got_shapes)
+        assert ref_shapes == got_shapes
+        out = model.apply({"params": params}, x, t, c, pl)
+        assert out.shape == x.shape and np.all(np.isfinite(np.asarray(out)))
