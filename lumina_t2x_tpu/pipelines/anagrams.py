@@ -184,6 +184,144 @@ class SquareHingeView(BaseView):
     inverse_view = view
 
 
+def gaussian_blur(x, sigma: float, kernel_size: int):
+    """Separable 2-D gaussian blur over (..., H, W), reflect padding."""
+    half = kernel_size // 2
+    t = np.arange(kernel_size) - half
+    k = np.exp(-(t**2) / (2.0 * sigma**2))
+    k = jnp.asarray(k / k.sum(), jnp.float32)
+
+    def conv1d(a, axis):
+        a = jnp.moveaxis(a, axis, -1)
+        pad = [(0, 0)] * (a.ndim - 1) + [(half, half)]
+        ap = jnp.pad(a, pad, mode="reflect")
+        flat = ap.reshape(-1, ap.shape[-1])
+        out = jax.vmap(lambda row: jnp.convolve(row, k, mode="valid"))(flat)
+        return jnp.moveaxis(out.reshape(*a.shape[:-1], -1), -1, axis)
+
+    return conv1d(conv1d(x.astype(jnp.float32), -2), -1).astype(x.dtype)
+
+
+def _scaled_blur(noise, sigma, kernel_size):
+    """Stage-aware kernel scaling (`view_hybrid.py:52-59`)."""
+    h = noise.shape[-2]
+    factor = max(h // 64, 1)
+    k = kernel_size * factor + ((factor + 1) % 2)
+    return gaussian_blur(noise, sigma * factor, k)
+
+
+class GrayscaleView(BaseView):
+    """Factorized diffusion: view = identity; inverse projects the first 3
+    channels onto their mean (`view_color.py:39-49`)."""
+
+    def view(self, x):
+        return x
+
+    def inverse_view(self, x):
+        gray = jnp.mean(x[:3], axis=0, keepdims=True)
+        return x.at[:3].set(jnp.broadcast_to(gray, x[:3].shape))
+
+
+class ColorView(BaseView):
+    """Inverse keeps the color residual (`view_color.py:59-65`)."""
+
+    def view(self, x):
+        return x
+
+    def inverse_view(self, x):
+        gray = jnp.mean(x[:3], axis=0, keepdims=True)
+        return x.at[:3].set(x[:3] - gray)
+
+
+class HybridLowPassView(BaseView):
+    """Inverse keeps the low-frequency band (`view_hybrid.py:40-66`)."""
+
+    def __init__(self, sigma: float = 2.0, kernel_size: int = 33):
+        self.sigma, self.kernel_size = sigma, kernel_size
+
+    def view(self, x):
+        return x
+
+    def inverse_view(self, x):
+        return x.at[:3].set(_scaled_blur(x[:3], self.sigma, self.kernel_size))
+
+
+class HybridHighPassView(HybridLowPassView):
+    def inverse_view(self, x):
+        return x.at[:3].set(x[:3] - _scaled_blur(x[:3], self.sigma, self.kernel_size))
+
+
+class TripleHybridLowPassView(BaseView):
+    def __init__(self, sigma_1: float = 1.0, sigma_2: float = 4.0, kernel_size: int = 33):
+        self.sigma_1, self.sigma_2, self.kernel_size = sigma_1, sigma_2, kernel_size
+
+    def view(self, x):
+        return x
+
+    def _bands(self, x):
+        lp = _scaled_blur(x[:3], self.sigma_2, self.kernel_size)
+        mid_cut = _scaled_blur(x[:3], self.sigma_1, self.kernel_size)
+        return lp, mid_cut - lp, x[:3] - mid_cut
+
+    def inverse_view(self, x):
+        lp, _, _ = self._bands(x)
+        return x.at[:3].set(lp)
+
+
+class TripleHybridMediumPassView(TripleHybridLowPassView):
+    def inverse_view(self, x):
+        _, mp, _ = self._bands(x)
+        return x.at[:3].set(mp)
+
+
+class TripleHybridHighPassView(TripleHybridLowPassView):
+    def inverse_view(self, x):
+        _, _, hp = self._bands(x)
+        return x.at[:3].set(hp)
+
+
+class JigsawView(BaseView):
+    """Procedural jigsaw: seeded permutation + per-piece 180-degree rotations
+    over a grid. (The reference's jigsaw uses shipped piece-mask assets,
+    `views/assets/4x4/`; this variant is asset-free but equally invertible.)"""
+
+    def __init__(self, grid: int = 4, seed: int = 0):
+        self.grid = grid
+        rng = np.random.RandomState(seed)
+        self.perm = rng.permutation(grid * grid)
+        self.rots = rng.randint(0, 2, grid * grid) * 2  # 0 or 180 degrees
+
+    def _pieces(self, x):
+        c, h, w = x.shape[-3:]
+        g = self.grid
+        return x.reshape(c, g, h // g, g, w // g).transpose(1, 3, 0, 2, 4).reshape(
+            g * g, c, h // g, w // g
+        )
+
+    def _assemble(self, pieces, shape):
+        c, h, w = shape
+        g = self.grid
+        return pieces.reshape(g, g, c, h // g, w // g).transpose(2, 0, 3, 1, 4).reshape(c, h, w)
+
+    def view(self, x):
+        pieces = self._pieces(x)
+        rot = jnp.stack([
+            jnp.rot90(pieces[i], k=int(self.rots[i] // 90), axes=(-2, -1))
+            for i in range(len(self.perm))
+        ])
+        return self._assemble(rot[jnp.asarray(self.perm)], x.shape[-3:])
+
+    def inverse_view(self, x):
+        pieces = self._pieces(x)
+        inv = np.argsort(self.perm)
+        unperm = pieces[jnp.asarray(inv)]
+        unrot = jnp.stack([
+            jnp.rot90(unperm[i], k=-int(self.rots[i] // 90), axes=(-2, -1))
+            for i in range(len(self.perm))
+        ])
+        return self._assemble(unrot, x.shape[-3:])
+
+
 VIEW_MAP: Dict[str, Callable[[], BaseView]] = {
     "identity": IdentityView,
     "flip": FlipView,
@@ -196,6 +334,14 @@ VIEW_MAP: Dict[str, Callable[[], BaseView]] = {
     "pixel_permute": PixelPermuteView,
     "inner_circle": InnerCircleView,
     "square_hinge": SquareHingeView,
+    "jigsaw": JigsawView,
+    "grayscale": GrayscaleView,
+    "color": ColorView,
+    "low_pass": HybridLowPassView,
+    "high_pass": HybridHighPassView,
+    "triple_low_pass": TripleHybridLowPassView,
+    "triple_medium_pass": TripleHybridMediumPassView,
+    "triple_high_pass": TripleHybridHighPassView,
 }
 
 

@@ -18,8 +18,20 @@ from lumina_t2x_tpu.pipelines.anagrams import (
 )
 
 
+INVERTIBLE_VIEWS = [
+    "identity", "flip", "rotate_cw", "rotate_ccw", "rotate_180", "negate",
+    "skew", "patch_permute", "pixel_permute", "inner_circle", "square_hinge",
+    "jigsaw",
+]
+# factorized-diffusion views: view = identity, inverse = component projection
+FACTORIZED_VIEWS = [
+    "grayscale", "color", "low_pass", "high_pass",
+    "triple_low_pass", "triple_medium_pass", "triple_high_pass",
+]
+
+
 class TestViews:
-    @pytest.mark.parametrize("name", sorted(VIEW_MAP))
+    @pytest.mark.parametrize("name", INVERTIBLE_VIEWS)
     def test_invertibility(self, name):
         view = VIEW_MAP[name]()
         x = jax.random.normal(jax.random.PRNGKey(0), (4, 32, 32))
@@ -28,17 +40,47 @@ class TestViews:
 
     def test_views_actually_transform(self):
         x = jax.random.normal(jax.random.PRNGKey(0), (4, 32, 32))
-        for name, cls in VIEW_MAP.items():
+        for name in INVERTIBLE_VIEWS:
             if name == "identity":
                 continue
-            out = cls().view(x)
+            out = VIEW_MAP[name]().view(x)
             assert not np.allclose(np.asarray(out), np.asarray(x)), name
 
+    @pytest.mark.parametrize("name", FACTORIZED_VIEWS)
+    def test_factorized_views(self, name):
+        """view = identity (`view_hybrid.py:48-50`); inverse only touches the
+        first 3 channels and extracts a non-trivial component."""
+        view = VIEW_MAP[name]()
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 32, 32))
+        np.testing.assert_allclose(np.asarray(view.view(x)), np.asarray(x))
+        p = view.inverse_view(x)
+        np.testing.assert_allclose(np.asarray(p[3:]), np.asarray(x[3:]))  # untouched
+        assert not np.allclose(np.asarray(p[:3]), np.asarray(x[:3]))
+        # grayscale/color are true projections: idempotent
+        if name in ("grayscale", "color"):
+            np.testing.assert_allclose(
+                np.asarray(view.inverse_view(p)), np.asarray(p), atol=1e-6
+            )
+
+    def test_triple_bands_sum_to_signal(self):
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 64, 64))
+        lp = VIEW_MAP["triple_low_pass"]().inverse_view(x)
+        mp = VIEW_MAP["triple_medium_pass"]().inverse_view(x)
+        hp = VIEW_MAP["triple_high_pass"]().inverse_view(x)
+        total = np.asarray(lp[:3]) + np.asarray(mp[:3]) + np.asarray(hp[:3])
+        np.testing.assert_allclose(total, np.asarray(x[:3]), atol=1e-4)
+
+    def test_gray_plus_color_is_identity(self):
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 16, 16))
+        g = VIEW_MAP["grayscale"]().inverse_view(x)
+        c = VIEW_MAP["color"]().inverse_view(x)
+        np.testing.assert_allclose(np.asarray(g[:3] + c[:3]), np.asarray(x[:3]), atol=1e-6)
+
     def test_factory(self):
-        views = get_anagrams_views(["identity", "rotate_cw"])
-        assert len(views) == 2
+        views = get_anagrams_views(["identity", "rotate_cw", "jigsaw"])
+        assert len(views) == 3
         with pytest.raises(NotImplementedError):
-            get_anagrams_views(["jigsaw"])
+            get_anagrams_views(["no_such_view"])
 
 
 class TestAnagramSolvers:
