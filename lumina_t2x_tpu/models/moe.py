@@ -92,7 +92,14 @@ class TimeMoEFFN(nn.Module):
 
 class SpaceMoEFFN(nn.Module):
     """Per-token top-k expert SwiGLU with static-capacity dispatch
-    (`models2.py:480-506`)."""
+    (`models2.py:480-506`).
+
+    With `ep_axis` set, the stacked expert weights and the (E, C, d) expert
+    compute shard over that mesh axis — true expert parallelism: GSPMD turns
+    the dispatch/combine einsums into the all-to-all exchanges over ICI that
+    the reference's serial per-rank expert loop never had (SURVEY.md §2.1:
+    "no expert-parallel dispatch").
+    """
 
     dim: int
     multiple_of: int = 256
@@ -100,6 +107,7 @@ class SpaceMoEFFN(nn.Module):
     num_experts: int = 4
     num_experts_per_tok: int = 2
     capacity_factor: float = 2.0
+    ep_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -130,9 +138,20 @@ class SpaceMoEFFN(nn.Module):
         dispatch = keep[..., None] * jax.nn.one_hot(pos, capacity, dtype=jnp.float32)  # (T,E,C)
 
         expert_in = jnp.einsum("tec,td->ecd", dispatch.astype(x.dtype), xt)  # (E, C, d)
+        if self.ep_axis is not None:
+            from jax.sharding import PartitionSpec as _P
+
+            expert_in = jax.lax.with_sharding_constraint(expert_in, _P(self.ep_axis))
+            w1 = jax.lax.with_sharding_constraint(w1, _P(self.ep_axis))
+            w3 = jax.lax.with_sharding_constraint(w3, _P(self.ep_axis))
+            w2 = jax.lax.with_sharding_constraint(w2, _P(self.ep_axis))
         h1 = jnp.einsum("ecd,edh->ech", expert_in, w1)
         h3 = jnp.einsum("ecd,edh->ech", expert_in, w3)
         expert_out = jnp.einsum("ech,ehd->ecd", nn.silu(h1) * h3, w2)  # (E, C, d)
+        if self.ep_axis is not None:
+            from jax.sharding import PartitionSpec as _P
+
+            expert_out = jax.lax.with_sharding_constraint(expert_out, _P(self.ep_axis))
         out = jnp.einsum("tec,ecd->td", (dispatch * combine_w[..., None]).astype(x.dtype), expert_out)
         return out.reshape(b, s, d)
 
@@ -157,6 +176,7 @@ class NextDiTMoEBlock(nn.Module):
     num_experts: int = 8
     num_experts_per_tok: int = 2
     capacity_factor: float = 2.0
+    ep_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
 
@@ -196,7 +216,7 @@ class NextDiTMoEBlock(nn.Module):
                 eps=self.norm_eps, name="ffn_norm_time"
             )(t_out)
             s_out = SpaceMoEFFN(**moe_kwargs, capacity_factor=self.capacity_factor,
-                                name="feed_forward_space")(
+                                ep_axis=self.ep_axis, name="feed_forward_space")(
                 modulate(RMSNorm(eps=self.norm_eps, name="ffn_norm_space1")(x), scale_s)
             )
             x = x + jnp.tanh(gate_s)[:, None, :].astype(x.dtype) * RMSNorm(
@@ -210,7 +230,7 @@ class NextDiTMoEBlock(nn.Module):
             ffn_out = TimeMoEFFN(**moe_kwargs, name="feed_forward")(h, time_input)
         elif self.moe_mode == "space":
             ffn_out = SpaceMoEFFN(**moe_kwargs, capacity_factor=self.capacity_factor,
-                                  name="feed_forward")(h)
+                                  ep_axis=self.ep_axis, name="feed_forward")(h)
         else:
             ffn_out = FeedForward(
                 dim=self.dim, hidden_dim=4 * self.dim, multiple_of=self.multiple_of,
@@ -249,6 +269,7 @@ class NextDiTMoE(nn.Module):
     num_experts: int = 8
     num_experts_per_tok: int = 2
     capacity_factor: float = 2.0
+    ep_axis: Optional[str] = None
     rope_theta: float = 10000.0
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
@@ -293,7 +314,8 @@ class NextDiTMoE(nn.Module):
             multiple_of=self.multiple_of, ffn_dim_multiplier=self.ffn_dim_multiplier,
             norm_eps=self.norm_eps, qk_norm=self.qk_norm, moe_mode=self.moe_mode,
             num_experts=self.num_experts, num_experts_per_tok=self.num_experts_per_tok,
-            capacity_factor=self.capacity_factor, dtype=self.dtype, attn_impl=self.attn_impl,
+            capacity_factor=self.capacity_factor, ep_axis=self.ep_axis,
+            dtype=self.dtype, attn_impl=self.attn_impl,
         )
         if self.scan_blocks:
             block_cls = _ScannedMoEBlock

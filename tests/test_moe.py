@@ -150,3 +150,24 @@ class TestNextDiTMoE:
         step = make_train_step(model, transport, opt, cond)
         state, metrics = jax.jit(step)(state, batch, jax.random.PRNGKey(1))
         assert np.isfinite(float(metrics["loss"]))
+
+
+class TestExpertParallel:
+    def test_ep_matches_unsharded(self):
+        """Expert-parallel SpaceMoE under a mesh must match the unsharded
+        result exactly."""
+        from lumina_t2x_tpu.parallel import create_mesh
+
+        mesh = create_mesh(model_parallel_size=4)
+        d, e, k = 16, 4, 2
+        ref_layer = SpaceMoEFFN(dim=d, multiple_of=8, num_experts=e,
+                                num_experts_per_tok=k, capacity_factor=4.0)
+        ep_layer = SpaceMoEFFN(dim=d, multiple_of=8, num_experts=e,
+                               num_experts_per_tok=k, capacity_factor=4.0,
+                               ep_axis="model")
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, d))
+        params = ref_layer.init(jax.random.PRNGKey(1), x)
+        ref = ref_layer.apply(params, x)
+        with jax.set_mesh(mesh):
+            out = jax.jit(lambda p, xx: ep_layer.apply(p, xx))(params, x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
