@@ -264,3 +264,43 @@ class TestVQModel1D:
 
         g = jax.grad(f)(z)
         assert np.any(np.asarray(g) != 0)  # straight-through passes grads
+
+
+class TestAudioTrainer:
+    def test_synthetic_training_runs(self, tmp_path):
+        from lumina_t2x_tpu.pipelines.train_audio import main
+
+        state = main([
+            "--task", "music",
+            "--data_path", "synthetic://",
+            "--results_dir", str(tmp_path),
+            "--latent_channels", "8", "--latent_length", "16",
+            "--context_dim", "16", "--context_len", "4",
+            "--hidden_size", "32", "--depth", "1", "--num_heads", "4",
+            "--global_batch_size", "8",
+            "--max_steps", "2", "--log_every", "1", "--ckpt_every", "2",
+            "--precision", "fp32",
+        ])
+        assert int(state.step) == 2
+        assert (tmp_path / "music" / "checkpoints" / "0000002").exists()
+
+    def test_npy_data_pipeline(self, tmp_path):
+        import numpy as np
+
+        from lumina_t2x_tpu.pipelines.train_audio import npy_audio_batches, parse_args
+
+        (tmp_path / "latents").mkdir()
+        (tmp_path / "captions").mkdir()
+        for i in range(3):
+            np.save(tmp_path / "latents" / f"{i}.npy",
+                    np.random.randn(8, 10).astype(np.float32))
+            np.save(tmp_path / "captions" / f"{i}.npy",
+                    np.random.randn(3, 16).astype(np.float32))
+        args = parse_args([
+            "--data_path", str(tmp_path), "--latent_channels", "8",
+            "--latent_length", "16", "--context_dim", "16", "--context_len", "4",
+            "--global_batch_size", "4",
+        ])
+        batch = next(npy_audio_batches(args))
+        assert batch["x"].shape == (4, 8, 16)  # padded to latent_length
+        assert batch["context"].shape == (4, 4, 16)
