@@ -245,8 +245,11 @@ class Attention(nn.Module):
             yk = yk.reshape(b, ly, n_kv, head_dim)
             yv = yv.reshape(b, ly, n_kv, head_dim)
             gate = self.param("gate", nn.initializers.zeros, (self.n_heads,), jnp.float32)
-            # cross-attn always uses the default 1/sqrt(d) scale (`model.py:427-432`)
-            out_y = sdpa(xq, yk, yv, kv_mask=y_mask)
+            # cross-attn always uses the default 1/sqrt(d) scale
+            # (`model.py:427-432`); routed through the flash kernel on TPU —
+            # the XLA path materializes (B, H, Sq, Ly) fp32 logits in HBM,
+            # which dominates cross-attn time at 4k tokens.
+            out_y = attention_op(xq, yk, yv, kv_mask=y_mask, impl=self.attn_impl)
             out = out + out_y * jnp.tanh(gate).astype(out.dtype)[None, None, :, None]
 
         out = out.reshape(b, s, self.n_heads * head_dim)
