@@ -378,3 +378,32 @@ class TestFlashBackwardKernels:
                            np.asarray(q, np.float64)) * 0.35355
         ref_lse = np.log(np.exp(logits).sum(-1))  # (b, h, q)
         np.testing.assert_allclose(np.asarray(lse[..., 0]), ref_lse, atol=1e-4)
+
+
+class TestFlashCrossAttention:
+    """Sq != Sk (caption cross-attention shapes) through the Pallas kernel."""
+
+    def test_cross_shapes_match_sdpa(self):
+        q = jax.random.normal(jax.random.PRNGKey(0), (2, 100, 4, 16))
+        k = jax.random.normal(jax.random.PRNGKey(1), (2, 24, 4, 16))
+        v = jax.random.normal(jax.random.PRNGKey(2), (2, 24, 4, 16))
+        mask = jnp.ones((2, 24), jnp.int32).at[:, 17:].set(0)
+        out = flash_attention(q, k, v, kv_mask=mask)
+        ref = sdpa(q, k, v, kv_mask=mask)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+    def test_cross_backward(self):
+        q = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 4, 8))
+        k = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 4, 8))
+        v = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 4, 8))
+        gf = jax.grad(lambda kk: flash_attention(q, kk, v).sum())(k)
+        gr = jax.grad(lambda kk: sdpa(q, kk, v).sum())(k)
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=5e-3)
+
+    def test_cross_gqa(self):
+        q = jax.random.normal(jax.random.PRNGKey(0), (1, 48, 8, 8))
+        k = jax.random.normal(jax.random.PRNGKey(1), (1, 12, 2, 8))
+        v = jax.random.normal(jax.random.PRNGKey(2), (1, 12, 2, 8))
+        out = flash_attention(q, k, v)
+        ref = sdpa(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
