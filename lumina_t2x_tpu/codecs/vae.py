@@ -46,10 +46,6 @@ class DiagonalGaussian:
                              axis=tuple(range(1, self.mean.ndim)))
 
 
-def _gn(x, name_scope, norm_groups=32):
-    return nn.GroupNorm(num_groups=norm_groups, epsilon=1e-6, name=name_scope)(x)
-
-
 class ResnetBlock(nn.Module):
     out_ch: int
     dtype: jnp.dtype = jnp.float32

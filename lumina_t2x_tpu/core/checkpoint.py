@@ -222,7 +222,6 @@ def export_next_dit_weights(params: Dict[str, Any], scan_layers: bool = True) ->
         for i in range(n_layers):
             for k in layer_keys:
                 sub = k[len("layers/"):]
-                tname = sub.replace("/", ".").replace(".kernel", ".weight").replace(".bias", ".bias")
                 arr = flat[k][i]
                 if sub.endswith("kernel"):
                     name = "layers.%d.%s" % (i, sub[: -len("/kernel")].replace("/", "."))

@@ -84,10 +84,8 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-@functools.partial(
-    jax.jit, static_argnames=("scale", "block_q", "block_k", "logits_dtype_unused")
-)
-def _flash_attention_fwd_impl(q, k, v, kv_mask, scale, block_q, block_k, logits_dtype_unused=None):
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
+def _flash_attention_fwd_impl(q, k, v, kv_mask, scale, block_q, block_k):
     """q: (B, Sq, Hq, D); k/v: (B, Sk, Hkv, D); kv_mask: (B, Sk) int32."""
     b, sq, hq, d = q.shape
     _, sk, hkv, _ = k.shape

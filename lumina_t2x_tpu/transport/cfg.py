@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Callable
 
+import jax
 import jax.numpy as jnp
 
 
@@ -48,8 +49,6 @@ def cfg_interval_wrapper(model_fn: Callable, cfg_scale: float, num_cfg_channels:
     unguided = cfg_wrapper(model_fn, 1.0, num_cfg_channels)
 
     def fn(x, t):
-        import jax
-
         active = jnp.logical_and(t[0] >= t_low, t[0] <= t_high)
         return jax.lax.cond(active, lambda xx: guided(xx, t), lambda xx: unguided(xx, t), x)
 
