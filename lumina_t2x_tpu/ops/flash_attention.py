@@ -386,8 +386,9 @@ def _flash_bwd_impl(q, k, v, kv_mask, out, lse, g, scale, block_q, block_k):
 def _pick_blocks(sq: int, sk: int, d: int):
     import os
 
-    # defaults tuned on v5e at 4k tokens (1024/2048 beats 512/1024 by ~4.5%
-    # end-to-end); overridable for sweeps
+    # defaults tuned END-TO-END on v5e at 4k tokens: 1024/2048 gives
+    # 621 ms/step vs 627 (512/1024) and 630 (512/4096 — faster in isolation
+    # but worse scheduled into the full graph); overridable for sweeps
     block_q = int(os.environ.get("LUMINA_FLASH_BQ", 0)) or min(1024, _round_up(sq, 128))
     block_k = int(os.environ.get("LUMINA_FLASH_BK", 0)) or min(2048, _round_up(sk, 128))
     return min(block_q, _round_up(sq, 128)), min(block_k, _round_up(sk, 128))
