@@ -195,6 +195,65 @@ def import_next_dit_weights(state_dict: Dict[str, np.ndarray], n_layers: int,
     return params
 
 
+def import_flag_dit_weights(state_dict: Dict[str, np.ndarray], n_layers: int,
+                            scan_layers: bool = True) -> Dict[str, Any]:
+    """Map a reference Flag-DiT (5B text) state_dict
+    (`lumina_t2i/models/model.py:665-991`) onto our `models/flag_dit.py`
+    tree: pre-norm blocks (single attention_norm/ffn_norm), 6-chunk adaLN,
+    [eol] token. The reference's `pad_token` (list-path padding) and
+    `freqs_cis` buffer have no counterpart here and are skipped."""
+    sd = state_dict
+    params: Dict[str, Any] = {
+        "x_embedder": _torch_linear(sd, "x_embedder"),
+        "eol_token": sd["eol_token"],
+        "t_embedder": {
+            "mlp_0": _torch_linear(sd, "t_embedder.mlp.0"),
+            "mlp_2": _torch_linear(sd, "t_embedder.mlp.2"),
+        },
+        "cap_embedder": {
+            "norm": {"weight": sd["cap_embedder.0.weight"], "bias": sd["cap_embedder.0.bias"]},
+            "proj": _torch_linear(sd, "cap_embedder.1"),
+        },
+        "final_layer": {
+            "linear": _torch_linear(sd, "final_layer.linear"),
+            "adaLN_modulation": _torch_linear(sd, "final_layer.adaLN_modulation.1"),
+        },
+    }
+
+    def layer_params(i):
+        pre = f"layers.{i}"
+        p = {
+            "adaLN_modulation": _torch_linear(sd, f"{pre}.adaLN_modulation.1"),
+            "attention_norm": {"weight": sd[f"{pre}.attention_norm.weight"]},
+            "ffn_norm": {"weight": sd[f"{pre}.ffn_norm.weight"]},
+            "attention_y_norm": {"weight": sd[f"{pre}.attention_y_norm.weight"]},
+            "attention": {
+                name: _torch_linear(sd, f"{pre}.attention.{name}", has_bias=False)
+                for name in ("wq", "wk", "wv", "wo", "wk_y", "wv_y")
+            },
+            "feed_forward": {
+                name: _torch_linear(sd, f"{pre}.feed_forward.{name}", has_bias=False)
+                for name in ("w1", "w2", "w3")
+            },
+        }
+        p["attention"]["gate"] = sd[f"{pre}.attention.gate"]
+        for norm in ("q_norm", "k_norm", "ky_norm"):
+            if f"{pre}.attention.{norm}.weight" in sd:
+                p["attention"][norm] = {
+                    "weight": sd[f"{pre}.attention.{norm}.weight"],
+                    "bias": sd[f"{pre}.attention.{norm}.bias"],
+                }
+        return p
+
+    per_layer = [layer_params(i) for i in range(n_layers)]
+    if scan_layers:
+        params["layers"] = jax.tree.map(lambda *xs: np.stack(xs), *per_layer)
+    else:
+        for i, p in enumerate(per_layer):
+            params[f"layers_{i}"] = p
+    return params
+
+
 def export_next_dit_weights(params: Dict[str, Any], scan_layers: bool = True) -> Dict[str, np.ndarray]:
     """Inverse of import_next_dit_weights: our tree -> reference-style
     state_dict (for the `lumina convert` parity, `entry_point.py:115-156`)."""

@@ -187,3 +187,68 @@ class TestTorchImport:
         save_safetensors(sd, p)
         loaded = load_torch_state_dict(p)
         np.testing.assert_allclose(loaded["x_embedder.weight"], sd["x_embedder.weight"])
+
+
+class TestFlagDiTImport:
+    def _fake_flag_dit_sd(self, dim=64, n_layers=2, n_heads=4, cap_dim=32,
+                          multiple_of=16, qk_norm=True):
+        rng = np.random.RandomState(0)
+        hidden = int(2 * 4 * dim / 3)
+        hidden = multiple_of * ((hidden + multiple_of - 1) // multiple_of)
+        cond = min(dim, 1024)
+        sd = {}
+
+        def lin(name, i, o, bias=True):
+            sd[f"{name}.weight"] = rng.randn(o, i).astype(np.float32) * 0.02
+            if bias:
+                sd[f"{name}.bias"] = np.zeros(o, np.float32)
+
+        lin("x_embedder", 4 * 4, dim)
+        sd["eol_token"] = rng.randn(dim).astype(np.float32) * 0.02
+        sd["pad_token"] = rng.randn(dim).astype(np.float32)  # skipped
+        lin("t_embedder.mlp.0", 256, cond)
+        lin("t_embedder.mlp.2", cond, cond)
+        sd["cap_embedder.0.weight"] = np.ones(cap_dim, np.float32)
+        sd["cap_embedder.0.bias"] = np.zeros(cap_dim, np.float32)
+        lin("cap_embedder.1", cap_dim, cond)
+        lin("final_layer.linear", dim, 4 * 8)
+        lin("final_layer.adaLN_modulation.1", cond, 2 * dim)
+        for i in range(n_layers):
+            pre = f"layers.{i}"
+            lin(f"{pre}.adaLN_modulation.1", cond, 6 * dim)
+            sd[f"{pre}.attention_norm.weight"] = np.ones(dim, np.float32)
+            sd[f"{pre}.ffn_norm.weight"] = np.ones(dim, np.float32)
+            sd[f"{pre}.attention_y_norm.weight"] = np.ones(cap_dim, np.float32)
+            for nm in ("wq", "wk", "wv", "wo"):
+                lin(f"{pre}.attention.{nm}", dim, dim, bias=False)
+            for nm in ("wk_y", "wv_y"):
+                lin(f"{pre}.attention.{nm}", cap_dim, dim, bias=False)
+            sd[f"{pre}.attention.gate"] = np.zeros(n_heads, np.float32)
+            if qk_norm:
+                for nm, d in (("q_norm", dim), ("k_norm", dim), ("ky_norm", dim)):
+                    sd[f"{pre}.attention.{nm}.weight"] = np.ones(d, np.float32)
+                    sd[f"{pre}.attention.{nm}.bias"] = np.zeros(d, np.float32)
+            lin(f"{pre}.feed_forward.w1", dim, hidden, bias=False)
+            lin(f"{pre}.feed_forward.w2", hidden, dim, bias=False)
+            lin(f"{pre}.feed_forward.w3", dim, hidden, bias=False)
+        return sd
+
+    def test_import_structure_and_forward(self):
+        from lumina_t2x_tpu.core.checkpoint import import_flag_dit_weights
+        from lumina_t2x_tpu.models.flag_dit import FlagDiT
+
+        sd = self._fake_flag_dit_sd()
+        params = import_flag_dit_weights(sd, n_layers=2, scan_layers=True)
+        model = FlagDiT(dim=64, n_layers=2, n_heads=4, multiple_of=16,
+                        cap_feat_dim=32, qk_norm=True, attn_impl="xla")
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 16, 16))
+        t = jnp.full((2,), 0.5)
+        cap = jax.random.normal(jax.random.PRNGKey(1), (2, 7, 32))
+        mask = jnp.ones((2, 7), jnp.int32)
+        ref = model.init(jax.random.PRNGKey(2), x, t, cap, mask)["params"]
+        ref_shapes = jax.tree.map(np.shape, ref)
+        got_shapes = jax.tree.map(np.shape, params)
+        assert jax.tree.structure(ref_shapes) == jax.tree.structure(got_shapes)
+        assert ref_shapes == got_shapes
+        out = model.apply({"params": params}, x, t, cap, mask)
+        assert out.shape == x.shape and np.all(np.isfinite(np.asarray(out)))
