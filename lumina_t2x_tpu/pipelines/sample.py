@@ -53,6 +53,9 @@ def parse_args(argv=None):
     p.add_argument("--train_res", type=int, default=1024)
     p.add_argument("--debug", action="store_true", help="random weights, no checkpoint needed")
     p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--num_fid_samples", type=int, default=0,
+                   help="class-cond: sample N images over random classes and dump an "
+                        "ADM-evaluator-format npz (the reference's FID workflow)")
     return p.parse_args(argv)
 
 
@@ -108,11 +111,16 @@ def main(argv=None):
             time_shifting_factor=args.time_shifting_factor
             if args.time_shifting_factor != 1.0 else None,
         ))
-        t_start = time.time()
-        latents = sample_fn(variables, rng, y)
-        jax.block_until_ready(latents)
-        _save_outputs(latents, args, manifest, [str(l) for l in labels])
-        print(f"sampled {len(labels)} class-conditional images in {time.time() - t_start:.2f}s")
+        if args.num_fid_samples > 0:
+            path = _sample_fid_npz(args, model, variables, sample_fn, rng)
+            manifest["items"].append({"fid_npz": path, "n": args.num_fid_samples})
+        else:
+            t_start = time.time()
+            latents = sample_fn(variables, rng, y)
+            jax.block_until_ready(latents)
+            _save_outputs(latents, args, manifest, [str(l) for l in labels])
+            print(f"sampled {len(labels)} class-conditional images in "
+                  f"{time.time() - t_start:.2f}s")
     else:
         prompts = ["a photo of an astronaut riding a horse"]
         if args.caption_path:
@@ -160,6 +168,46 @@ def main(argv=None):
     with open(info_path, "w") as f:
         json.dump(manifest, f, indent=2, default=str)
     return manifest
+
+
+def _sample_fid_npz(args, model, variables, sample_fn, rng):
+    """Batch-sample N images over uniform random classes and dump the
+    ADM-evaluator npz format (`arr_0` uint8 (N, H, W, 3)) — the reference's
+    ImageNet FID workflow (`Next-DiT-ImageNet/README.md:19-22` tables are
+    computed by OpenAI's evaluator over such an npz). Without VAE weights the
+    latents are saved instead (`arr_0` float32 (N, C, h, w))."""
+    n = args.num_fid_samples
+    b = max(args.batch_size, 1)
+    rng_np = np.random.default_rng(args.seed)
+    decode = None
+    if args.vae_ckpt:
+        from ..codecs.vae import AutoencoderKL, decode_from_latent, import_autoencoder_kl_weights
+        from ..core.checkpoint import load_torch_state_dict
+
+        vae = AutoencoderKL()
+        vv = {"params": import_autoencoder_kl_weights(load_torch_state_dict(args.vae_ckpt))}
+        decode = jax.jit(lambda z: decode_from_latent(vae, vv, z, args.vae))
+
+    out_batches = []
+    done = 0
+    while done < n:
+        labels = jnp.asarray(rng_np.integers(0, model.num_classes, (b,)), jnp.int32)
+        latents = sample_fn(variables, jax.random.fold_in(jax.random.PRNGKey(args.seed), done),
+                            labels)
+        if decode is not None:
+            imgs = np.asarray(decode(latents))
+            imgs = np.clip((imgs + 1) / 2 * 255, 0, 255).astype(np.uint8).transpose(0, 2, 3, 1)
+            out_batches.append(imgs)
+        else:
+            out_batches.append(np.asarray(latents, np.float32))
+        done += b
+        if done % max(b * 10, 1) == 0:
+            print(f"fid sampling: {done}/{n}")
+    arr = np.concatenate(out_batches)[:n]
+    path = os.path.join(args.image_save_path, f"samples_{n}x{arr.shape[1]}x{arr.shape[2]}.npz")
+    np.savez(path, arr_0=arr)
+    print(f"saved FID batch to {path}")
+    return path
 
 
 def _save_outputs(latents, args, manifest, names: List[str], res_tag: str = ""):

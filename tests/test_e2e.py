@@ -202,3 +202,27 @@ class TestCLI:
 
         back = load_torch_state_dict(str(tmp_path / "back.safetensors"))
         np.testing.assert_allclose(back["x_embedder.weight"], sd["x_embedder.weight"])
+
+
+class TestFIDSampling:
+    def test_fid_npz_dump(self, tmp_path):
+        _tiny_overrides()
+        from lumina_t2x_tpu.pipelines.sample import main
+
+        main([
+            "--model", "NextDiT_ImageNet_600M_patch2",
+            "--labels", "0",
+            "--resolution", "1:64x64",
+            "--num_sampling_steps", "2",
+            "--image_save_path", str(tmp_path),
+            "--precision", "fp32",
+            "--num_fid_samples", "5",
+            "--batch_size", "2",
+            "--debug",
+        ])
+        import glob
+
+        files = glob.glob(str(tmp_path / "samples_5x*.npz"))
+        assert files, "npz not written"
+        arr = np.load(files[0])["arr_0"]
+        assert arr.shape[0] == 5
