@@ -83,6 +83,47 @@ def save_wav(waveform: np.ndarray, path: str, sample_rate: int = 16000):
     return path
 
 
+def build_audio_gradio_ui(gen: "GenSamples", *, task: str = "music",
+                          sample_rate: int = 16000, struct_captions: bool = False,
+                          text_encode_fn=None, ctx_dim: int = 1024):
+    """Gradio UI for audio/music generation (`lumina_music/demo_music.py:40-392`;
+    the audio variant adds a structured-caption input, `demo_audio.py`).
+    Raises ImportError without gradio."""
+    import gradio as gr
+
+    def encode(prompt):
+        if text_encode_fn is not None:
+            return text_encode_fn([prompt]), text_encode_fn([""])
+        ly = 16
+        cond = np.random.default_rng(abs(hash(prompt)) % 2**31).standard_normal(
+            (1, ly, ctx_dim)).astype(np.float32)
+        return jnp.asarray(cond), jnp.zeros((1, ly, ctx_dim))
+
+    def on_submit(prompt, use_struct, guidance, steps, seed):
+        text = natural_to_structured(prompt) if (use_struct and task == "audio") else prompt
+        cond, uncond = encode(text)
+        gen.guidance_scale = float(guidance)
+        gen.num_steps = int(steps)
+        mel, wav = gen.gen_test_sample(jax.random.PRNGKey(int(seed)), cond, uncond)
+        if wav is None:
+            return None, text
+        return (sample_rate, wav[0]), text
+
+    with gr.Blocks() as demo:
+        gr.Markdown(f"# Lumina Text-to-{task.capitalize()} (TPU)")
+        prompt = gr.Textbox(label="Prompt")
+        use_struct = gr.Checkbox(value=struct_captions, label="Structured caption (audio)")
+        guidance = gr.Slider(1.0, 10.0, value=3.0, label="Guidance scale")
+        steps = gr.Slider(5, 100, value=25, step=1, label="Sampling steps")
+        seed = gr.Number(value=0, label="Seed", precision=0)
+        submit = gr.Button("Generate")
+        audio_out = gr.Audio(label="Result")
+        caption_out = gr.Textbox(label="Effective caption")
+        submit.click(on_submit, [prompt, use_struct, guidance, steps, seed],
+                     [audio_out, caption_out])
+    return demo
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="lumina audio/music generation (TPU)")
     p.add_argument("--task", choices=["music", "audio"], default="music")
