@@ -1,0 +1,13 @@
+from .fid import (
+    compute_statistics,
+    frechet_distance,
+    fid_from_feature_batches,
+    inception_score,
+    load_adm_npz,
+    precision_recall,
+)
+
+__all__ = [
+    "compute_statistics", "frechet_distance", "fid_from_feature_batches",
+    "inception_score", "precision_recall", "load_adm_npz",
+]
