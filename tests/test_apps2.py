@@ -105,3 +105,35 @@ class TestCompositionalApp:
             "--debug",
         ])
         assert os.path.exists(out)
+
+
+class TestEncodeLatents:
+    def test_encode_tool(self, tmp_path):
+        import json as _json
+
+        from PIL import Image as _Image
+
+        from lumina_t2x_tpu.pipelines.encode_latents import main
+
+        imgdir = tmp_path / "imgs"
+        imgdir.mkdir()
+        ann = []
+        for i in range(3):
+            p = imgdir / f"{i}.png"
+            _Image.new("RGB", (64, 64), (i * 50, 20, 20)).save(p)
+            ann.append({"path": str(p), "prompt": f"img {i}"})
+        annfile = tmp_path / "ann.json"
+        annfile.write_text(_json.dumps(ann))
+        cfg = tmp_path / "data.yaml"
+        cfg.write_text(_json.dumps({"META": [{"path": str(annfile)}]}))
+
+        out = main([
+            "--data_path", str(cfg), "--out", str(tmp_path / "enc"),
+            "--image_size", "64", "--precision", "fp32", "--limit", "3",
+        ])
+        assert os.path.exists(os.path.join(out, "latents", "0.npy"))
+        assert os.path.exists(os.path.join(out, "captions", "2.npy"))
+        idx = _json.loads(open(os.path.join(out, "index.json")).read())
+        assert len(idx) == 3
+        z = np.load(os.path.join(out, "latents", "0.npy"))
+        assert z.shape[0] == 4  # latent channels
