@@ -78,6 +78,44 @@ class T2IItemProcessor(ItemProcessor):
         return image, text
 
 
+class TokenizedT2IItemProcessor(ItemProcessor):
+    """Dataset-side tokenization (the lumina_t2i 5B pattern,
+    `lumina_t2i/train.py:56-93`): caption -> (image, token_ids, token_mask)
+    with bos/eos, fixed max_words (default 128), zero-padded (padded tokens
+    are masked out downstream), and text dropout applied before tokenizing.
+    """
+
+    def __init__(self, transform, tokenizer, text_dropout_prob: float = 0.0,
+                 max_words: int = 128):
+        self.transform = transform
+        self.tokenizer = tokenizer
+        self.text_dropout_prob = text_dropout_prob
+        self.max_words = max_words
+
+    def process_item(self, data_item, training_mode=False):
+        from PIL import Image
+
+        from .data_reader import read_general
+
+        if "conversations" in data_item:
+            image = Image.open(read_general(data_item["image"])).convert("RGB")
+            text = data_item["conversations"][-1]["value"]
+        else:
+            image = Image.open(read_general(data_item["path"])).convert("RGB")
+            text = data_item.get("prompt", data_item.get("caption", ""))
+        if self.transform is not None:
+            image = self.transform(image)
+        if training_mode and random.uniform(0.0, 1.0) < self.text_dropout_prob:
+            text = ""
+        ids = self.tokenizer.encode(text, truncation=False)
+        token_mask = (np.arange(self.max_words) < len(ids)).astype(np.int32)
+        if len(ids) < self.max_words:
+            ids = ids + [0] * (self.max_words - len(ids))
+        else:
+            ids = ids[: self.max_words]
+        return image, np.asarray(ids, np.int32), token_mask
+
+
 class MetaDataset:
     """YAML-meta dataset (`dataset.py:34-189`)."""
 

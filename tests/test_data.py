@@ -201,3 +201,40 @@ class TestT2IItemProcessor:
             {"image": str(img_path), "conversations": [{"value": "q"}, {"value": "a caption"}]}
         )
         assert text == "a caption"
+
+
+class TestTokenizedT2IItemProcessor:
+    class _FakeTok:
+        def encode(self, text, truncation=False):
+            return [1] + [(ord(c) % 200) + 2 for c in text] + [2]  # bos/eos style
+
+    def test_tokenize_and_pad(self, tmp_path):
+        from lumina_t2x_tpu.data.dataset import TokenizedT2IItemProcessor
+
+        img_path = tmp_path / "x.png"
+        Image.new("RGB", (8, 8)).save(img_path)
+        proc = TokenizedT2IItemProcessor(None, self._FakeTok(), max_words=16)
+        img, ids, mask = proc.process_item({"path": str(img_path), "prompt": "hello"})
+        assert ids.shape == (16,) and mask.shape == (16,)
+        assert mask.sum() == len("hello") + 2
+        assert (ids[mask.sum():] == 0).all()
+
+    def test_truncation(self, tmp_path):
+        from lumina_t2x_tpu.data.dataset import TokenizedT2IItemProcessor
+
+        img_path = tmp_path / "x.png"
+        Image.new("RGB", (8, 8)).save(img_path)
+        proc = TokenizedT2IItemProcessor(None, self._FakeTok(), max_words=4)
+        _, ids, mask = proc.process_item({"path": str(img_path), "prompt": "a very long caption"})
+        assert ids.shape == (4,) and mask.sum() == 4
+
+    def test_text_dropout(self, tmp_path):
+        from lumina_t2x_tpu.data.dataset import TokenizedT2IItemProcessor
+
+        img_path = tmp_path / "x.png"
+        Image.new("RGB", (8, 8)).save(img_path)
+        proc = TokenizedT2IItemProcessor(None, self._FakeTok(), text_dropout_prob=1.0,
+                                         max_words=8)
+        _, ids, mask = proc.process_item({"path": str(img_path), "prompt": "hello"},
+                                         training_mode=True)
+        assert mask.sum() == 2  # bos + eos only
