@@ -171,3 +171,14 @@ class TestShardedSampling:
         sharded = {"params": shard_params(mesh, variables["params"], fsdp=True)}
         out = fn(sharded, jax.random.PRNGKey(1), labels)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+class TestGlobalBatch:
+    def test_form_global_batch_single_process(self):
+        from lumina_t2x_tpu.parallel.mesh import form_global_batch
+
+        mesh = create_mesh(model_parallel_size=1)
+        batch = {"x": np.ones((8, 3), np.float32), "y": np.arange(8)}
+        out = form_global_batch(mesh, batch)
+        assert out["x"].sharding.spec == P(AXIS_DATA)
+        np.testing.assert_array_equal(np.asarray(out["y"]), np.arange(8))
