@@ -21,13 +21,14 @@ Conventions:
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.attention import default_attn_scale, sdpa
+from ..ops.attention import default_attn_scale, resolve_impl, sdpa
 from ..ops.attention import attention as attention_op
 from ..ops.norms import layer_norm as layer_norm_op
 from ..ops.norms import rms_norm
@@ -224,15 +225,30 @@ class Attention(nn.Module):
         xk = xk.reshape(b, s, n_kv, head_dim)
         xv = xv.reshape(b, s, n_kv, head_dim)
 
-        if angles is not None:
-            xq = apply_rope(xq, angles)
-            xk = apply_rope(xk, angles)
-
-        out = attention_op(
-            xq, xk, xv, kv_mask=x_mask,
-            scale=attn_scale if attn_scale is not None else default_attn_scale(head_dim),
-            impl=self.attn_impl,
+        scale = attn_scale if attn_scale is not None else default_attn_scale(head_dim)
+        impl = resolve_impl(self.attn_impl)
+        fuse_rope = (
+            angles is not None and impl == "flash" and angles.ndim == 2
+            and os.environ.get("LUMINA_FUSE_ROPE", "0") == "1"
         )
+        if fuse_rope:
+            # Fused rope+attention kernel — OFF by default: measured on v5e,
+            # XLA already fuses apply_rope into the flash wrapper's
+            # transpose/pad copy (rope+flash 6.20ms vs plain flash 6.33ms at
+            # 2B shapes), while in-kernel rotation repeats per grid step
+            # (6.90ms). Kept as an opt-in for hardware/shapes where the
+            # prologue fusion doesn't happen. NOTE: xq stays UNROTATED here —
+            # the cross-attn branch then rotates q in-kernel (rotate_k=False),
+            # matching the reference, which rotates xq before the y-branch
+            # (`model.py:367-427`).
+            from ..ops.flash_attention import flash_attention_rope
+
+            out = flash_attention_rope(xq, xk, xv, angles, kv_mask=x_mask, scale=scale)
+        else:
+            if angles is not None:
+                xq = apply_rope(xq, angles)
+                xk = apply_rope(xk, angles)
+            out = attention_op(xq, xk, xv, kv_mask=x_mask, scale=scale, impl=impl)
 
         if self.y_dim > 0 and y is not None:
             yk = nn.Dense(n_kv * head_dim, use_bias=False, kernel_init=init,
@@ -249,7 +265,15 @@ class Attention(nn.Module):
             # (`model.py:427-432`); routed through the flash kernel on TPU —
             # the XLA path materializes (B, H, Sq, Ly) fp32 logits in HBM,
             # which dominates cross-attn time at 4k tokens.
-            out_y = attention_op(xq, yk, yv, kv_mask=y_mask, impl=self.attn_impl)
+            if fuse_rope:
+                # xq is unrotated in this branch; rotate it in-kernel, keys stay
+                # unrotated (reference applies rope to xq only, never to yk)
+                from ..ops.flash_attention import flash_attention_rope
+
+                out_y = flash_attention_rope(xq, yk, yv, angles, kv_mask=y_mask,
+                                             rotate_k=False)
+            else:
+                out_y = attention_op(xq, yk, yv, kv_mask=y_mask, impl=impl)
             out = out + out_y * jnp.tanh(gate).astype(out.dtype)[None, None, :, None]
 
         out = out.reshape(b, s, self.n_heads * head_dim)

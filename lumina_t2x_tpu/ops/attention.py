@@ -108,6 +108,13 @@ def sdpa(
     return out.reshape(b, sq, hq, d).astype(q.dtype)
 
 
+def resolve_impl(impl: str) -> str:
+    """'auto' -> flash on TPU backends, xla elsewhere."""
+    if impl == "auto":
+        return "flash" if jax.default_backend() not in ("cpu",) else "xla"
+    return impl
+
+
 def attention(
     q,
     k,
@@ -123,9 +130,7 @@ def attention(
     reference's use_flash_attn flag + SDPA fallback,
     `lumina_next_t2i_mini/models/nextdit.py:328-372`).
     """
-    if impl == "auto":
-        on_tpu = jax.default_backend() not in ("cpu",)
-        impl = "flash" if on_tpu else "xla"
+    impl = resolve_impl(impl)
     if impl == "flash":
         from .flash_attention import flash_attention
 

@@ -39,45 +39,8 @@ _NEG_INF = -2.3819763e38  # most-negative bf16-representable float32
 
 
 def _flash_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale):
-    ki = pl.program_id(3)
-    nk = pl.num_programs(3)
-
-    @pl.when(ki == 0)
-    def _init():
-        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
-        l_ref[:] = jnp.zeros_like(l_ref)
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    q = q_ref[0, 0]  # (bq, D)
-    k = k_ref[0, 0]  # (bk, D)
-    v = v_ref[0, 0]  # (bk, D)
-
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (bq, bk)
-    s = s * scale
-    kmask = mask_ref[0]  # (1, bk) int32
-    s = jnp.where(kmask != 0, s, _NEG_INF)
-
-    m_prev = m_ref[:, 0:1]  # (bq, 1)
-    l_prev = l_ref[:, 0:1]
-    m_cur = jnp.max(s, axis=-1, keepdims=True)  # (bq, 1)
-    m_next = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_next)  # (bq, 1)
-    p = jnp.exp(s - m_next)  # (bq, bk)
-    l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
-
-    m_ref[:] = jnp.broadcast_to(m_next, m_ref.shape)
-    l_ref[:] = jnp.broadcast_to(l_next, l_ref.shape)
-    pv = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (bq, D)
-    acc_ref[:] = acc_ref[:] * alpha + pv
-
-    @pl.when(ki == nk - 1)
-    def _finalize():
-        denom = jnp.maximum(l_ref[:, 0:1], 1e-30)  # fully-masked rows -> 0, not NaN
-        o_ref[0, 0] = (acc_ref[:] / denom).astype(o_ref.dtype)
+    _flash_core(mask_ref, q_ref[0, 0], k_ref[0, 0], v_ref[0, 0], o_ref, m_ref, l_ref,
+                acc_ref, scale=scale)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -428,6 +391,230 @@ def _bwd(scale, res, g):
 
 
 _flash_attention.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused RoPE + flash attention
+# ---------------------------------------------------------------------------
+#
+# Opt-in (LUMINA_FUSE_ROPE=1): measured on v5e at 2B shapes, XLA already
+# fuses apply_rope into the wrapper's transpose/pad copy (rope+flash 6.20ms
+# vs plain flash 6.33ms), so the fused kernel (6.90ms — rotation repeats per
+# grid step) does NOT win there; it exists for hardware/shapes where that
+# prologue fusion is unavailable. The interleaved-pair rotation happens
+# inside the kernel on the VMEM tiles:
+#   out[2k]   = x[2k] cos_k - x[2k+1] sin_k
+#   out[2k+1] = x[2k] sin_k + x[2k+1] cos_k
+# implemented as  x * cos_full + swap_pairs(x) * sin_signed  where cos_full
+# repeats each cos twice, sin_signed = (-s0, s0, -s1, s1, ...), and
+# swap_pairs swaps adjacent lanes via two pltpu.rolls selected by lane
+# parity. The backward kernels rotate q/k the same way for the recompute and
+# inverse-rotate (negated sin) the accumulated dq/dk at finalize — rotation
+# is orthogonal, so rot^{-1} = rot(-angle).
+
+
+def _rot_tables(angles, d: int):
+    """(S, D/2) angles -> lane-expanded (S, D) float32 cos_full / sin_signed."""
+    s = angles.shape[0]
+    cos = jnp.cos(angles.astype(jnp.float32))
+    sin = jnp.sin(angles.astype(jnp.float32))
+    cos_full = jnp.repeat(cos, 2, axis=-1)
+    sin_signed = jnp.stack([-sin, sin], axis=-1).reshape(s, d)
+    return cos_full, sin_signed
+
+
+def _swap_pairs(x):
+    d = x.shape[1]
+    left = pltpu.roll(x, d - 1, 1)  # lane i <- i+1 (shift must be >= 0)
+    right = pltpu.roll(x, 1, 1)     # lane i <- i-1
+    lanes = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(lanes % 2 == 0, left, right)
+
+
+def _rotate_tile(x, cos_full, sin_signed):
+    """x (b, D) bf16/f32; tables (b, D) f32; returns x.dtype."""
+    xf = x.astype(jnp.float32)
+    out = xf * cos_full + _swap_pairs(xf) * sin_signed
+    return out.astype(x.dtype)
+
+
+def _flash_rope_kernel(mask_ref, q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
+                       o_ref, m_ref, l_ref, acc_ref, *, scale):
+    q = _rotate_tile(q_ref[0, 0], cq_ref[:], sq_ref[:])
+    k = _rotate_tile(k_ref[0, 0], ck_ref[:], sk_ref[:])
+    _flash_core(mask_ref, q, k, v_ref[0, 0], o_ref, m_ref, l_ref, acc_ref, scale=scale)
+
+
+def _flash_rope_q_kernel(mask_ref, q_ref, k_ref, v_ref, cq_ref, sq_ref,
+                         o_ref, m_ref, l_ref, acc_ref, *, scale):
+    """Query-only rotation: cross-attention, where caption keys carry no
+    positional rotation (reference rotates xq before the y-branch,
+    `lumina_next_t2i/models/model.py:367-427`)."""
+    q = _rotate_tile(q_ref[0, 0], cq_ref[:], sq_ref[:])
+    _flash_core(mask_ref, q, k_ref[0, 0], v_ref[0, 0], o_ref, m_ref, l_ref, acc_ref,
+                scale=scale)
+
+
+def _flash_core(mask_ref, q, k, v, o_ref, m_ref, l_ref, acc_ref, *, scale):
+    """Online-softmax body shared by the plain and fused-rope kernels."""
+    ki = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    s = jnp.where(mask_ref[0] != 0, s, _NEG_INF)
+    m_prev = m_ref[:, 0:1]
+    l_prev = l_ref[:, 0:1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_next = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next)
+    l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+    m_ref[:] = jnp.broadcast_to(m_next, m_ref.shape)
+    l_ref[:] = jnp.broadcast_to(l_next, l_ref.shape)
+    pv = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    acc_ref[:] = acc_ref[:] * alpha + pv
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        denom = jnp.maximum(l_ref[:, 0:1], 1e-30)
+        o_ref[0, 0] = (acc_ref[:] / denom).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k", "rotate_k"))
+def _flash_rope_fwd_impl(q, k, v, kv_mask, cos_full, sin_signed, scale, block_q, block_k,
+                         rotate_k=True):
+    """q/k unrotated; rotation fused. angles tables are (S, D) fp32.
+    rotate_k=False rotates only q (cross-attention to unrotated caption keys)."""
+    b, sq, hq, d = q.shape
+    _, sk, hkv, _ = k.shape
+    rep = hq // hkv
+    sq_p = _round_up(sq, block_q)
+    sk_p = _round_up(sk, block_k)
+
+    qt = jnp.pad(q.transpose(0, 2, 1, 3), ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
+    kt = jnp.pad(k.transpose(0, 2, 1, 3), ((0, 0), (0, 0), (0, sk_p - sk), (0, 0)))
+    vt = jnp.pad(v.transpose(0, 2, 1, 3), ((0, 0), (0, 0), (0, sk_p - sk), (0, 0)))
+    mask = jnp.pad(kv_mask.astype(jnp.int32), ((0, 0), (0, sk_p - sk)))[:, None, :]
+    cq = jnp.pad(cos_full, ((0, sq_p - sq), (0, 0)))
+    sq_t = jnp.pad(sin_signed, ((0, sq_p - sq), (0, 0)))
+
+    grid = (b, hq, sq_p // block_q, sk_p // block_k)
+    interpret = jax.default_backend() == "cpu"
+
+    in_specs = [
+        pl.BlockSpec((1, 1, block_k), lambda bi, hi, qi, ki: (bi, 0, ki),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi // rep, ki, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi // rep, ki, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_q, d), lambda bi, hi, qi, ki: (qi, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_q, d), lambda bi, hi, qi, ki: (qi, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [mask, qt, kt, vt, cq, sq_t]
+    if rotate_k:
+        kernel = _flash_rope_kernel
+        in_specs += [
+            pl.BlockSpec((block_k, d), lambda bi, hi, qi, ki: (ki, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_k, d), lambda bi, hi, qi, ki: (ki, 0), memory_space=pltpu.VMEM),
+        ]
+        operands += [
+            jnp.pad(cos_full, ((0, sk_p - sk), (0, 0))),
+            jnp.pad(sin_signed, ((0, sk_p - sk), (0, 0))),
+        ]
+    else:
+        kernel = _flash_rope_q_kernel
+
+    out = pl.pallas_call(
+        functools.partial(kernel, scale=scale),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, hq, sq_p, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            # rope tables (4x (block, D) f32) push past the default 16MB
+            # scoped-vmem limit at the tuned 1024/2048 blocks
+            vmem_limit_bytes=32 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*operands)
+    return out[:, :, :sq].transpose(0, 2, 1, 3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _flash_attention_rope(q, k, v, kv_mask, angles, scale, rotate_k):
+    d = q.shape[3]
+    cos_full, sin_signed = _rot_tables(angles, d)
+    block_q, block_k = _pick_blocks(q.shape[1], k.shape[1], d)
+    return _flash_rope_fwd_impl(q, k, v, kv_mask, cos_full, sin_signed, scale,
+                                block_q, block_k, rotate_k)
+
+
+def _rope_fwd(q, k, v, kv_mask, angles, scale, rotate_k):
+    return (_flash_attention_rope(q, k, v, kv_mask, angles, scale, rotate_k),
+            (q, k, v, kv_mask, angles))
+
+
+def _rope_bwd(scale, rotate_k, res, g):
+    """Backward: rotate q (and k if rotate_k) in XLA, run the plain flash
+    backward, inverse-rotate dq (and dk). Rotation is orthogonal, so this is
+    exact."""
+    from .rope import apply_rope
+
+    q, k, v, kv_mask, angles = res
+    q_rot = apply_rope(q, angles)
+    k_rot = apply_rope(k, angles) if rotate_k else k
+    block_q, block_k = _pick_blocks(q.shape[1], k.shape[1], q.shape[3])
+    out, lse = _flash_fwd_res_impl(q_rot, k_rot, v, kv_mask, scale, block_q, block_k)
+    bq, bk = _pick_bwd_blocks(q.shape[1], k.shape[1], q.shape[3])
+    dq_rot, dk_rot, dv = _flash_bwd_impl(q_rot, k_rot, v, kv_mask, out, lse, g, scale, bq, bk)
+    hq, hkv = q.shape[2], k.shape[2]
+    if hq != hkv:
+        b, sk, _, d = dk_rot.shape
+        rep = hq // hkv
+        dk_rot = dk_rot.reshape(b, sk, hkv, rep, d).sum(axis=3)
+        dv = dv.reshape(b, sk, hkv, rep, d).sum(axis=3)
+    dq = apply_rope(dq_rot, -angles)
+    dk = apply_rope(dk_rot, -angles) if rotate_k else dk_rot
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), None, None
+
+
+_flash_attention_rope.defvjp(_rope_fwd, _rope_bwd)
+
+
+def flash_attention_rope(q, k, v, angles, kv_mask=None, scale: Optional[float] = None,
+                         rotate_k: bool = True):
+    """Flash attention with the RoPE rotation fused into the kernel.
+
+    q/k are UNROTATED; `angles` is the (Sq, head_dim//2) fp32 angle table.
+    With rotate_k=True (self-attention, Sq == Sk) this matches
+    `flash_attention(apply_rope(q), apply_rope(k), v)` exactly; with
+    rotate_k=False (cross-attention) only q is rotated and k/v keep their
+    own (caption) length.
+    """
+    if scale is None:
+        scale = default_attn_scale(q.shape[-1])
+    if kv_mask is None:
+        kv_mask = jnp.ones((k.shape[0], k.shape[1]), jnp.int32)
+    return _flash_attention_rope(q, k, v, kv_mask, angles.astype(jnp.float32),
+                                 float(scale), bool(rotate_k))
 
 
 def flash_attention(q, k, v, kv_mask=None, scale: Optional[float] = None):

@@ -72,6 +72,29 @@ class TestNextDiT:
         out = jax.jit(lambda p, xx, tt: model.apply(p, xx, tt, cap, mask))(params, x, t)
         assert out.shape == x.shape
 
+    def test_flash_fused_rope_matches_xla(self, monkeypatch):
+        """attn_impl='flash' with LUMINA_FUSE_ROPE=1 (fused-rope Pallas path;
+        interpret mode on CPU) must match attn_impl='xla' given identical
+        randomized parameters — covers both self-attn (rotate q+k) and
+        cross-attn (rotate q only)."""
+        monkeypatch.setenv("LUMINA_FUSE_ROPE", "1")
+        mf = tiny_next_dit(attn_impl="flash")
+        mx = tiny_next_dit(attn_impl="xla")
+        x, t, cap, mask = make_inputs()
+        params = mx.init(jax.random.PRNGKey(0), x, t, cap, mask)
+        # randomize: zero-init gates/final layer would otherwise hide attention
+        leaves, treedef = jax.tree.flatten(params)
+        keys = jax.random.split(jax.random.PRNGKey(7), len(leaves))
+        params = jax.tree.unflatten(
+            treedef,
+            [0.05 * jax.random.normal(kk, l.shape, l.dtype)
+             if jnp.issubdtype(l.dtype, jnp.floating) else l
+             for kk, l in zip(keys, leaves)],
+        )
+        of = mf.apply(params, x, t, cap, mask)
+        ox = mx.apply(params, x, t, cap, mask)
+        np.testing.assert_allclose(np.asarray(of), np.asarray(ox), atol=2e-3)
+
     def test_scan_vs_loop_same_params_structure_output(self):
         """scan_blocks=True and False must produce identical outputs when the
         per-layer parameters match."""

@@ -407,3 +407,93 @@ class TestFlashCrossAttention:
         out = flash_attention(q, k, v)
         ref = sdpa(q, k, v)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+
+class TestFusedRopeFlashAttention:
+    """flash_attention_rope(q, k, v, angles) must equal
+    flash_attention(apply_rope(q), apply_rope(k), v) exactly."""
+
+    def _inputs(self, s=96, h=4, d=16, hkv=None):
+        hkv = hkv or h
+        q = jax.random.normal(jax.random.PRNGKey(0), (2, s, h, d))
+        k = jax.random.normal(jax.random.PRNGKey(1), (2, s, hkv, d))
+        v = jax.random.normal(jax.random.PRNGKey(2), (2, s, hkv, d))
+        angles = rope_angles_1d(d, jnp.arange(s))
+        return q, k, v, angles
+
+    def test_forward_parity(self):
+        from lumina_t2x_tpu.ops.flash_attention import flash_attention_rope
+
+        q, k, v, angles = self._inputs()
+        out = flash_attention_rope(q, k, v, angles)
+        ref = flash_attention(apply_rope(q, angles), apply_rope(k, angles), v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+    def test_forward_parity_2d_angles_and_mask(self):
+        from lumina_t2x_tpu.ops.flash_attention import flash_attention_rope
+
+        q, k, v, _ = self._inputs(s=64, d=8)
+        angles = rope_angles_2d(8, 8, 8).reshape(64, 4)
+        mask = jnp.ones((2, 64), jnp.int32).at[:, 50:].set(0)
+        out = flash_attention_rope(q, k, v, angles, kv_mask=mask)
+        ref = sdpa(apply_rope(q, angles), apply_rope(k, angles), v, kv_mask=mask)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+    def test_gqa(self):
+        from lumina_t2x_tpu.ops.flash_attention import flash_attention_rope
+
+        q, k, v, angles = self._inputs(s=64, h=8, d=8, hkv=2)
+        out = flash_attention_rope(q, k, v, angles)
+        ref = sdpa(apply_rope(q, angles), apply_rope(k, angles), v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+    def test_gradients(self):
+        from lumina_t2x_tpu.ops.flash_attention import flash_attention_rope
+
+        q, k, v, angles = self._inputs(s=32, d=8)
+        w = jnp.sin(jnp.arange(np.prod(q.shape), dtype=jnp.float32)).reshape(q.shape)
+
+        def loss_fused(qq, kk, vv):
+            return jnp.sum(flash_attention_rope(qq, kk, vv, angles) * w)
+
+        def loss_ref(qq, kk, vv):
+            return jnp.sum(sdpa(apply_rope(qq, angles), apply_rope(kk, angles), vv) * w)
+
+        gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b, name in zip(gf, gr, "qkv"):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3,
+                                       err_msg=f"d{name}")
+
+    def test_rotate_q_only_cross_attn(self):
+        """rotate_k=False: q rotated in-kernel, caption keys untouched —
+        matches sdpa(apply_rope(q), yk, yv) with a shorter KV length."""
+        from lumina_t2x_tpu.ops.flash_attention import flash_attention_rope
+
+        q, _, _, angles = self._inputs(s=96, h=4, d=16)
+        yk = jax.random.normal(jax.random.PRNGKey(3), (2, 24, 4, 16))
+        yv = jax.random.normal(jax.random.PRNGKey(4), (2, 24, 4, 16))
+        y_mask = jnp.ones((2, 24), jnp.int32).at[1, 10:].set(0)
+        out = flash_attention_rope(q, yk, yv, angles, kv_mask=y_mask, rotate_k=False)
+        ref = sdpa(apply_rope(q, angles), yk, yv, kv_mask=y_mask)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+    def test_rotate_q_only_gradients(self):
+        from lumina_t2x_tpu.ops.flash_attention import flash_attention_rope
+
+        q, _, _, angles = self._inputs(s=32, d=8)
+        yk = jax.random.normal(jax.random.PRNGKey(3), (2, 16, 4, 8))
+        yv = jax.random.normal(jax.random.PRNGKey(4), (2, 16, 4, 8))
+        w = jnp.cos(jnp.arange(np.prod(q.shape), dtype=jnp.float32)).reshape(q.shape)
+
+        def loss_fused(qq, kk, vv):
+            return jnp.sum(flash_attention_rope(qq, kk, vv, angles, rotate_k=False) * w)
+
+        def loss_ref(qq, kk, vv):
+            return jnp.sum(sdpa(apply_rope(qq, angles), kk, vv) * w)
+
+        gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q, yk, yv)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, yk, yv)
+        for a, b, name in zip(gf, gr, "qkv"):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3,
+                                       err_msg=f"d{name}")
