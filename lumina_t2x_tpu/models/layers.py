@@ -22,13 +22,13 @@ from __future__ import annotations
 
 import math
 import os
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.attention import default_attn_scale, resolve_impl, sdpa
+from ..ops.attention import default_attn_scale, pool_kv_2d, resolve_impl, sdpa
 from ..ops.attention import attention as attention_op
 from ..ops.norms import layer_norm as layer_norm_op
 from ..ops.norms import rms_norm
@@ -200,6 +200,13 @@ class Attention(nn.Module):
     y_dim: int = 0
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
+    # visual-anagrams `kv_merge` long-sequence trick
+    # (`visual_anagrams/models/nextdit.py:342-358`): AvgPool rotated K/V over
+    # the (gh, gw) token grid with kernel=stride=kv_merge_ratio; queries stay
+    # full length. The fork's `batch_query` chunking is numerically an
+    # identity and is subsumed by the flash kernel's KV-block streaming.
+    kv_pool_grid: Optional[Tuple[int, int]] = None
+    kv_merge_ratio: int = 1
 
     @nn.compact
     def __call__(self, x, x_mask, angles, y=None, y_mask=None, attn_scale: Optional[float] = None):
@@ -227,8 +234,10 @@ class Attention(nn.Module):
 
         scale = attn_scale if attn_scale is not None else default_attn_scale(head_dim)
         impl = resolve_impl(self.attn_impl)
+        kv_merge = self.kv_merge_ratio > 1 and self.kv_pool_grid is not None
         fuse_rope = (
             angles is not None and impl == "flash" and angles.ndim == 2
+            and not kv_merge  # pooling happens AFTER rotation — needs rotated k
             and os.environ.get("LUMINA_FUSE_ROPE", "0") == "1"
         )
         if fuse_rope:
@@ -248,7 +257,17 @@ class Attention(nn.Module):
             if angles is not None:
                 xq = apply_rope(xq, angles)
                 xk = apply_rope(xk, angles)
-            out = attention_op(xq, xk, xv, kv_mask=x_mask, scale=scale, impl=impl)
+            xk_s, xv_s, x_mask_s = xk, xv, x_mask
+            if kv_merge:
+                gh, gw = self.kv_pool_grid
+                r = self.kv_merge_ratio
+                xk_s, xv_s = pool_kv_2d(xk, xv, gh, gw, r)
+                if x_mask_s is not None:
+                    # a pooled key is valid if any source key in its window is
+                    # (the reference strides the all-ones mask, nextdit.py:359)
+                    m = x_mask_s.reshape(b, gh // r, r, gw // r, r)
+                    x_mask_s = m.max(axis=(2, 4)).reshape(b, -1)
+            out = attention_op(xq, xk_s, xv_s, kv_mask=x_mask_s, scale=scale, impl=impl)
 
         if self.y_dim > 0 and y is not None:
             yk = nn.Dense(n_kv * head_dim, use_bias=False, kernel_init=init,

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..ops.attention import default_attn_scale, proportional_attn_scale
+from ..ops.attention import anagram_attn_scale, default_attn_scale, proportional_attn_scale
 from ..ops.rope import rope_angles_2d_timeaware
 from .layers import (
     Attention,
@@ -67,6 +67,8 @@ class NextDiTBlock(nn.Module):
     y_dim: int
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
+    kv_pool_grid: Optional[Tuple[int, int]] = None
+    kv_merge_ratio: int = 1
 
     @nn.compact
     def __call__(self, x, x_mask, angles, y, y_mask, adaln_input, attn_scale=None):
@@ -78,7 +80,8 @@ class NextDiTBlock(nn.Module):
         attn_out = Attention(
             dim=self.dim, n_heads=self.n_heads, n_kv_heads=self.n_kv_heads,
             qk_norm=self.qk_norm, y_dim=self.y_dim, dtype=self.dtype,
-            attn_impl=self.attn_impl, name="attention",
+            attn_impl=self.attn_impl, kv_pool_grid=self.kv_pool_grid,
+            kv_merge_ratio=self.kv_merge_ratio, name="attention",
         )(
             modulate(RMSNorm(eps=self.norm_eps, name="attention_norm1")(x), scale_msa),
             x_mask, angles, y_normed, y_mask, attn_scale,
@@ -150,6 +153,8 @@ class NextDiT(nn.Module):
         scale_watershed: float = 1.0,
         proportional_attn: bool = False,
         base_seqlen: Optional[int] = None,
+        attn_scale_variant: str = "proportional",
+        kv_merge_ratio: int = 1,
         train: bool = False,
     ):
         """Denoise step.
@@ -235,17 +240,26 @@ class NextDiT(nn.Module):
         )
         adaln_input = t_emb + cap_emb
 
-        attn_scale = (
-            proportional_attn_scale(seq_len, base_seqlen, head_dim)
-            if proportional_attn and base_seqlen
-            else default_attn_scale(head_dim)
-        )
+        if proportional_attn and base_seqlen:
+            # visual-anagrams alters the entropy-preserving scale to
+            # log_base(seqlen)/sqrt(d) (`visual_anagrams/models/nextdit.py:333`)
+            scale_fn = (anagram_attn_scale if attn_scale_variant == "anagram"
+                        else proportional_attn_scale)
+            attn_scale = scale_fn(seq_len, base_seqlen, head_dim)
+        else:
+            attn_scale = default_attn_scale(head_dim)
+
+        if kv_merge_ratio > 1:
+            assert img_sizes is None, "kv_merge_ratio requires the uniform-grid path"
+            assert gh % kv_merge_ratio == 0 and gw % kv_merge_ratio == 0
 
         block_kwargs = dict(
             dim=self.dim, n_heads=self.n_heads, n_kv_heads=self.n_kv_heads,
             multiple_of=self.multiple_of, ffn_dim_multiplier=self.ffn_dim_multiplier,
             norm_eps=self.norm_eps, qk_norm=self.qk_norm, y_dim=self.cap_feat_dim,
             dtype=self.dtype, attn_impl=self.attn_impl,
+            kv_pool_grid=(gh, gw) if kv_merge_ratio > 1 else None,
+            kv_merge_ratio=kv_merge_ratio,
         )
         cap_feats_c = cap_feats.astype(self.dtype)
         if self.scan_blocks:
@@ -305,6 +319,8 @@ def forward_with_cfg(
     scale_watershed: float = 1.0,
     base_seqlen: Optional[int] = None,
     proportional_attn: bool = False,
+    attn_scale_variant: str = "proportional",
+    kv_merge_ratio: int = 1,
     num_cfg_channels: int = 3,
 ):
     """Duplicated-half-batch CFG forward (`model.py:866-913`).
@@ -317,6 +333,7 @@ def forward_with_cfg(
         variables, combined, t, cap_feats, cap_mask,
         rope_timestep=t[0], scale_factor=scale_factor, scale_watershed=scale_watershed,
         proportional_attn=proportional_attn, base_seqlen=base_seqlen,
+        attn_scale_variant=attn_scale_variant, kv_merge_ratio=kv_merge_ratio,
     )
     eps, rest = out[:, :num_cfg_channels], out[:, num_cfg_channels:]
     b = eps.shape[0] // 2

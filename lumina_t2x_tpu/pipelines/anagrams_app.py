@@ -49,6 +49,9 @@ def parse_args(argv=None):
     p.add_argument("--resolution", type=int, default=1024)
     p.add_argument("--proportional_attn", action="store_true")
     p.add_argument("--scaling_watershed", type=float, default=0.3)
+    p.add_argument("--kv_merge_ratio", type=int, default=1,
+                   help="AvgPool K/V over the token grid in the upscale phase "
+                        "(the fork's kv_merge trick; 1 = off, as upstream)")
     p.add_argument("--debug", action="store_true")
     return p.parse_args(argv)
 
@@ -59,7 +62,8 @@ def generate_anagram(model, variables, cap_feats_list, cap_mask_list, views, *,
                      upscale_latent: Optional[int] = None,
                      vae_encode_fn=None, vae_decode_fn=None,
                      proportional_attn: bool = False, base_seqlen: Optional[int] = None,
-                     scale_factor: float = 1.0, scale_watershed: float = 1.0):
+                     scale_factor: float = 1.0, scale_watershed: float = 1.0,
+                     kv_merge_ratio: int = 1):
     """Two-phase illusion generation (`generate.py:357-498`). Returns
     (phase-1 latents, phase-2 latents or None)."""
     rng = jax.random.PRNGKey(seed)
@@ -73,7 +77,17 @@ def generate_anagram(model, variables, cap_feats_list, cap_mask_list, views, *,
                                     cfg_scale, **extra)
         return fn
 
-    model_fns = [make_fn(cf, cm) for cf, cm in zip(cap_feats_list, cap_mask_list)]
+    # the anagrams fork replaces the proportional scale with
+    # log_base(seqlen)/sqrt(d) (`visual_anagrams/models/nextdit.py:333`) and
+    # optionally AvgPools K/V (`kv_merge`, off by default upstream); inert at
+    # the defaults (proportional off, ratio 1), so phase 1 stays faithful
+    extra = dict(
+        proportional_attn=proportional_attn, base_seqlen=base_seqlen,
+        scale_factor=scale_factor, scale_watershed=scale_watershed,
+        attn_scale_variant="anagram", kv_merge_ratio=kv_merge_ratio,
+    )
+    model_fns = [make_fn(cf, cm, kv_merge_ratio=kv_merge_ratio)
+                 for cf, cm in zip(cap_feats_list, cap_mask_list)]
     z = jax.random.normal(rng, (1, 4, base_latent, base_latent))
     z = jnp.concatenate([z, z], axis=0)
     phase1 = anagram_init_phase(model_fns, views, z, ts)
@@ -89,10 +103,6 @@ def generate_anagram(model, variables, cap_feats_list, cap_mask_list, views, *,
     guidance = tiled_encode(vae_encode_fn, img_up)
     guidance = jnp.concatenate([guidance, guidance], axis=0)
 
-    extra = dict(
-        proportional_attn=proportional_attn, base_seqlen=base_seqlen,
-        scale_factor=scale_factor, scale_watershed=scale_watershed,
-    )
     model_fns_hi = [make_fn(cf, cm, **extra) for cf, cm in zip(cap_feats_list, cap_mask_list)]
     z2 = jax.random.normal(jax.random.fold_in(rng, 1), (1, 4, upscale_latent, upscale_latent))
     z2 = jnp.concatenate([z2, z2], axis=0)
@@ -169,11 +179,21 @@ def main(argv=None):
 
     variables = jax.jit(model.init)(rng, x0, jnp.zeros((2,)),
                                     cap_feats_list[0], cap_mask_list[0])
+    if args.ckpt:
+        import orbax.checkpoint as ocp
+
+        restored = ocp.StandardCheckpointer().restore(
+            os.path.join(os.path.abspath(args.ckpt), "ema"), variables["params"]
+        )
+        variables = {"params": restored}
     phase1, _ = generate_anagram(
         model, variables, cap_feats_list, cap_mask_list, views,
         base_latent=base_latent, num_steps=args.num_inference_steps,
         cfg_scale=args.cfg_scale, time_shifting_factor=args.time_shifting_factor,
-        seed=args.seed,
+        seed=args.seed, proportional_attn=args.proportional_attn,
+        base_seqlen=(args.base_res // 16) ** 2,
+        scale_watershed=args.scaling_watershed,
+        kv_merge_ratio=args.kv_merge_ratio,
     )
     sample_dir = os.path.join(args.save_dir, args.name, f"{args.seed:04d}")
     paths = save_illusion(phase1, views, sample_dir)
