@@ -113,3 +113,13 @@ class ProfilerSession:
         if self.enabled:
             jax.profiler.stop_trace()
         return False
+
+
+def enable_compile_cache(path: str = "/tmp/lumina_jax_cache"):
+    """Persistent XLA compilation cache — first compile of a large graph
+    through a remote-compile path can take minutes; subsequent process
+    launches reuse it. Call before the first jit execution."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

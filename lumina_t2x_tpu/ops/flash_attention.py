@@ -360,8 +360,11 @@ def _pick_blocks(sq: int, sk: int, d: int):
 def _pick_bwd_blocks(sq: int, sk: int, d: int):
     import os
 
-    block_q = int(os.environ.get("LUMINA_FLASH_BWD_BQ", 0)) or min(512, _round_up(sq, 128))
-    block_k = int(os.environ.get("LUMINA_FLASH_BWD_BK", 0)) or min(512, _round_up(sk, 128))
+    # swept on v5e at B2/S4096/H24(kv8)/D96: isolated bwd 512/512 17.5ms ->
+    # 1024/1024 15.5ms; e2e 600M train step 305 -> 296 ms/step; 2048-block
+    # variants VMEM-OOM. Overridable for sweeps.
+    block_q = int(os.environ.get("LUMINA_FLASH_BWD_BQ", 0)) or min(1024, _round_up(sq, 128))
+    block_k = int(os.environ.get("LUMINA_FLASH_BWD_BK", 0)) or min(1024, _round_up(sk, 128))
     return min(block_q, _round_up(sq, 128)), min(block_k, _round_up(sk, 128))
 
 
@@ -617,8 +620,18 @@ def flash_attention_rope(q, k, v, angles, kv_mask=None, scale: Optional[float] =
         scale = default_attn_scale(q.shape[-1])
     if kv_mask is None:
         kv_mask = jnp.ones((k.shape[0], k.shape[1]), jnp.int32)
+    q, scale = _fold_traced_scale(q, scale)
     return _flash_attention_rope(q, k, v, kv_mask, angles.astype(jnp.float32),
-                                 float(scale), bool(rotate_k))
+                                 scale, bool(rotate_k))
+
+
+def _fold_traced_scale(q, scale):
+    """The Pallas kernels take `scale` as a static closure constant. Under
+    nn.remat, python-float args get tensorized into 0-d tracers; fold such a
+    scale into q instead ((q*s)@k == s*(q@k)) and run the kernel at 1.0."""
+    if isinstance(scale, (int, float)):
+        return q, float(scale)
+    return q * jnp.asarray(scale, q.dtype), 1.0
 
 
 def flash_attention(q, k, v, kv_mask=None, scale: Optional[float] = None):
@@ -631,4 +644,5 @@ def flash_attention(q, k, v, kv_mask=None, scale: Optional[float] = None):
         scale = default_attn_scale(q.shape[-1])
     if kv_mask is None:
         kv_mask = jnp.ones((k.shape[0], k.shape[1]), jnp.int32)
-    return _flash_attention(q, k, v, kv_mask, float(scale))
+    q, scale = _fold_traced_scale(q, scale)
+    return _flash_attention(q, k, v, kv_mask, scale)

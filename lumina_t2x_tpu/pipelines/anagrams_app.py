@@ -156,6 +156,9 @@ def animate_two_view(img_a, img_b, save_path: str, num_frames: int = 30,
 
 
 def main(argv=None):
+    from ..core import enable_compile_cache
+
+    enable_compile_cache()
     args = parse_args(argv)
     assert len(args.prompts) == len(args.views), "Number of prompts must match number of views"
     views = get_anagrams_views(args.views)

@@ -125,6 +125,9 @@ def build_audio_gradio_ui(gen: "GenSamples", *, task: str = "music",
 
 
 def main(argv=None):
+    from ..core import enable_compile_cache
+
+    enable_compile_cache()
     p = argparse.ArgumentParser(description="lumina audio/music generation (TPU)")
     p.add_argument("--task", choices=["music", "audio"], default="music")
     p.add_argument("--prompt", type=str, required=True)

@@ -50,6 +50,9 @@ def build_compositional_sample_fn(model, *, h_split_num: int, w_split_num: int,
 
 
 def main(argv=None):
+    from ..core import enable_compile_cache
+
+    enable_compile_cache()
     p = argparse.ArgumentParser(description="compositional generation (TPU)")
     p.add_argument("--region_prompts", type=str, nargs="+", required=True)
     p.add_argument("--global_prompt", type=str, required=True)

@@ -154,6 +154,9 @@ def make_dreambooth_step(model, optimizer, prior_loss_weight: float,
 
 
 def main(argv=None):
+    from ..core import enable_compile_cache
+
+    enable_compile_cache()
     args = parse_args(argv)
     logger = create_logger(args.output_dir)
     dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32

@@ -70,6 +70,9 @@ def parse_resolution(entry: str):
 
 
 def main(argv=None):
+    from ..core import enable_compile_cache
+
+    enable_compile_cache()
     args = parse_args(argv)
     os.makedirs(args.image_save_path, exist_ok=True)
     dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32

@@ -191,6 +191,9 @@ def t2i_batches(args, text_encoder=None):
 
 
 def main(argv=None):
+    from ..core import enable_compile_cache
+
+    enable_compile_cache()
     args = parse_args(argv)
     distributed_init()
     mesh = create_mesh(args.model_parallel_size)

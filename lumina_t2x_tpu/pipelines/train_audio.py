@@ -120,6 +120,9 @@ def make_cfm_train_step(model, cfm: CFM, optimizer, grad_clip: float, ema_decay:
 
 
 def main(argv=None):
+    from ..core import enable_compile_cache
+
+    enable_compile_cache()
     args = parse_args(argv)
     distributed_init()
     mesh = create_mesh(args.model_parallel_size)

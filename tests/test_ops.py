@@ -465,6 +465,22 @@ class TestFusedRopeFlashAttention:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3,
                                        err_msg=f"d{name}")
 
+    def test_traced_scale_folds_into_q(self):
+        """Under nn.remat, python-float attn_scale args become 0-d tracers;
+        flash_attention must fold such a scale into q instead of failing on
+        float(tracer)."""
+        from lumina_t2x_tpu.ops.flash_attention import flash_attention
+
+        q, k, v, _ = self._inputs(s=64, d=8)
+
+        @jax.jit
+        def f(q, k, v, s):
+            return flash_attention(q, k, v, scale=s)
+
+        out = f(q, k, v, jnp.float32(0.21))
+        ref = sdpa(q, k, v, scale=0.21)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
     def test_rotate_q_only_cross_attn(self):
         """rotate_k=False: q rotated in-kernel, caption keys untouched —
         matches sdpa(apply_rope(q), yk, yv) with a shorter KV length."""
