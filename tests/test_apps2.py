@@ -137,3 +137,38 @@ class TestEncodeLatents:
         assert len(idx) == 3
         z = np.load(os.path.join(out, "latents", "0.npy"))
         assert z.shape[0] == 4  # latent channels
+
+
+class TestSampleSD3:
+    def test_main_debug(self, tmp_path, monkeypatch):
+        """sample_sd3 CLI end-to-end with a tiny MMDiT: reversed-time SD3 ODE,
+        in-loop CFG, manifest + skip-resume."""
+        from lumina_t2x_tpu.models.mmdit import MMDiT
+        from lumina_t2x_tpu.pipelines import sample_sd3
+
+        monkeypatch.setattr(
+            sample_sd3, "get_model",
+            lambda name, **kw: MMDiT(patch_size=2, in_channels=16, dim=32,
+                                     n_layers=2, n_heads=2, **kw),
+        )
+        cap = tmp_path / "caps.txt"
+        cap.write_text("a cat\na dog\n")
+        out = tmp_path / "out"
+        sample_sd3.main([
+            "--caption_path", str(cap), "--image_save_path", str(out),
+            "--resolution", "1:64x64", "--num_sampling_steps", "2",
+            "--debug", "--precision", "fp32",
+        ])
+        import json
+
+        info = json.load(open(out / "data.json"))
+        assert len(info) == 2
+        a = np.load(info[0]["path"])
+        assert a.shape == (16, 8, 8) and np.isfinite(a).all()
+        # skip-resume: rerun adds nothing
+        sample_sd3.main([
+            "--caption_path", str(cap), "--image_save_path", str(out),
+            "--resolution", "1:64x64", "--num_sampling_steps", "2",
+            "--debug", "--precision", "fp32",
+        ])
+        assert len(json.load(open(out / "data.json"))) == 2
