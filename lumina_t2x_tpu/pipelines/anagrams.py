@@ -322,6 +322,152 @@ class JigsawView(BaseView):
         return self._assemble(unrot, x.shape[-3:])
 
 
+class ScaleView(BaseView):
+    """view = identity; inverse scales the first 3 channels
+    (`views/view_scale.py:1-11`)."""
+
+    def __init__(self, scale: float = 0.5):
+        self.scale = scale
+
+    def view(self, x):
+        return x
+
+    def inverse_view(self, x):
+        return x.at[:3].set(self.scale * x[:3])
+
+
+class WhiteBalanceViewFailure(BaseView):
+    """'Dress illusion' attempt: view scales all pixel values by a constant;
+    inverse divides the first 3 channels (`views/view_white_balance.py:41-46`).
+    Kept for parity — the reference labels it a known-failure view."""
+
+    def __init__(self, factor: float = 1.5):
+        self.factor = factor
+
+    def view(self, x):
+        return x * self.factor
+
+    def inverse_view(self, x):
+        return x.at[:3].set(x[:3] / self.factor)
+
+
+class BlurViewFailure(BaseView):
+    """Blur by bilinear downsample-then-upsample (`views/view_blur.py:38-46`);
+    the transform is not invertible so the inverse is pass-through
+    (`view_blur.py:48-50`)."""
+
+    def __init__(self, factor: int = 8):
+        self.factor = int(factor)
+
+    def view(self, x):
+        h, w = x.shape[-2:]
+        small_shape = (*x.shape[:-2], h // self.factor, w // self.factor)
+        small = jax.image.resize(x.astype(jnp.float32), small_shape, "linear")
+        return jax.image.resize(small, x.shape, "linear").astype(x.dtype)
+
+    def inverse_view(self, x):
+        return x
+
+
+def _diagonal_blur(x, size: int):
+    """Depthwise conv with the normalized identity (diagonal streak) kernel
+    `eye(size)/size`, SAME padding `size//2` (`views/view_motion.py:40-46`)."""
+    k = (jnp.eye(size, dtype=jnp.float32) / size)[None, None]  # (O=1, I=1, H, W)
+    c = x.shape[-3]
+    out = jax.lax.conv_general_dilated(
+        x.astype(jnp.float32)[None].reshape(-1, c, *x.shape[-2:]),
+        jnp.tile(k, (c, 1, 1, 1)),
+        window_strides=(1, 1),
+        padding=[(size // 2, size // 2)] * 2,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=c,
+    )
+    return out.reshape(x.shape).astype(x.dtype)
+
+
+class MotionBlurView(BaseView):
+    """view = identity; inverse applies a diagonal motion-blur kernel to the
+    first 3 channels, kernel size scaled by `h // 64` and forced odd
+    (`views/view_motion.py:25-47`)."""
+
+    def __init__(self, size: int = 7):
+        self.size = int(size)
+
+    def _kernel_size(self, h: int) -> int:
+        factor = max(h // 64, 1)
+        size = self.size * factor
+        return size + ((factor + 1) % 2)
+
+    def view(self, x):
+        return x
+
+    def inverse_view(self, x):
+        size = self._kernel_size(x.shape[-2])
+        return x.at[:3].set(_diagonal_blur(x[:3], size))
+
+    def save_view(self, x):
+        """Blur the whole image for saving (`view_motion.py:49-62`)."""
+        size = self._kernel_size(x.shape[-2])
+        return _diagonal_blur(x, size)
+
+
+class MotionBlurResView(MotionBlurView):
+    """Residual variant: inverse keeps `x - blur(x)`
+    (`views/view_motion.py:67-89`)."""
+
+    def inverse_view(self, x):
+        size = self._kernel_size(x.shape[-2])
+        return x.at[:3].set(x[:3] - _diagonal_blur(x[:3], size))
+
+
+def _rotate_bilinear(x, angle_deg: float):
+    """Counter-clockwise bilinear rotation about the image center with
+    zero fill (torchvision `TF.rotate` semantics used at
+    `views/view_inner_circle.py:120-122`)."""
+    h, w = x.shape[-2:]
+    theta = jnp.deg2rad(angle_deg)
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    yy, xx = jnp.meshgrid(jnp.arange(h) - cy, jnp.arange(w) - cx, indexing="ij")
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    # sample the source at the coordinates rotated the opposite way
+    src_y = cos * yy + sin * xx + cy
+    src_x = -sin * yy + cos * xx + cx
+    flat = x.reshape(-1, h, w)
+    out = jnp.stack([
+        jax.scipy.ndimage.map_coordinates(
+            flat[i].astype(jnp.float32), [src_y, src_x], order=1, mode="constant"
+        )
+        for i in range(flat.shape[0])
+    ])
+    return out.reshape(x.shape).astype(x.dtype)
+
+
+class InnerCircleViewFailure(BaseView):
+    """Bilinear (lossy) rotation of the inner disk of radius `3/8 * size` by
+    `angle` degrees; inverse rotates by `-angle`
+    (`views/view_inner_circle.py:61-145`). Kept for parity — the reference
+    labels interpolated rotation a known-failure view."""
+
+    def __init__(self, interpolation: str = "bilinear", angle: float = 135.0):
+        if interpolation != "bilinear":
+            raise NotImplementedError("only bilinear interpolation is supported")
+        self.angle = angle
+
+    def _masked_rotate(self, x, angle):
+        size = x.shape[-1]
+        r = int(size / 8 * 3)
+        coords = jnp.arange(size) - size / 2.0
+        yy, xx = jnp.meshgrid(coords, coords, indexing="ij")
+        mask = (xx**2 + yy**2 < r**2).astype(x.dtype)
+        return mask * _rotate_bilinear(x, angle) + (1 - mask) * x
+
+    def view(self, x):
+        return self._masked_rotate(x, self.angle)
+
+    def inverse_view(self, x):
+        return self._masked_rotate(x, -self.angle)
+
+
 VIEW_MAP: Dict[str, Callable[[], BaseView]] = {
     "identity": IdentityView,
     "flip": FlipView,
@@ -342,6 +488,12 @@ VIEW_MAP: Dict[str, Callable[[], BaseView]] = {
     "triple_low_pass": TripleHybridLowPassView,
     "triple_medium_pass": TripleHybridMediumPassView,
     "triple_high_pass": TripleHybridHighPassView,
+    "scale": ScaleView,
+    "white_balance_failure": WhiteBalanceViewFailure,
+    "blur_failure": BlurViewFailure,
+    "inner_circle_failure": InnerCircleViewFailure,
+    "motion": MotionBlurView,
+    "motion_res": MotionBlurResView,
 }
 
 

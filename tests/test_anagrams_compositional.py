@@ -76,6 +76,77 @@ class TestViews:
         c = VIEW_MAP["color"]().inverse_view(x)
         np.testing.assert_allclose(np.asarray(g[:3] + c[:3]), np.asarray(x[:3]), atol=1e-6)
 
+    def test_scale_view(self):
+        """view = identity, inverse scales first 3 ch (`view_scale.py:1-11`)."""
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 16, 16))
+        v = VIEW_MAP["scale"]()
+        np.testing.assert_allclose(np.asarray(v.view(x)), np.asarray(x))
+        out = v.inverse_view(x)
+        np.testing.assert_allclose(np.asarray(out[:3]), 0.5 * np.asarray(x[:3]))
+        np.testing.assert_allclose(np.asarray(out[3:]), np.asarray(x[3:]))
+
+    def test_white_balance_round_trip(self):
+        """inverse(view(x)) == x on the first 3 channels
+        (`view_white_balance.py:41-46`)."""
+        x = jax.random.normal(jax.random.PRNGKey(1), (3, 16, 16))
+        v = VIEW_MAP["white_balance_failure"]()
+        out = v.inverse_view(v.view(x))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-6)
+
+    def test_blur_failure_view(self):
+        """view = down/up-sample blur, inverse = pass-through
+        (`view_blur.py:38-50`)."""
+        x = jax.random.normal(jax.random.PRNGKey(2), (3, 64, 64))
+        v = VIEW_MAP["blur_failure"]()
+        blurred = v.view(x)
+        assert blurred.shape == x.shape
+        assert not np.allclose(np.asarray(blurred), np.asarray(x))
+        # blur removes energy from a zero-mean noise image
+        assert float(jnp.var(blurred)) < float(jnp.var(x))
+        np.testing.assert_allclose(np.asarray(v.inverse_view(x)), np.asarray(x))
+
+    @pytest.mark.parametrize("name", ["motion", "motion_res"])
+    def test_motion_blur_views(self, name):
+        """inverse applies (or subtracts) the diagonal eye(size)/size kernel on
+        the first 3 channels (`view_motion.py:25-47,67-89`)."""
+        x = jax.random.normal(jax.random.PRNGKey(3), (4, 64, 64))
+        v = VIEW_MAP[name]()
+        np.testing.assert_allclose(np.asarray(v.view(x)), np.asarray(x))
+        out = v.inverse_view(x)
+        np.testing.assert_allclose(np.asarray(out[3:]), np.asarray(x[3:]))
+        # manual reference conv for one interior pixel: size = 7*(64//64)=7 (odd)
+        xa = np.asarray(x, np.float64)
+        manual = np.mean([xa[0, 30 + d, 30 + d] for d in range(-3, 4)])
+        if name == "motion":
+            np.testing.assert_allclose(np.asarray(out[0, 30, 30]), manual, atol=1e-4)
+        else:
+            np.testing.assert_allclose(
+                np.asarray(out[0, 30, 30]), xa[0, 30, 30] - manual, atol=1e-4
+            )
+        # motion + motion_res inverses sum to the identity on the first 3 ch
+        other = VIEW_MAP["motion_res" if name == "motion" else "motion"]()
+        total = np.asarray(out[:3]) + np.asarray(other.inverse_view(x)[:3])
+        np.testing.assert_allclose(total, np.asarray(x[:3]), atol=1e-4)
+
+    def test_inner_circle_failure(self):
+        """Bilinear disk rotation; at 90 degrees the bilinear samples land on
+        grid points so view∘inverse is exact in the disk interior
+        (`view_inner_circle.py:61-145`)."""
+        x = jax.random.normal(jax.random.PRNGKey(4), (3, 32, 32))
+        v = VIEW_MAP["inner_circle_failure"](angle=90.0)
+        out = v.view(x)
+        assert not np.allclose(np.asarray(out), np.asarray(x))
+        # outside the disk (radius 12): untouched
+        np.testing.assert_allclose(np.asarray(out[:, 0, :]), np.asarray(x[:, 0, :]))
+        rt = v.inverse_view(out)
+        # interior of the disk round-trips exactly at 90 degrees
+        np.testing.assert_allclose(
+            np.asarray(rt[:, 12:20, 12:20]), np.asarray(x[:, 12:20, 12:20]), atol=1e-5
+        )
+        # default angle (135) is lossy but shape-preserving
+        v135 = VIEW_MAP["inner_circle_failure"]()
+        assert v135.inverse_view(v135.view(x)).shape == x.shape
+
     def test_factory(self):
         views = get_anagrams_views(["identity", "rotate_cw", "jigsaw"])
         assert len(views) == 3
