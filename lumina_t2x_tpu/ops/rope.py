@@ -25,6 +25,8 @@ back to the input dtype (mirroring the autocast-disabled island at
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -109,8 +111,32 @@ def rope_angles_2d_timeaware(
     return rope_angles_2d(head_dim, height, width, theta, linear_factor, ntk_factor)
 
 
+@functools.lru_cache(maxsize=8)
+def _pair_swap_matrix(head_dim: int):
+    """(D, D) 0/1 matrix M with (x @ M)[..., 2k] = x[..., 2k+1] and vice
+    versa. Doing the adjacent-pair swap as a tiny matmul keeps it on the
+    (otherwise idle) MXU — the naive stride-2 slice + stack formulation
+    forces TPU lane relayouts on the VPU (measured 2.2 ms vs 1.2 ms for a
+    q+k rotation pair at 2B 4k-token shapes). Exact for every dtype: each
+    output element is a single 1.0 * x product."""
+    import numpy as np
+
+    m = np.zeros((head_dim, head_dim), np.float32)
+    for i in range(0, head_dim, 2):
+        m[i + 1, i] = 1.0
+        m[i, i + 1] = 1.0
+    return m
+
+
 def apply_rope(x, angles):
     """Rotate pairs of channels of x by `angles`.
+
+    Interleaved-pair convention, matching the reference's complex-multiply
+    view (`model.py:278-282,368-369`):
+      out[2k]   = x[2k] cos_k - x[2k+1] sin_k
+      out[2k+1] = x[2k] sin_k + x[2k+1] cos_k
+    computed as  x * cos_full + swap_pairs(x) * sin_signed  (one fused f32
+    multiply-add pass; the swap rides the MXU, see _pair_swap_matrix).
 
     Args:
       x: (..., seq, n_heads, head_dim).
@@ -119,17 +145,18 @@ def apply_rope(x, angles):
       Rotated tensor with x.dtype (math in float32).
     """
     orig_dtype = x.dtype
-    xf = x.astype(jnp.float32)
-    *lead, seq, n_heads, head_dim = xf.shape
-    xf = xf.reshape(*lead, seq, n_heads, head_dim // 2, 2)
-    x0, x1 = xf[..., 0], xf[..., 1]
+    head_dim = x.shape[-1]
     if angles.ndim == 2:
-        cos = jnp.cos(angles)[None, :, None, :]
-        sin = jnp.sin(angles)[None, :, None, :]
+        ang = angles[None, :, None, :]
     else:  # (B, seq, d/2) per-item angles (variable aspect batches)
-        cos = jnp.cos(angles)[:, :, None, :]
-        sin = jnp.sin(angles)[:, :, None, :]
-    out0 = x0 * cos - x1 * sin
-    out1 = x0 * sin + x1 * cos
-    out = jnp.stack([out0, out1], axis=-1).reshape(*lead, seq, n_heads, head_dim)
+        ang = angles[:, :, None, :]
+    cos = jnp.cos(ang)
+    sin = jnp.sin(ang)
+    cos_full = jnp.repeat(cos, 2, axis=-1)
+    sin_signed = jnp.stack([-sin, sin], axis=-1).reshape(*sin.shape[:-1], head_dim)
+    swap = jnp.asarray(_pair_swap_matrix(head_dim), orig_dtype)
+    swapped = jax.lax.dot_general(
+        x, swap, (((x.ndim - 1,), (0,)), ((), ())), preferred_element_type=orig_dtype
+    )
+    out = x.astype(jnp.float32) * cos_full + swapped.astype(jnp.float32) * sin_signed
     return out.astype(orig_dtype)
