@@ -380,6 +380,75 @@ class TestFlashBackwardKernels:
         np.testing.assert_allclose(np.asarray(lse[..., 0]), ref_lse, atol=1e-4)
 
 
+class TestFlashKernelDispatch:
+    """Dispatch between the single-pass small-KV kernel (Sk <= 512) and the
+    online-softmax streaming kernel, plus the static-max opt-in."""
+
+    def test_small_kv_path_selected(self, monkeypatch):
+        import importlib
+
+        fa = importlib.import_module("lumina_t2x_tpu.ops.flash_attention")
+        calls = {}
+        orig = fa._flash_small_kv_impl
+
+        def spy(*a, **kw):
+            calls["small"] = True
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(fa, "_flash_small_kv_impl", spy)
+        q = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 2, 16))
+        k = jax.random.normal(jax.random.PRNGKey(1), (1, 256, 2, 16))
+        fa.flash_attention(q, k, k)
+        assert calls.get("small")
+        calls.clear()
+        k2 = jax.random.normal(jax.random.PRNGKey(2), (1, 600, 2, 16))
+        fa.flash_attention(q, k2, k2)
+        assert not calls.get("small")  # > _SMALL_KV_MAX -> streaming kernel
+
+    def test_large_kv_multi_block_matches_sdpa(self):
+        """Sk > 512 exercises the streaming kernel with the fused ones-column
+        denominator across several kv blocks."""
+        q = jax.random.normal(jax.random.PRNGKey(0), (1, 640, 2, 16))
+        k = jax.random.normal(jax.random.PRNGKey(1), (1, 640, 2, 16))
+        v = jax.random.normal(jax.random.PRNGKey(2), (1, 640, 2, 16))
+        mask = jnp.ones((1, 640), jnp.int32).at[:, 600:].set(0)
+        out = flash_attention(q, k, v, kv_mask=mask)
+        ref = sdpa(q, k, v, kv_mask=mask)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+    def test_small_kv_gqa_mask_scale(self):
+        q = jax.random.normal(jax.random.PRNGKey(0), (2, 80, 8, 16))
+        k = jax.random.normal(jax.random.PRNGKey(1), (2, 48, 2, 16))
+        v = jax.random.normal(jax.random.PRNGKey(2), (2, 48, 2, 16))
+        mask = jnp.ones((2, 48), jnp.int32).at[1, 30:].set(0)
+        s = proportional_attn_scale(4096, 1024, 16)
+        out = flash_attention(q, k, v, kv_mask=mask, scale=s)
+        ref = sdpa(q, k, v, kv_mask=mask, scale=s)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+    def test_fully_masked_rows_finite(self):
+        q = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 2, 16))
+        k = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 2, 16))
+        mask = jnp.zeros((1, 32), jnp.int32)
+        out = flash_attention(q, k, k, kv_mask=mask)
+        assert bool(jnp.all(jnp.isfinite(out.astype(jnp.float32))))
+
+    def test_static_max_env(self, monkeypatch):
+        """LUMINA_FLASH_STATIC_MAX drops the online max; results must match
+        the default kernel for bounded logits (docstring contract)."""
+        import importlib
+
+        fa = importlib.import_module("lumina_t2x_tpu.ops.flash_attention")
+        q = jax.random.normal(jax.random.PRNGKey(0), (1, 640, 2, 16))
+        k = jax.random.normal(jax.random.PRNGKey(1), (1, 640, 2, 16))
+        v = jax.random.normal(jax.random.PRNGKey(2), (1, 640, 2, 16))
+        mask = jnp.ones((1, 640), jnp.int32).at[:, 600:].set(0)
+        ref = fa._flash_attention_fwd_impl(q, k, v, mask, 0.25, 128, 128)
+        monkeypatch.setenv("LUMINA_FLASH_STATIC_MAX", "8.0")
+        out = fa._flash_attention_fwd_impl(q, k, v, mask, 0.25, 256, 256)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+
 class TestFlashCrossAttention:
     """Sq != Sk (caption cross-attention shapes) through the Pallas kernel."""
 
