@@ -10,7 +10,15 @@ K/V tiles through VMEM and masked tiles simply contribute zero probability.
 Kernel structure (one compiled program per shape bucket):
 - grid (batch, q_head, q_blocks, kv_blocks), kv innermost ("arbitrary"
   semantics — sequential, carries the online-softmax state);
-- online softmax with running max/denominator in float32 VMEM scratch;
+- online softmax with a running max in float32 VMEM scratch; the softmax
+  denominator is folded into the PV matmul as an all-ones column of V
+  (`_flash_kernel_fused_sum`) so the VPU row-sum pass disappears;
+- Sk <= 1024 dispatches to a single-pass whole-KV kernel with no online
+  state (`_flash_small_kv_kernel`) — caption cross-attention and the
+  1-D audio models live here;
+- `LUMINA_FLASH_STATIC_MAX=<bound>` (opt-in, read at trace time) replaces
+  the running max with a fixed bound (`_flash_kernel_static_max`) for
+  bounded-logit (qk-norm) models;
 - GQA handled in the K/V BlockSpec index maps (q head h reads kv head
   h // rep) — the KV-head repeat at `model.py:423-426` never materializes;
 - proportional-attention scale (`model.py:373-376`) is a kernel parameter.
@@ -133,8 +141,11 @@ def _flash_small_kv_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, *, scale):
     o_ref[0, 0] = (pv / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
-# whole-KV-in-one-block threshold for the single-pass kernel
-_SMALL_KV_MAX = 512
+# whole-KV-in-one-block threshold for the single-pass kernel. 1024 keys =
+# 4 MB of f32 logits per 1024-row q block in VMEM; covers caption
+# cross-attention (<=256) and the audio/music FlagDiT-1D self-attention
+# (max_len=1000, `flag_large_dit.py:485-659`).
+_SMALL_KV_MAX = 1024
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_q"))

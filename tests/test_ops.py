@@ -401,7 +401,7 @@ class TestFlashKernelDispatch:
         fa.flash_attention(q, k, k)
         assert calls.get("small")
         calls.clear()
-        k2 = jax.random.normal(jax.random.PRNGKey(2), (1, 600, 2, 16))
+        k2 = jax.random.normal(jax.random.PRNGKey(2), (1, 1100, 2, 16))
         fa.flash_attention(q, k2, k2)
         assert not calls.get("small")  # > _SMALL_KV_MAX -> streaming kernel
 
