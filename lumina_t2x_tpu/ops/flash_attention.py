@@ -16,7 +16,8 @@ Kernel structure (one compiled program per shape bucket):
 - Sk <= 1024 dispatches to a single-pass whole-KV kernel with no online
   state (`_flash_small_kv_kernel`) — caption cross-attention and the
   1-D audio models live here;
-- `LUMINA_FLASH_STATIC_MAX=<bound>` (opt-in, read at trace time) replaces
+- `LUMINA_FLASH_STATIC_MAX=<bound>` (opt-in, read per call outside the jit
+  boundary and part of the cache key, like LUMINA_FLASH_BQ/BK) replaces
   the running max with a fixed bound (`_flash_kernel_static_max`) for
   bounded-logit (qk-norm) models;
 - GQA handled in the K/V BlockSpec index maps (q head h reads kv head
@@ -42,6 +43,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .attention import default_attn_scale, sdpa
+from .rope import rot_tables as _rot_tables
 
 _NEG_INF = -2.3819763e38  # most-negative bf16-representable float32
 
@@ -85,16 +87,16 @@ def _static_max_bound() -> Optional[float]:
     return float(v) if v else None
 
 
-def _flash_kernel_fused_sum(mask_ref, q_ref, k_ref, v_ref, o_ref, m_ref, acc_ref, *,
-                            scale, d: int):
-    """Inference forward with the softmax denominator folded into the PV
+def _fused_sum_step(mask_ref, q_ref, k_ref, v_ref, m_ref, acc_ref, *, scale):
+    """One online-softmax step with the denominator folded into the PV
     matmul: V carries an extra all-ones column, so `acc[:, d]` accumulates
     `sum_k p` on the MXU and the separate VPU row-sum pass disappears
     (measured ~0.5 ms/layer at 2B 4k-token shapes). Numerator and denominator
-    now share the same bf16-rounded `p`, which is also more self-consistent
-    than summing a separate f32 copy."""
+    share the same bf16-rounded `p`, which is also more self-consistent than
+    summing a separate f32 copy. Shared by the inference
+    (`_flash_kernel_fused_sum`) and residual (`_flash_kernel_res`) kernels;
+    the variants differ only in their finalize blocks."""
     ki = pl.program_id(3)
-    nk = pl.num_programs(3)
 
     @pl.when(ki == 0)
     def _init():
@@ -115,15 +117,22 @@ def _flash_kernel_fused_sum(mask_ref, q_ref, k_ref, v_ref, o_ref, m_ref, acc_ref
                              preferred_element_type=jnp.float32)
     acc_ref[:] = acc_ref[:] * alpha + pv
 
-    @pl.when(ki == nk - 1)
+
+def _flash_kernel_fused_sum(mask_ref, q_ref, k_ref, v_ref, o_ref, m_ref, acc_ref, *,
+                            scale, d: int):
+    """Inference forward: fused-sum online softmax (see _fused_sum_step)."""
+    _fused_sum_step(mask_ref, q_ref, k_ref, v_ref, m_ref, acc_ref, scale=scale)
+
+    @pl.when(pl.program_id(3) == pl.num_programs(3) - 1)
     def _finalize():
         denom = jnp.maximum(acc_ref[:, d:d + 1], 1e-30)
         o_ref[0, 0] = (acc_ref[:, :d] / denom).astype(o_ref.dtype)
 
 
 def _flash_small_kv_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, *, scale):
-    """Single-pass kernel for small KV (cross-attention to <=512 caption
-    tokens, `model.py:420-434`): the whole K/V fits one block, so the online
+    """Single-pass kernel for small KV (Sk <= _SMALL_KV_MAX == 1024: caption
+    cross-attention, `model.py:420-434`, and the FlagDiT-1D audio/music
+    self-attention): the whole K/V fits one block, so the online
     max/denominator scratch — whose per-grid-step init/finalize traffic
     dominates at tiny KV (measured 1.9 ms vs ~0.4 ms per layer at 2B
     shapes) — is dropped entirely."""
@@ -198,9 +207,16 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
-def _flash_attention_fwd_impl(q, k, v, kv_mask, scale, block_q, block_k):
-    """q: (B, Sq, Hq, D); k/v: (B, Sk, Hkv, D); kv_mask: (B, Sk) int32."""
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "block_q", "block_k", "static_max"))
+def _flash_attention_fwd_impl(q, k, v, kv_mask, scale, block_q, block_k,
+                              static_max=None):
+    """q: (B, Sq, Hq, D); k/v: (B, Sk, Hkv, D); kv_mask: (B, Sk) int32.
+
+    `static_max` selects the fixed-bound kernel; like block_q/block_k it is
+    read from the environment OUTSIDE this jit boundary (in _flash_attention)
+    so it participates in the jit cache key — toggling the env var at runtime
+    retraces instead of silently reusing the cached kernel."""
     b, sq, hq, d = q.shape
     _, sk, hkv, _ = k.shape
     rep = hq // hkv
@@ -225,7 +241,6 @@ def _flash_attention_fwd_impl(q, k, v, kv_mask, scale, block_q, block_k):
     # compiler only targets TPU).
     interpret = jax.default_backend() == "cpu"
 
-    static_max = _static_max_bound()
     if static_max is not None:
         kernel = functools.partial(_flash_kernel_static_max, scale=scale, d=d,
                                    static_max=static_max)
@@ -279,31 +294,11 @@ def _flash_attention_fwd_impl(q, k, v, kv_mask, scale, block_q, block_k):
 def _flash_kernel_res(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref,
                       acc_ref, *, scale, d):
     """Forward + log-sum-exp residual (lane-replicated to width 128). The
-    denominator rides the fused ones-column of V (see _flash_kernel_fused_sum)
+    denominator rides the fused ones-column of V (see _fused_sum_step)
     and doubles as the LSE source at finalize."""
-    ki = pl.program_id(3)
-    nk = pl.num_programs(3)
+    _fused_sum_step(mask_ref, q_ref, k_ref, v_ref, m_ref, acc_ref, scale=scale)
 
-    @pl.when(ki == 0)
-    def _init():
-        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
-    s = jnp.where(mask_ref[0] != 0, s, _NEG_INF)
-    m_prev = m_ref[:, 0:1]
-    m_next = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-    alpha = jnp.exp(m_prev - m_next)
-    p = jnp.exp(s - m_next)
-    m_ref[:] = jnp.broadcast_to(m_next, m_ref.shape)
-    pv = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    acc_ref[:] = acc_ref[:] * alpha + pv
-
-    @pl.when(ki == nk - 1)
+    @pl.when(pl.program_id(3) == pl.num_programs(3) - 1)
     def _finalize():
         l = jnp.maximum(acc_ref[:, d:d + 1], 1e-30)
         o_ref[0, 0] = (acc_ref[:, :d] / l).astype(o_ref.dtype)
@@ -558,7 +553,8 @@ def _flash_attention(q, k, v, kv_mask, scale):
     block_q, block_k = _pick_blocks(q.shape[1], k.shape[1], q.shape[3])
     if k.shape[1] <= _SMALL_KV_MAX:
         return _flash_small_kv_impl(q, k, v, kv_mask, scale, block_q)
-    return _flash_attention_fwd_impl(q, k, v, kv_mask, scale, block_q, block_k)
+    return _flash_attention_fwd_impl(q, k, v, kv_mask, scale, block_q, block_k,
+                                     static_max=_static_max_bound())
 
 
 def _fwd(q, k, v, kv_mask, scale):
@@ -601,16 +597,6 @@ _flash_attention.defvjp(_fwd, _bwd)
 # parity. The backward kernels rotate q/k the same way for the recompute and
 # inverse-rotate (negated sin) the accumulated dq/dk at finalize — rotation
 # is orthogonal, so rot^{-1} = rot(-angle).
-
-
-def _rot_tables(angles, d: int):
-    """(S, D/2) angles -> lane-expanded (S, D) float32 cos_full / sin_signed."""
-    s = angles.shape[0]
-    cos = jnp.cos(angles.astype(jnp.float32))
-    sin = jnp.sin(angles.astype(jnp.float32))
-    cos_full = jnp.repeat(cos, 2, axis=-1)
-    sin_signed = jnp.stack([-sin, sin], axis=-1).reshape(s, d)
-    return cos_full, sin_signed
 
 
 def _swap_pairs(x):

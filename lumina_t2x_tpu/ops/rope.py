@@ -128,6 +128,21 @@ def _pair_swap_matrix(head_dim: int):
     return m
 
 
+def rot_tables(angles, head_dim: int):
+    """Lane-expand (..., head_dim//2) angles to (..., head_dim) float32
+    (cos_full, sin_signed) tables for the interleaved-pair rotation
+      out = x * cos_full + swap_pairs(x) * sin_signed:
+    cos_full repeats each cos twice; sin_signed = (-s0, s0, -s1, s1, ...).
+    Single home for the sign/interleave convention — shared by `apply_rope`
+    and the fused rope+attention Pallas kernels (flash_attention.py), which
+    must stay in sync with `_pair_swap_matrix`."""
+    cos = jnp.cos(angles.astype(jnp.float32))
+    sin = jnp.sin(angles.astype(jnp.float32))
+    cos_full = jnp.repeat(cos, 2, axis=-1)
+    sin_signed = jnp.stack([-sin, sin], axis=-1).reshape(*sin.shape[:-1], head_dim)
+    return cos_full, sin_signed
+
+
 def apply_rope(x, angles):
     """Rotate pairs of channels of x by `angles`.
 
@@ -150,13 +165,12 @@ def apply_rope(x, angles):
         ang = angles[None, :, None, :]
     else:  # (B, seq, d/2) per-item angles (variable aspect batches)
         ang = angles[:, :, None, :]
-    cos = jnp.cos(ang)
-    sin = jnp.sin(ang)
-    cos_full = jnp.repeat(cos, 2, axis=-1)
-    sin_signed = jnp.stack([-sin, sin], axis=-1).reshape(*sin.shape[:-1], head_dim)
+    cos_full, sin_signed = rot_tables(ang, head_dim)
     swap = jnp.asarray(_pair_swap_matrix(head_dim), orig_dtype)
     swapped = jax.lax.dot_general(
         x, swap, (((x.ndim - 1,), (0,)), ((), ())), preferred_element_type=orig_dtype
     )
     out = x.astype(jnp.float32) * cos_full + swapped.astype(jnp.float32) * sin_signed
+    if out.shape != x.shape:  # broadcasting against (1, seq, 1, d) tables can
+        out = out.reshape(x.shape)  # add a leading axis to low-rank inputs
     return out.astype(orig_dtype)

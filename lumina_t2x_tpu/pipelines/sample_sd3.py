@@ -88,6 +88,8 @@ def main(argv=None):
 
     enable_compile_cache()
     args = parse_args(argv)
+    if not os.path.exists(args.caption_path):
+        raise SystemExit(f"error: --caption_path file not found: {args.caption_path}")
     dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
     model, variables = load_model(args, dtype)
 

@@ -106,6 +106,18 @@ class TestRope:
         out = apply_rope(x, rope_angles_1d(16, jnp.arange(8)))
         assert out.dtype == jnp.bfloat16
 
+    def test_apply_rope_preserves_3d_rank(self):
+        """Docstring contract: x is (..., seq, n_heads, head_dim) — a 3-D
+        (seq, n_heads, head_dim) input must come back 3-D, not with a
+        broadcast leading batch axis."""
+        S, H, D = 10, 3, 16
+        x = jax.random.normal(jax.random.PRNGKey(0), (S, H, D))
+        angles = rope_angles_1d(D, jnp.arange(S))
+        out = apply_rope(x, angles)
+        assert out.shape == (S, H, D)
+        ref = apply_rope(x[None], angles)[0]
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
     def test_timeaware_watershed_switch(self):
         """Below the watershed: linear scaling; above: NTK scaling
         (`model.py:944-951`)."""
@@ -381,8 +393,9 @@ class TestFlashBackwardKernels:
 
 
 class TestFlashKernelDispatch:
-    """Dispatch between the single-pass small-KV kernel (Sk <= 512) and the
-    online-softmax streaming kernel, plus the static-max opt-in."""
+    """Dispatch between the single-pass small-KV kernel (Sk <= _SMALL_KV_MAX
+    == 1024) and the online-softmax streaming kernel, plus the static-max
+    opt-in."""
 
     def test_small_kv_path_selected(self, monkeypatch):
         import importlib
@@ -402,18 +415,26 @@ class TestFlashKernelDispatch:
         assert calls.get("small")
         calls.clear()
         k2 = jax.random.normal(jax.random.PRNGKey(2), (1, 1100, 2, 16))
-        fa.flash_attention(q, k2, k2)
+        out = fa.flash_attention(q, k2, k2)
         assert not calls.get("small")  # > _SMALL_KV_MAX -> streaming kernel
+        ref = sdpa(q, k2, k2)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
 
     def test_large_kv_multi_block_matches_sdpa(self):
-        """Sk > 512 exercises the streaming kernel with the fused ones-column
-        denominator across several kv blocks."""
-        q = jax.random.normal(jax.random.PRNGKey(0), (1, 640, 2, 16))
-        k = jax.random.normal(jax.random.PRNGKey(1), (1, 640, 2, 16))
-        v = jax.random.normal(jax.random.PRNGKey(2), (1, 640, 2, 16))
-        mask = jnp.ones((1, 640), jnp.int32).at[:, 600:].set(0)
-        out = flash_attention(q, k, v, kv_mask=mask)
-        ref = sdpa(q, k, v, kv_mask=mask)
+        """The streaming fused-sum kernel (_flash_kernel_fused_sum) across
+        SEVERAL kv blocks vs sdpa. Goes through _flash_attention_fwd_impl
+        with explicit small blocks: the public API sends Sk <= 1024 to the
+        single-pass kernel, and the default block_k (2048) would otherwise
+        cover this whole KV in one block — either way the multi-block
+        denominator rescale (acc[:, d] *= alpha) would go untested."""
+        from lumina_t2x_tpu.ops.flash_attention import _flash_attention_fwd_impl
+
+        q = jax.random.normal(jax.random.PRNGKey(0), (1, 256, 2, 16))
+        k = jax.random.normal(jax.random.PRNGKey(1), (1, 1280, 2, 16))
+        v = jax.random.normal(jax.random.PRNGKey(2), (1, 1280, 2, 16))
+        mask = jnp.ones((1, 1280), jnp.int32).at[:, 1200:].set(0)
+        out = _flash_attention_fwd_impl(q, k, v, mask, 0.25, 128, 256)
+        ref = sdpa(q, k, v, kv_mask=mask, scale=0.25)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
 
     def test_small_kv_gqa_mask_scale(self):
@@ -435,7 +456,9 @@ class TestFlashKernelDispatch:
 
     def test_static_max_env(self, monkeypatch):
         """LUMINA_FLASH_STATIC_MAX drops the online max; results must match
-        the default kernel for bounded logits (docstring contract)."""
+        the default kernel for bounded logits (docstring contract). The bound
+        is a static jit argument (part of the cache key), so both variants can
+        run at identical block sizes without stale-cache aliasing."""
         import importlib
 
         fa = importlib.import_module("lumina_t2x_tpu.ops.flash_attention")
@@ -444,9 +467,13 @@ class TestFlashKernelDispatch:
         v = jax.random.normal(jax.random.PRNGKey(2), (1, 640, 2, 16))
         mask = jnp.ones((1, 640), jnp.int32).at[:, 600:].set(0)
         ref = fa._flash_attention_fwd_impl(q, k, v, mask, 0.25, 128, 128)
-        monkeypatch.setenv("LUMINA_FLASH_STATIC_MAX", "8.0")
-        out = fa._flash_attention_fwd_impl(q, k, v, mask, 0.25, 256, 256)
+        out = fa._flash_attention_fwd_impl(q, k, v, mask, 0.25, 128, 128,
+                                           static_max=8.0)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+        # env plumbing: the public dispatch reads the bound per call
+        assert fa._static_max_bound() is None
+        monkeypatch.setenv("LUMINA_FLASH_STATIC_MAX", "8.0")
+        assert fa._static_max_bound() == 8.0
 
 
 class TestFlashCrossAttention:
