@@ -171,3 +171,20 @@ class TestExpertParallel:
         with jax.set_mesh(mesh):
             out = jax.jit(lambda p, xx: ep_layer.apply(p, xx))(params, x)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+class TestMoESamplerPipeline:
+    def test_tiny_moe_through_class_cond_sampler(self):
+        """MoE models route through the class-conditional sampler pipeline
+        (reference `Next-DiT-MoE` shares `sample.py` with the ImageNet
+        models); pins the end-to-end CFG + ODE path for NextDiTMoE."""
+        from lumina_t2x_tpu.pipelines.sample_lib import build_class_cond_sample_fn
+
+        model = tiny_moe(moe_mode="time")
+        rng = jax.random.PRNGKey(0)
+        x0 = jnp.zeros((1, 4, 8, 8))
+        variables = model.init(rng, x0, jnp.zeros((1,)), jnp.zeros((1,), jnp.int32))
+        fn = jax.jit(build_class_cond_sample_fn(model, num_steps=2, latent_size=8))
+        out = fn(variables, rng, jnp.array([3]))
+        assert out.shape == (1, 4, 8, 8)
+        assert np.all(np.isfinite(np.asarray(out)))
