@@ -88,6 +88,9 @@ def parse_args(argv=None):
     p.add_argument("--global_seed", type=int, default=0)
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--log_every", type=int, default=100)
+    p.add_argument("--profile_steps", type=int, default=0,
+                   help="capture a jax.profiler trace of N steps (starting "
+                        "after the compile step) to <exp_dir>/trace")
     p.add_argument("--ckpt_every", type=int, default=50_000)
     return p.parse_args(argv)
 
@@ -309,6 +312,7 @@ def main(argv=None):
     start_step = int(state.step)
     batch = first
     running = []
+    tracing = False
     for step in range(start_step, args.max_steps):
         if encode_images:
             batch = dict(batch)
@@ -318,8 +322,20 @@ def main(argv=None):
             from ..parallel.mesh import form_global_batch
 
             batch = form_global_batch(mesh, batch)
+        # trace capture (SURVEY.md §5: a capability the reference lacks):
+        # skip the compile step, then profile N steps
+        if args.profile_steps and step == start_step + 1:
+            jax.profiler.start_trace(os.path.join(exp_dir, "trace"))
+            tracing = True
+            logger.info(f"profiler: tracing {args.profile_steps} steps")
         state, m = jitted(state, batch, rng)
         running.append(m)
+        if tracing and step >= min(start_step + args.profile_steps,
+                                   args.max_steps - 1):
+            jax.block_until_ready(m["loss"])
+            jax.profiler.stop_trace()
+            tracing = False
+            logger.info(f"profiler: trace written to {exp_dir}/trace")
         if (step + 1) % args.log_every == 0:
             loss = float(jnp.mean(jnp.stack([r["loss"] for r in running])))
             gnorm = float(running[-1]["grad_norm"])

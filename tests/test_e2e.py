@@ -79,6 +79,26 @@ class TestTrainApp:
         assert ckpt.exists()
         assert (ckpt / "model_args.json").exists()
 
+    def test_profile_steps_writes_trace(self, tmp_path):
+        """--profile_steps captures a jax.profiler trace (SURVEY.md §5: a
+        capability the reference lacks — it only wall-clock-logs)."""
+        from lumina_t2x_tpu.pipelines.train import main
+
+        main([
+            "--model", "NextDiT_ImageNet_600M_patch2",
+            "--data_path", "synthetic://8x8",
+            "--results_dir", str(tmp_path),
+            "--global_batch_size", "8",
+            "--max_steps", "3",
+            "--log_every", "1",
+            "--ckpt_every", "100",
+            "--precision", "fp32",
+            "--profile_steps", "1",
+        ] + _tiny_overrides())
+        trace_dir = tmp_path / "NextDiT_ImageNet_600M_patch2" / "trace"
+        assert trace_dir.exists()
+        assert list(trace_dir.rglob("*.xplane.pb")), "no xplane trace written"
+
     def test_resume(self, tmp_path):
         from lumina_t2x_tpu.pipelines.train import main
 
