@@ -79,11 +79,14 @@ def fid_from_feature_batches(real_iter: Iterable[np.ndarray],
 
 
 def inception_score(probs: np.ndarray, splits: int = 10) -> Tuple[float, float]:
-    """exp(E KL(p(y|x) || p(y))) over class probabilities (N, C)."""
+    """exp(E KL(p(y|x) || p(y))) over class probabilities (N, C).
+
+    `splits` is clamped to N so small sample sets (smoke runs) never produce
+    empty partitions (which would NaN the mean)."""
     probs = np.asarray(probs, np.float64)
     scores = []
     n = probs.shape[0]
-    for part in np.array_split(probs, splits):
+    for part in np.array_split(probs, min(splits, n)):
         py = part.mean(axis=0, keepdims=True)
         kl = part * (np.log(part + 1e-12) - np.log(py + 1e-12))
         scores.append(np.exp(kl.sum(axis=1).mean()))

@@ -63,6 +63,13 @@ class TestIS:
         mean, _ = inception_score(probs, splits=2)
         assert mean > 8.0
 
+    def test_fewer_samples_than_splits_finite(self):
+        """n < splits must clamp, not NaN (smoke-size FID batches)."""
+        rng = np.random.default_rng(0)
+        probs = rng.dirichlet(np.ones(10), size=4)
+        mean, std = inception_score(probs, splits=10)
+        assert np.isfinite(mean) and np.isfinite(std)
+
 
 class TestPR:
     def test_same_distribution_high(self):
