@@ -52,19 +52,20 @@ class FlagDiTBlock(nn.Module):
     qk_norm: bool
     y_dim: int
     dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, x_mask, angles, y, y_mask, adaln_input, attn_scale=None):
         mod = nn.Dense(6 * self.dim, kernel_init=nn.initializers.zeros, dtype=self.dtype,
-                       name="adaLN_modulation")(nn.silu(adaln_input))
+                       param_dtype=self.param_dtype, name="adaLN_modulation")(nn.silu(adaln_input))
         shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = jnp.split(mod, 6, axis=-1)
 
         y_normed = RMSNorm(eps=self.norm_eps, name="attention_y_norm")(y) if y is not None else None
         attn_out = Attention(
             dim=self.dim, n_heads=self.n_heads, n_kv_heads=self.n_kv_heads,
             qk_norm=self.qk_norm, y_dim=self.y_dim, dtype=self.dtype,
-            attn_impl=self.attn_impl, name="attention",
+            param_dtype=self.param_dtype, attn_impl=self.attn_impl, name="attention",
         )(
             modulate(RMSNorm(eps=self.norm_eps, name="attention_norm")(x), scale_msa, shift_msa),
             x_mask, angles, y_normed, y_mask, attn_scale,
@@ -73,7 +74,8 @@ class FlagDiTBlock(nn.Module):
 
         mlp_out = FeedForward(
             dim=self.dim, hidden_dim=4 * self.dim, multiple_of=self.multiple_of,
-            ffn_dim_multiplier=self.ffn_dim_multiplier, dtype=self.dtype, name="feed_forward",
+            ffn_dim_multiplier=self.ffn_dim_multiplier, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="feed_forward",
         )(modulate(RMSNorm(eps=self.norm_eps, name="ffn_norm")(x), scale_mlp, shift_mlp))
         x = x + gate_mlp[:, None, :].astype(x.dtype) * mlp_out
         return x
@@ -111,6 +113,9 @@ class FlagDiT(nn.Module):
     rope_theta: float = 10000.0
     use_eol_token: bool = True
     dtype: jnp.dtype = jnp.float32
+    # dtype of stored params (fp32 default; bf16 halves param HBM for the
+    # 5B/7B configs on one chip)
+    param_dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
     scan_blocks: bool = True
     remat: bool = False
@@ -143,12 +148,13 @@ class FlagDiT(nn.Module):
         tokens = patchify(x.astype(self.dtype), p)  # (B, gh*gw, p*p*C)
         tokens = nn.Dense(
             self.dim, kernel_init=nn.initializers.xavier_uniform(),
-            bias_init=nn.initializers.zeros, dtype=self.dtype, name="x_embedder",
+            bias_init=nn.initializers.zeros, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="x_embedder",
         )(tokens)
 
         if self.use_eol_token:
             eol = self.param("eol_token", nn.initializers.normal(stddev=0.02),
-                             (self.dim,), jnp.float32)
+                             (self.dim,), self.param_dtype)
             tokens = tokens.reshape(b, gh, gw, self.dim)
             eol_col = jnp.broadcast_to(eol.astype(tokens.dtype), (b, gh, 1, self.dim))
             tokens = jnp.concatenate([tokens, eol_col], axis=2).reshape(b, gh * (gw + 1), self.dim)
@@ -162,15 +168,17 @@ class FlagDiT(nn.Module):
         )
 
         cond_dim = min(self.dim, 1024)
-        t_emb = TimestepEmbedder(cond_dim, dtype=self.dtype, name="t_embedder")(t)
+        t_emb = TimestepEmbedder(cond_dim, dtype=self.dtype,
+                                 param_dtype=self.param_dtype, name="t_embedder")(t)
         if self.num_classes > 0:
             cond = t_emb + LabelEmbedder(
                 self.num_classes, cond_dim, self.class_dropout_prob, dtype=self.dtype,
-                name="y_embedder",
+                param_dtype=self.param_dtype, name="y_embedder",
             )(y, train=train, force_drop_ids=force_drop_ids)
             cap_feats_c = cap_mask_c = None
         else:
-            cond = t_emb + CaptionEmbedder(cond_dim, dtype=self.dtype, name="cap_embedder")(
+            cond = t_emb + CaptionEmbedder(cond_dim, dtype=self.dtype,
+                                           param_dtype=self.param_dtype, name="cap_embedder")(
                 pooled_caption(cap_feats.astype(self.dtype), cap_mask)
             )
             cap_feats_c, cap_mask_c = cap_feats.astype(self.dtype), cap_mask
@@ -185,7 +193,7 @@ class FlagDiT(nn.Module):
             dim=self.dim, n_heads=self.n_heads, n_kv_heads=self.n_kv_heads,
             multiple_of=self.multiple_of, ffn_dim_multiplier=self.ffn_dim_multiplier,
             norm_eps=self.norm_eps, qk_norm=self.qk_norm, y_dim=self.cap_feat_dim,
-            dtype=self.dtype, attn_impl=self.attn_impl,
+            dtype=self.dtype, param_dtype=self.param_dtype, attn_impl=self.attn_impl,
         )
         if self.scan_blocks:
             block_cls = _ScannedFlagDiTBlock
@@ -208,7 +216,7 @@ class FlagDiT(nn.Module):
 
         tokens = FinalLayer(
             self.dim, p, self.out_channels, modulation="shift_scale", dtype=self.dtype,
-            name="final_layer",
+            param_dtype=self.param_dtype, name="final_layer",
         )(tokens, cond)
 
         # unpatchify, dropping the [eol] column (`model.py:743-768`)
@@ -243,8 +251,12 @@ def forward_with_cfg(model, variables, x, t, cfg_scale, num_cfg_channels: int = 
 
 
 def FlagDiT_5B_patch2(**kwargs):
-    """`DiT_Llama_5B_patch2` (`lumina_t2i/models/model.py:990-991`)."""
-    return FlagDiT(patch_size=2, dim=3072, n_layers=32, n_heads=32, cap_feat_dim=4096, **kwargs)
+    """`DiT_Llama_5B_patch2` (`lumina_t2i/models/model.py:990-991`).
+
+    cap_feat_dim defaults to 4096 (LLaMA-2-7B features) but stays
+    overridable — the sampler passes the active text encoder's width."""
+    kwargs.setdefault("cap_feat_dim", 4096)
+    return FlagDiT(patch_size=2, dim=3072, n_layers=32, n_heads=32, **kwargs)
 
 
 def FlagDiT_ImageNet_600M_patch2(**kwargs):

@@ -93,16 +93,17 @@ class TimestepEmbedder(nn.Module):
     hidden_size: int
     frequency_embedding_size: int = 256
     dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, t):
         t_freq = timestep_embedding(t, self.frequency_embedding_size)
         init = nn.initializers.normal(stddev=0.02)
-        h = nn.Dense(self.hidden_size, kernel_init=init, dtype=self.dtype, name="mlp_0")(
+        h = nn.Dense(self.hidden_size, kernel_init=init, dtype=self.dtype, param_dtype=self.param_dtype, name="mlp_0")(
             t_freq.astype(self.dtype)
         )
         h = nn.silu(h)
-        return nn.Dense(self.hidden_size, kernel_init=init, dtype=self.dtype, name="mlp_2")(h)
+        return nn.Dense(self.hidden_size, kernel_init=init, dtype=self.dtype, param_dtype=self.param_dtype, name="mlp_2")(h)
 
 
 class LabelEmbedder(nn.Module):
@@ -116,6 +117,7 @@ class LabelEmbedder(nn.Module):
     hidden_size: int
     dropout_prob: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, labels, train: bool = False, force_drop_ids=None):
@@ -124,7 +126,7 @@ class LabelEmbedder(nn.Module):
             "embedding",
             nn.initializers.normal(stddev=0.02),
             (self.num_classes + int(use_cfg), self.hidden_size),
-            jnp.float32,
+            self.param_dtype,
         )
         if (train and use_cfg) or (force_drop_ids is not None):
             if force_drop_ids is None:
@@ -142,12 +144,13 @@ class CaptionEmbedder(nn.Module):
 
     hidden_size: int
     dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, cap_pooled):
         h = LayerNorm(eps=1e-5, name="norm")(cap_pooled)
         return nn.Dense(
-            self.hidden_size, kernel_init=nn.initializers.zeros, dtype=self.dtype, name="proj"
+            self.hidden_size, kernel_init=nn.initializers.zeros, dtype=self.dtype, param_dtype=self.param_dtype, name="proj"
         )(h)
 
 
@@ -168,6 +171,7 @@ class FeedForward(nn.Module):
     multiple_of: int = 256
     ffn_dim_multiplier: Optional[float] = None
     dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -176,9 +180,9 @@ class FeedForward(nn.Module):
             hidden = int(self.ffn_dim_multiplier * hidden)
         hidden = self.multiple_of * ((hidden + self.multiple_of - 1) // self.multiple_of)
         init = nn.initializers.xavier_uniform()
-        x1 = nn.Dense(hidden, use_bias=False, kernel_init=init, dtype=self.dtype, name="w1")(x)
-        x3 = nn.Dense(hidden, use_bias=False, kernel_init=init, dtype=self.dtype, name="w3")(x)
-        return nn.Dense(self.dim, use_bias=False, kernel_init=init, dtype=self.dtype, name="w2")(
+        x1 = nn.Dense(hidden, use_bias=False, kernel_init=init, dtype=self.dtype, param_dtype=self.param_dtype, name="w1")(x)
+        x3 = nn.Dense(hidden, use_bias=False, kernel_init=init, dtype=self.dtype, param_dtype=self.param_dtype, name="w3")(x)
+        return nn.Dense(self.dim, use_bias=False, kernel_init=init, dtype=self.dtype, param_dtype=self.param_dtype, name="w2")(
             nn.silu(x1) * x3
         )
 
@@ -199,6 +203,7 @@ class Attention(nn.Module):
     qk_norm: bool = False
     y_dim: int = 0
     dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
     # visual-anagrams `kv_merge` long-sequence trick
     # (`visual_anagrams/models/nextdit.py:342-358`): AvgPool rotated K/V over
@@ -216,11 +221,11 @@ class Attention(nn.Module):
         init = nn.initializers.xavier_uniform()
 
         xq = nn.Dense(self.n_heads * head_dim, use_bias=False, kernel_init=init,
-                      dtype=self.dtype, name="wq")(x)
+                      dtype=self.dtype, param_dtype=self.param_dtype, name="wq")(x)
         xk = nn.Dense(n_kv * head_dim, use_bias=False, kernel_init=init,
-                      dtype=self.dtype, name="wk")(x)
+                      dtype=self.dtype, param_dtype=self.param_dtype, name="wk")(x)
         xv = nn.Dense(n_kv * head_dim, use_bias=False, kernel_init=init,
-                      dtype=self.dtype, name="wv")(x)
+                      dtype=self.dtype, param_dtype=self.param_dtype, name="wv")(x)
 
         if self.qk_norm:
             # LayerNorm over the full flattened head dims, as in the reference
@@ -271,11 +276,11 @@ class Attention(nn.Module):
 
         if self.y_dim > 0 and y is not None:
             yk = nn.Dense(n_kv * head_dim, use_bias=False, kernel_init=init,
-                          dtype=self.dtype, name="wk_y")(y)
+                          dtype=self.dtype, param_dtype=self.param_dtype, name="wk_y")(y)
             if self.qk_norm:
                 yk = LayerNorm(eps=1e-5, name="ky_norm")(yk)
             yv = nn.Dense(n_kv * head_dim, use_bias=False, kernel_init=init,
-                          dtype=self.dtype, name="wv_y")(y)
+                          dtype=self.dtype, param_dtype=self.param_dtype, name="wv_y")(y)
             ly = y.shape[1]
             yk = yk.reshape(b, ly, n_kv, head_dim)
             yv = yv.reshape(b, ly, n_kv, head_dim)
@@ -296,7 +301,7 @@ class Attention(nn.Module):
             out = out + out_y * jnp.tanh(gate).astype(out.dtype)[None, None, :, None]
 
         out = out.reshape(b, s, self.n_heads * head_dim)
-        return nn.Dense(self.dim, use_bias=False, kernel_init=init, dtype=self.dtype, name="wo")(out)
+        return nn.Dense(self.dim, use_bias=False, kernel_init=init, dtype=self.dtype, param_dtype=self.param_dtype, name="wo")(out)
 
 
 class FinalLayer(nn.Module):
@@ -312,13 +317,14 @@ class FinalLayer(nn.Module):
     out_channels: int
     modulation: str = "scale"
     dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, c):
         h = LayerNorm(eps=1e-6, use_affine=False, name="norm_final")(x)
         mod_dim = self.hidden_size if self.modulation == "scale" else 2 * self.hidden_size
         mod = nn.Dense(mod_dim, kernel_init=nn.initializers.zeros, dtype=self.dtype,
-                       name="adaLN_modulation")(nn.silu(c))
+                       param_dtype=self.param_dtype, name="adaLN_modulation")(nn.silu(c))
         if self.modulation == "scale":
             h = modulate(h, mod)
         else:
@@ -326,7 +332,7 @@ class FinalLayer(nn.Module):
             h = modulate(h, scale, shift)
         return nn.Dense(
             self.patch_size * self.patch_size * self.out_channels,
-            kernel_init=nn.initializers.zeros, dtype=self.dtype, name="linear",
+            kernel_init=nn.initializers.zeros, dtype=self.dtype, param_dtype=self.param_dtype, name="linear",
         )(h)
 
 

@@ -66,6 +66,7 @@ class NextDiTBlock(nn.Module):
     qk_norm: bool
     y_dim: int
     dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
     kv_pool_grid: Optional[Tuple[int, int]] = None
     kv_merge_ratio: int = 1
@@ -73,13 +74,14 @@ class NextDiTBlock(nn.Module):
     @nn.compact
     def __call__(self, x, x_mask, angles, y, y_mask, adaln_input, attn_scale=None):
         mod = nn.Dense(4 * self.dim, kernel_init=nn.initializers.zeros, dtype=self.dtype,
-                       name="adaLN_modulation")(nn.silu(adaln_input))
+                       param_dtype=self.param_dtype, name="adaLN_modulation")(nn.silu(adaln_input))
         scale_msa, gate_msa, scale_mlp, gate_mlp = jnp.split(mod, 4, axis=-1)
 
         y_normed = RMSNorm(eps=self.norm_eps, name="attention_y_norm")(y) if y is not None else None
         attn_out = Attention(
             dim=self.dim, n_heads=self.n_heads, n_kv_heads=self.n_kv_heads,
             qk_norm=self.qk_norm, y_dim=self.y_dim, dtype=self.dtype,
+            param_dtype=self.param_dtype,
             attn_impl=self.attn_impl, kv_pool_grid=self.kv_pool_grid,
             kv_merge_ratio=self.kv_merge_ratio, name="attention",
         )(
@@ -92,7 +94,8 @@ class NextDiTBlock(nn.Module):
 
         mlp_out = FeedForward(
             dim=self.dim, hidden_dim=4 * self.dim, multiple_of=self.multiple_of,
-            ffn_dim_multiplier=self.ffn_dim_multiplier, dtype=self.dtype, name="feed_forward",
+            ffn_dim_multiplier=self.ffn_dim_multiplier, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="feed_forward",
         )(modulate(RMSNorm(eps=self.norm_eps, name="ffn_norm1")(x), scale_mlp))
         x = x + jnp.tanh(gate_mlp)[:, None, :].astype(x.dtype) * RMSNorm(
             eps=self.norm_eps, name="ffn_norm2"
@@ -126,6 +129,9 @@ class NextDiT(nn.Module):
     cap_feat_dim: int = 5120
     rope_theta: float = 10000.0
     dtype: jnp.dtype = jnp.float32
+    # dtype of the stored parameters (fp32 default; bf16 halves param HBM —
+    # how release checkpoints serve 5B on one chip)
+    param_dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
     scan_blocks: bool = True
     remat: bool = False
@@ -186,11 +192,12 @@ class NextDiT(nn.Module):
         tokens = patchify(x.astype(self.dtype), p)  # (B, L, p*p*C)
         tokens = nn.Dense(
             self.dim, kernel_init=nn.initializers.xavier_uniform(),
-            bias_init=nn.initializers.zeros, dtype=self.dtype, name="x_embedder",
+            bias_init=nn.initializers.zeros, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="x_embedder",
         )(tokens)
 
         pad_token = self.param("pad_token", nn.initializers.normal(stddev=0.02),
-                               (self.dim,), jnp.float32)
+                               (self.dim,), self.param_dtype)
 
         if img_sizes is None:
             x_mask = jnp.ones((b, seq_len), jnp.int32)
@@ -234,8 +241,10 @@ class NextDiT(nn.Module):
 
         # -- conditioning -----------------------------------------------------
         cond_dim = min(self.dim, 1024)
-        t_emb = TimestepEmbedder(cond_dim, dtype=self.dtype, name="t_embedder")(t)
-        cap_emb = CaptionEmbedder(cond_dim, dtype=self.dtype, name="cap_embedder")(
+        t_emb = TimestepEmbedder(cond_dim, dtype=self.dtype,
+                                 param_dtype=self.param_dtype, name="t_embedder")(t)
+        cap_emb = CaptionEmbedder(cond_dim, dtype=self.dtype,
+                                  param_dtype=self.param_dtype, name="cap_embedder")(
             pooled_caption(cap_feats.astype(self.dtype), cap_mask)
         )
         adaln_input = t_emb + cap_emb
@@ -257,7 +266,7 @@ class NextDiT(nn.Module):
             dim=self.dim, n_heads=self.n_heads, n_kv_heads=self.n_kv_heads,
             multiple_of=self.multiple_of, ffn_dim_multiplier=self.ffn_dim_multiplier,
             norm_eps=self.norm_eps, qk_norm=self.qk_norm, y_dim=self.cap_feat_dim,
-            dtype=self.dtype, attn_impl=self.attn_impl,
+            dtype=self.dtype, param_dtype=self.param_dtype, attn_impl=self.attn_impl,
             kv_pool_grid=(gh, gw) if kv_merge_ratio > 1 else None,
             kv_merge_ratio=kv_merge_ratio,
         )
@@ -283,6 +292,7 @@ class NextDiT(nn.Module):
 
         tokens = FinalLayer(
             self.dim, p, self.out_channels, modulation="scale", dtype=self.dtype,
+            param_dtype=self.param_dtype,
             name="final_layer",
         )(tokens, adaln_input)
 

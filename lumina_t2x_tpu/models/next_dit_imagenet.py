@@ -49,17 +49,19 @@ class NextDiTImageNetBlock(nn.Module):
     norm_eps: float
     qk_norm: bool
     dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, angles, adaln_input):
         mod = nn.Dense(4 * self.dim, kernel_init=nn.initializers.zeros, dtype=self.dtype,
-                       name="adaLN_modulation")(nn.silu(adaln_input))
+                       param_dtype=self.param_dtype, name="adaLN_modulation")(nn.silu(adaln_input))
         scale_msa, gate_msa, scale_mlp, gate_mlp = jnp.split(mod, 4, axis=-1)
 
         attn_out = Attention(
             dim=self.dim, n_heads=self.n_heads, n_kv_heads=self.n_kv_heads,
-            qk_norm=self.qk_norm, y_dim=0, dtype=self.dtype, attn_impl=self.attn_impl,
+            qk_norm=self.qk_norm, y_dim=0, dtype=self.dtype,
+            param_dtype=self.param_dtype, attn_impl=self.attn_impl,
             name="attention",
         )(
             modulate(RMSNorm(eps=self.norm_eps, name="attention_norm1")(x), scale_msa),
@@ -71,7 +73,8 @@ class NextDiTImageNetBlock(nn.Module):
 
         mlp_out = FeedForward(
             dim=self.dim, hidden_dim=4 * self.dim, multiple_of=self.multiple_of,
-            ffn_dim_multiplier=self.ffn_dim_multiplier, dtype=self.dtype, name="feed_forward",
+            ffn_dim_multiplier=self.ffn_dim_multiplier, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="feed_forward",
         )(modulate(RMSNorm(eps=self.norm_eps, name="ffn_norm1")(x), scale_mlp))
         x = x + jnp.tanh(gate_mlp)[:, None, :].astype(x.dtype) * RMSNorm(
             eps=self.norm_eps, name="ffn_norm"
@@ -103,6 +106,9 @@ class NextDiTImageNet(nn.Module):
     qk_norm: bool = False
     rope_theta: float = 10000.0
     dtype: jnp.dtype = jnp.float32
+    # dtype of stored params (fp32 default; bf16 halves param HBM for the
+    # 3B/7B configs on one chip)
+    param_dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
     scan_blocks: bool = True
     remat: bool = False
@@ -128,14 +134,16 @@ class NextDiTImageNet(nn.Module):
         tokens = patchify(x.astype(self.dtype), p)
         tokens = nn.Dense(
             self.dim, kernel_init=nn.initializers.xavier_uniform(),
-            bias_init=nn.initializers.zeros, dtype=self.dtype, name="x_embedder",
+            bias_init=nn.initializers.zeros, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="x_embedder",
         )(tokens)
 
         cond_dim = min(self.dim, 1024)
-        t_emb = TimestepEmbedder(cond_dim, dtype=self.dtype, name="t_embedder")(t)
+        t_emb = TimestepEmbedder(cond_dim, dtype=self.dtype,
+                                 param_dtype=self.param_dtype, name="t_embedder")(t)
         y_emb = LabelEmbedder(
             self.num_classes, cond_dim, self.class_dropout_prob, dtype=self.dtype,
-            name="y_embedder",
+            param_dtype=self.param_dtype, name="y_embedder",
         )(y, train=train, force_drop_ids=force_drop_ids)
         adaln_input = t_emb + y_emb
 
@@ -143,7 +151,7 @@ class NextDiTImageNet(nn.Module):
             dim=self.dim, n_heads=self.n_heads, n_kv_heads=self.n_kv_heads,
             multiple_of=self.multiple_of, ffn_dim_multiplier=self.ffn_dim_multiplier,
             norm_eps=self.norm_eps, qk_norm=self.qk_norm, dtype=self.dtype,
-            attn_impl=self.attn_impl,
+            param_dtype=self.param_dtype, attn_impl=self.attn_impl,
         )
         if self.scan_blocks:
             block_cls = _ScannedBlock
@@ -166,7 +174,7 @@ class NextDiTImageNet(nn.Module):
 
         tokens = FinalLayer(
             self.dim, p, self.out_channels, modulation="shift_scale", dtype=self.dtype,
-            name="final_layer",
+            param_dtype=self.param_dtype, name="final_layer",
         )(tokens, adaln_input)
 
         out = unpatchify(tokens, h, w, p, self.out_channels)

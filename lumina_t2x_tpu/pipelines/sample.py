@@ -47,6 +47,9 @@ def parse_args(argv=None):
     p.add_argument("--qk_norm", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--precision", choices=["fp32", "bf16"], default="bf16")
+    p.add_argument("--bf16_params", action="store_true",
+                   help="store model params in bf16 (halves param HBM; "
+                        "required for 5B/7B single-chip inference)")
     p.add_argument("--vae", type=str, choices=["ema", "mse", "sdxl", "sd3"], default="ema")
     p.add_argument("--vae_ckpt", type=str, default=None)
     p.add_argument("--text_encoder", type=str, default=None, help="HF path of the caption LM")
@@ -82,6 +85,10 @@ def main(argv=None):
 
     # -- model + weights -----------------------------------------------------
     model_kwargs = dict(qk_norm=args.qk_norm, dtype=dtype)
+    if args.bf16_params:
+        # store params in bf16 (release-checkpoint layout): halves param HBM,
+        # which is what lets the 5B/7B configs run inference on one chip
+        model_kwargs["param_dtype"] = jnp.bfloat16
     if not is_class_cond:
         model_kwargs["cap_feat_dim"] = 2048
     if args.ckpt and not args.debug:

@@ -18,6 +18,8 @@ import jax
 import jax.numpy as jnp
 
 
+from ..models.flag_dit import FlagDiT
+from ..models.flag_dit import forward_with_cfg as flag_dit_cfg
 from ..models.next_dit import forward_with_cfg as next_dit_cfg
 from ..models.next_dit_imagenet import forward_with_cfg as imagenet_cfg
 from ..transport import Sampler, create_transport
@@ -105,6 +107,12 @@ def build_t2i_sample_fn(
     do_extrapolation = (width * height) > (train_res * train_res)
     scale_factor = resolution_scale_factor(width, height, train_res) if do_extrapolation else 1.0
     base_seqlen = (train_res // vae_downsample // model.patch_size) ** 2
+    # Flag-DiT (lumina_t2i family): 1-D RoPE with the demo's NTK-factor
+    # extrapolation ntk = seqlen/base_seqlen ((w/16 * h/16)/base,
+    # `lumina_t2i/demo.py:174-178`) instead of NextDiT's time-aware scaling
+    is_flag_dit = isinstance(model, FlagDiT)
+    seq_len = (lh // model.patch_size) * (lw // model.patch_size)
+    ntk_factor = (seq_len / base_seqlen) if (is_flag_dit and do_extrapolation) else 1.0
 
     def sample_fn(variables, rng, cap_feats, cap_mask):
         b2 = cap_feats.shape[0]
@@ -113,6 +121,14 @@ def build_t2i_sample_fn(
         z = jnp.concatenate([z, z], axis=0)
 
         def model_fn(x, t):
+            if is_flag_dit:
+                return flag_dit_cfg(
+                    model, variables, x, t, cfg_scale,
+                    cap_feats=cap_feats, cap_mask=cap_mask,
+                    ntk_factor=ntk_factor,
+                    proportional_attn=proportional_attn and do_extrapolation,
+                    base_seqlen=base_seqlen,
+                )
             return next_dit_cfg(
                 model, variables, x, t, cap_feats, cap_mask, cfg_scale,
                 scale_factor=scale_factor,

@@ -1,6 +1,7 @@
 """Model tests: shapes, jit, zero-init identity properties, CFG behavior,
 variable-aspect list path, scan vs loop equivalence."""
 
+import flax
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -469,3 +470,35 @@ class TestMMDiTImport:
         assert ref_shapes == got_shapes
         out = model.apply({"params": params}, x, t, c, pl)
         assert out.shape == x.shape and np.all(np.isfinite(np.asarray(out)))
+
+
+class TestParamDtype:
+    """param_dtype=bf16 stores weights half-size (how 5B/7B fit one chip);
+    norm weights stay fp32 (the fp32-island set) and defaults are unchanged."""
+
+    def test_bf16_params_init_and_forward(self):
+        from lumina_t2x_tpu.models.next_dit import NextDiT
+
+        model = NextDiT(dim=64, n_layers=2, n_heads=4, multiple_of=16,
+                        cap_feat_dim=32, dtype=jnp.bfloat16,
+                        param_dtype=jnp.bfloat16, attn_impl="xla")
+        x = jnp.zeros((1, 4, 16, 16))
+        args = (x, jnp.zeros((1,)), jnp.zeros((1, 8, 32)), jnp.ones((1, 8), jnp.int32))
+        v = model.init(jax.random.PRNGKey(0), *args)
+        big = [p for p in jax.tree.leaves(v) if p.size > 1000]
+        assert big and all(p.dtype == jnp.bfloat16 for p in big)
+        flat = flax.traverse_util.flatten_dict(v["params"], sep="/")
+        norm_w = [v_ for k, v_ in flat.items() if "norm" in k and k.endswith("weight")]
+        assert norm_w and all(p.dtype == jnp.float32 for p in norm_w)
+        out = model.apply(v, *args)
+        assert np.all(np.isfinite(np.asarray(out, np.float32)))
+
+    def test_default_param_dtype_is_fp32(self):
+        from lumina_t2x_tpu.models.next_dit import NextDiT
+
+        model = NextDiT(dim=64, n_layers=2, n_heads=4, multiple_of=16,
+                        cap_feat_dim=32, dtype=jnp.bfloat16, attn_impl="xla")
+        x = jnp.zeros((1, 4, 16, 16))
+        v = model.init(jax.random.PRNGKey(0), x, jnp.zeros((1,)),
+                       jnp.zeros((1, 8, 32)), jnp.ones((1, 8), jnp.int32))
+        assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(v))
