@@ -361,6 +361,25 @@ class TestFlashBackwardKernels:
         np.testing.assert_allclose(np.asarray(gf[1][:, 40:]), 0.0, atol=1e-6)
         np.testing.assert_allclose(np.asarray(gf[2][:, 40:]), 0.0, atol=1e-6)
 
+    def test_fused_single_sweep_matches_two_kernel(self):
+        """_flash_bwd_fused_impl (one sweep, dQ via per-kv-block partials +
+        XLA sum) must match _flash_bwd_impl (separate dQ and dK/dV kernels)
+        across multiple kv AND q blocks, GQA, and a masked tail."""
+        from lumina_t2x_tpu.ops.flash_attention import (
+            _flash_bwd_fused_impl, _flash_bwd_impl, _flash_fwd_res_impl)
+
+        q = jax.random.normal(jax.random.PRNGKey(0), (2, 256, 4, 16))
+        k = jax.random.normal(jax.random.PRNGKey(1), (2, 384, 2, 16))
+        v = jax.random.normal(jax.random.PRNGKey(2), (2, 384, 2, 16))
+        g = jax.random.normal(jax.random.PRNGKey(3), (2, 256, 4, 16))
+        mask = jnp.ones((2, 384), jnp.int32).at[1, 300:].set(0)
+        out, lse = _flash_fwd_res_impl(q, k, v, mask, 0.25, 128, 128)
+        a = _flash_bwd_fused_impl(q, k, v, mask, out, lse, g, 0.25, 128, 128)
+        b = _flash_bwd_impl(q, k, v, mask, out, lse, g, 0.25, 128, 128)
+        for x, y, name in zip(a, b, "q k v".split()):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5,
+                                       err_msg=f"d{name}")
+
     def test_bwd_gqa_group_sum(self):
         q = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 8, 8))
         k = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 2, 8))
