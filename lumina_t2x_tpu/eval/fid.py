@@ -86,6 +86,8 @@ def inception_score(probs: np.ndarray, splits: int = 10) -> Tuple[float, float]:
     probs = np.asarray(probs, np.float64)
     scores = []
     n = probs.shape[0]
+    if n == 0:
+        return float("nan"), float("nan")
     for part in np.array_split(probs, min(splits, n)):
         py = part.mean(axis=0, keepdims=True)
         kl = part * (np.log(part + 1e-12) - np.log(py + 1e-12))

@@ -68,6 +68,7 @@ class CompositionalAttention(nn.Module):
     qk_norm: bool = False
     y_dim: int = 0
     dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
 
     @nn.compact
@@ -78,11 +79,11 @@ class CompositionalAttention(nn.Module):
         init = nn.initializers.xavier_uniform()
 
         xq = nn.Dense(self.n_heads * head_dim, use_bias=False, kernel_init=init,
-                      dtype=self.dtype, name="wq")(x)
+                      dtype=self.dtype, param_dtype=self.param_dtype, name="wq")(x)
         xk = nn.Dense(n_kv * head_dim, use_bias=False, kernel_init=init,
-                      dtype=self.dtype, name="wk")(x)
+                      dtype=self.dtype, param_dtype=self.param_dtype, name="wk")(x)
         xv = nn.Dense(n_kv * head_dim, use_bias=False, kernel_init=init,
-                      dtype=self.dtype, name="wv")(x)
+                      dtype=self.dtype, param_dtype=self.param_dtype, name="wv")(x)
         if self.qk_norm:
             xq = LayerNorm(eps=1e-5, name="q_norm")(xq)
             xk = LayerNorm(eps=1e-5, name="k_norm")(xk)
@@ -101,11 +102,11 @@ class CompositionalAttention(nn.Module):
         if self.y_dim > 0 and y is not None:
             num_y, ly = y.shape[0], y.shape[1]
             yk = nn.Dense(n_kv * head_dim, use_bias=False, kernel_init=init,
-                          dtype=self.dtype, name="wk_y")(y)
+                          dtype=self.dtype, param_dtype=self.param_dtype, name="wk_y")(y)
             if self.qk_norm:
                 yk = LayerNorm(eps=1e-5, name="ky_norm")(yk)
             yv = nn.Dense(n_kv * head_dim, use_bias=False, kernel_init=init,
-                          dtype=self.dtype, name="wv_y")(y)
+                          dtype=self.dtype, param_dtype=self.param_dtype, name="wv_y")(y)
             yk = yk.reshape(num_y, ly, n_kv, head_dim)
             yv = yv.reshape(num_y, ly, n_kv, head_dim)
             gate = self.param("gate", nn.initializers.zeros, (self.n_heads,), jnp.float32)
@@ -126,7 +127,7 @@ class CompositionalAttention(nn.Module):
 
         out = out.reshape(b, s, self.n_heads * head_dim)
         return nn.Dense(self.dim, use_bias=False, kernel_init=init, dtype=self.dtype,
-                        name="wo")(out)
+                        param_dtype=self.param_dtype, name="wo")(out)
 
 
 class CompositionalBlock(nn.Module):
@@ -139,19 +140,20 @@ class CompositionalBlock(nn.Module):
     qk_norm: bool
     y_dim: int
     dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, x_mask, angles, y, y_mask, region_mask, adaln_input, attn_scale=None):
         mod = nn.Dense(4 * self.dim, kernel_init=nn.initializers.zeros, dtype=self.dtype,
-                       name="adaLN_modulation")(nn.silu(adaln_input))
+                       param_dtype=self.param_dtype, name="adaLN_modulation")(nn.silu(adaln_input))
         scale_msa, gate_msa, scale_mlp, gate_mlp = jnp.split(mod, 4, axis=-1)
 
         y_normed = RMSNorm(eps=self.norm_eps, name="attention_y_norm")(y)
         attn_out = CompositionalAttention(
             dim=self.dim, n_heads=self.n_heads, n_kv_heads=self.n_kv_heads,
             qk_norm=self.qk_norm, y_dim=self.y_dim, dtype=self.dtype,
-            attn_impl=self.attn_impl, name="attention",
+            param_dtype=self.param_dtype, attn_impl=self.attn_impl, name="attention",
         )(
             modulate(RMSNorm(eps=self.norm_eps, name="attention_norm1")(x), scale_msa),
             x_mask, angles, y_normed, y_mask, region_mask, attn_scale,
@@ -162,7 +164,8 @@ class CompositionalBlock(nn.Module):
 
         mlp_out = FeedForward(
             dim=self.dim, hidden_dim=4 * self.dim, multiple_of=self.multiple_of,
-            ffn_dim_multiplier=self.ffn_dim_multiplier, dtype=self.dtype, name="feed_forward",
+            ffn_dim_multiplier=self.ffn_dim_multiplier, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="feed_forward",
         )(modulate(RMSNorm(eps=self.norm_eps, name="ffn_norm1")(x), scale_mlp))
         x = x + jnp.tanh(gate_mlp)[:, None, :].astype(x.dtype) * RMSNorm(
             eps=self.norm_eps, name="ffn_norm2"
@@ -197,6 +200,7 @@ class NextDiTCompositional(nn.Module):
     cap_feat_dim: int = 2048
     rope_theta: float = 10000.0
     dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
     scan_blocks: bool = True
     remat: bool = False
@@ -228,13 +232,17 @@ class NextDiTCompositional(nn.Module):
         tokens = patchify(x.astype(self.dtype), p)
         tokens = nn.Dense(
             self.dim, kernel_init=nn.initializers.xavier_uniform(),
-            bias_init=nn.initializers.zeros, dtype=self.dtype, name="x_embedder",
+            bias_init=nn.initializers.zeros, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="x_embedder",
         )(tokens)
-        self.param("pad_token", nn.initializers.normal(stddev=0.02), (self.dim,), jnp.float32)
+        self.param("pad_token", nn.initializers.normal(stddev=0.02), (self.dim,),
+                   self.param_dtype)
 
         cond_dim = min(self.dim, 1024)
-        t_emb = TimestepEmbedder(cond_dim, dtype=self.dtype, name="t_embedder")(t)
-        cap_emb = CaptionEmbedder(cond_dim, dtype=self.dtype, name="cap_embedder")(
+        t_emb = TimestepEmbedder(cond_dim, dtype=self.dtype,
+                                 param_dtype=self.param_dtype, name="t_embedder")(t)
+        cap_emb = CaptionEmbedder(cond_dim, dtype=self.dtype,
+                                  param_dtype=self.param_dtype, name="cap_embedder")(
             pooled_caption(global_cap_feats.astype(self.dtype), global_cap_mask)
         )
         adaln_input = t_emb + cap_emb
@@ -248,7 +256,7 @@ class NextDiTCompositional(nn.Module):
             dim=self.dim, n_heads=self.n_heads, n_kv_heads=self.n_kv_heads,
             multiple_of=self.multiple_of, ffn_dim_multiplier=self.ffn_dim_multiplier,
             norm_eps=self.norm_eps, qk_norm=self.qk_norm, y_dim=self.cap_feat_dim,
-            dtype=self.dtype, attn_impl=self.attn_impl,
+            dtype=self.dtype, param_dtype=self.param_dtype, attn_impl=self.attn_impl,
         )
         cap_feats_c = cap_feats.astype(self.dtype)
         if self.scan_blocks:
@@ -270,7 +278,8 @@ class NextDiTCompositional(nn.Module):
                 )
 
         tokens = FinalLayer(self.dim, p, self.out_channels, modulation="scale",
-                            dtype=self.dtype, name="final_layer")(tokens, adaln_input)
+                            dtype=self.dtype, param_dtype=self.param_dtype,
+                            name="final_layer")(tokens, adaln_input)
         out = unpatchify(tokens, h, w, p, self.out_channels)
         if self.learn_sigma:
             out = out[:, : self.out_channels // 2]

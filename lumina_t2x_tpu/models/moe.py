@@ -61,6 +61,7 @@ class TimeMoEFFN(nn.Module):
     num_experts_per_tok: int = 2
     cond_dim: int = 1024
     dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, cond):
@@ -68,9 +69,9 @@ class TimeMoEFFN(nn.Module):
         e, k = self.num_experts, self.num_experts_per_tok
         hidden = _ffn_hidden(self.dim, self.multiple_of, self.ffn_dim_multiplier)
         init = nn.initializers.xavier_uniform()
-        w1 = self.param("w1", init, (e, self.dim, hidden), jnp.float32)
-        w3 = self.param("w3", init, (e, self.dim, hidden), jnp.float32)
-        w2 = self.param("w2", init, (e, hidden, self.dim), jnp.float32)
+        w1 = self.param("w1", init, (e, self.dim, hidden), self.param_dtype)
+        w3 = self.param("w3", init, (e, self.dim, hidden), self.param_dtype)
+        w2 = self.param("w2", init, (e, hidden, self.dim), self.param_dtype)
         gate_logits = nn.Dense(e, use_bias=False, dtype=jnp.float32, name="gate")(
             cond.astype(jnp.float32)
         )  # (B, E)
@@ -109,6 +110,7 @@ class SpaceMoEFFN(nn.Module):
     capacity_factor: float = 2.0
     ep_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -118,9 +120,9 @@ class SpaceMoEFFN(nn.Module):
         capacity = int(math.ceil(t * k / e * self.capacity_factor))
         hidden = _ffn_hidden(self.dim, self.multiple_of, self.ffn_dim_multiplier)
         init = nn.initializers.xavier_uniform()
-        w1 = self.param("w1", init, (e, self.dim, hidden), jnp.float32).astype(self.dtype)
-        w3 = self.param("w3", init, (e, self.dim, hidden), jnp.float32).astype(self.dtype)
-        w2 = self.param("w2", init, (e, hidden, self.dim), jnp.float32).astype(self.dtype)
+        w1 = self.param("w1", init, (e, self.dim, hidden), self.param_dtype).astype(self.dtype)
+        w3 = self.param("w3", init, (e, self.dim, hidden), self.param_dtype).astype(self.dtype)
+        w2 = self.param("w2", init, (e, hidden, self.dim), self.param_dtype).astype(self.dtype)
 
         xt = x.reshape(t, d)
         gate_logits = nn.Dense(e, use_bias=False, dtype=jnp.float32, name="gate")(
@@ -178,19 +180,22 @@ class NextDiTMoEBlock(nn.Module):
     capacity_factor: float = 2.0
     ep_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, angles, adaln_input, time_input):
         n_chunks = 6 if self.moe_mode == "both" else 4
         mod = nn.Dense(n_chunks * self.dim, kernel_init=nn.initializers.zeros,
-                       dtype=self.dtype, name="adaLN_modulation")(nn.silu(adaln_input))
+                       dtype=self.dtype, param_dtype=self.param_dtype,
+                       name="adaLN_modulation")(nn.silu(adaln_input))
         chunks = jnp.split(mod, n_chunks, axis=-1)
 
         scale_msa, gate_msa = chunks[0], chunks[1]
         attn_out = Attention(
             dim=self.dim, n_heads=self.n_heads, n_kv_heads=self.n_kv_heads,
-            qk_norm=self.qk_norm, y_dim=0, dtype=self.dtype, attn_impl=self.attn_impl,
+            qk_norm=self.qk_norm, y_dim=0, dtype=self.dtype,
+            param_dtype=self.param_dtype, attn_impl=self.attn_impl,
             name="attention",
         )(
             modulate(RMSNorm(eps=self.norm_eps, name="attention_norm1")(x), scale_msa),
@@ -204,7 +209,7 @@ class NextDiTMoEBlock(nn.Module):
             dim=self.dim, multiple_of=self.multiple_of,
             ffn_dim_multiplier=self.ffn_dim_multiplier,
             num_experts=self.num_experts, num_experts_per_tok=self.num_experts_per_tok,
-            dtype=self.dtype,
+            dtype=self.dtype, param_dtype=self.param_dtype,
         )
 
         if self.moe_mode == "both":
@@ -235,7 +240,7 @@ class NextDiTMoEBlock(nn.Module):
             ffn_out = FeedForward(
                 dim=self.dim, hidden_dim=4 * self.dim, multiple_of=self.multiple_of,
                 ffn_dim_multiplier=self.ffn_dim_multiplier, dtype=self.dtype,
-                name="feed_forward",
+                param_dtype=self.param_dtype, name="feed_forward",
             )(h)
         x = x + jnp.tanh(gate_mlp)[:, None, :].astype(x.dtype) * RMSNorm(
             eps=self.norm_eps, name="ffn_norm"
@@ -272,6 +277,7 @@ class NextDiTMoE(nn.Module):
     ep_axis: Optional[str] = None
     rope_theta: float = 10000.0
     dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
     scan_blocks: bool = True
     remat: bool = False
@@ -296,14 +302,16 @@ class NextDiTMoE(nn.Module):
         tokens = patchify(x.astype(self.dtype), p)
         tokens = nn.Dense(
             self.dim, kernel_init=nn.initializers.xavier_uniform(),
-            bias_init=nn.initializers.zeros, dtype=self.dtype, name="x_embedder",
+            bias_init=nn.initializers.zeros, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="x_embedder",
         )(tokens)
 
         cond_dim = min(self.dim, 1024)
-        t_emb = TimestepEmbedder(cond_dim, dtype=self.dtype, name="t_embedder")(t)
+        t_emb = TimestepEmbedder(cond_dim, dtype=self.dtype,
+                                 param_dtype=self.param_dtype, name="t_embedder")(t)
         y_emb = LabelEmbedder(
             self.num_classes, cond_dim, self.class_dropout_prob, dtype=self.dtype,
-            name="y_embedder",
+            param_dtype=self.param_dtype, name="y_embedder",
         )(y, train=train, force_drop_ids=force_drop_ids)
         adaln_input = t_emb + y_emb
         # TimeMoE gates see the raw timestep embedding (`models.py:895-903`)
@@ -315,7 +323,7 @@ class NextDiTMoE(nn.Module):
             norm_eps=self.norm_eps, qk_norm=self.qk_norm, moe_mode=self.moe_mode,
             num_experts=self.num_experts, num_experts_per_tok=self.num_experts_per_tok,
             capacity_factor=self.capacity_factor, ep_axis=self.ep_axis,
-            dtype=self.dtype, attn_impl=self.attn_impl,
+            dtype=self.dtype, param_dtype=self.param_dtype, attn_impl=self.attn_impl,
         )
         if self.scan_blocks:
             block_cls = _ScannedMoEBlock
@@ -335,7 +343,7 @@ class NextDiTMoE(nn.Module):
 
         tokens = FinalLayer(
             self.dim, p, self.out_channels, modulation="shift_scale", dtype=self.dtype,
-            name="final_layer",
+            param_dtype=self.param_dtype, name="final_layer",
         )(tokens, adaln_input)
 
         out = unpatchify(tokens, h, w, p, self.out_channels)

@@ -477,13 +477,13 @@ def _bwd_fused_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
-def _flash_bwd_impl(q, k, v, kv_mask, out, lse, g, scale, block_q, block_k):
-    """Returns (dq, dk_per_qhead, dv_per_qhead); GQA group-sum happens in the
-    caller."""
+def _bwd_prepare(q, k, v, kv_mask, out, g, block_q, block_k):
+    """Shared backward preamble: pad/transpose operands to (B, H, S_p, D)
+    kernel layout and precompute `delta = rowsum(dO * O)` lane-replicated
+    like lse. Single home for this logic — used by both the fused and the
+    two-kernel backward impls."""
     b, sq, hq, d = q.shape
     _, sk, hkv, _ = k.shape
-    rep = hq // hkv
     sq_p = _round_up(sq, block_q)
     sk_p = _round_up(sk, block_k)
 
@@ -493,10 +493,21 @@ def _flash_bwd_impl(q, k, v, kv_mask, out, lse, g, scale, block_q, block_k):
     dot = jnp.pad(g.transpose(0, 2, 1, 3), ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
     mask = jnp.pad(kv_mask.astype(jnp.int32), ((0, 0), (0, sk_p - sk)))[:, None, :]
 
-    # delta = rowsum(dO * O), lane-replicated like lse
     delta = jnp.einsum("bshd,bshd->bhs", g.astype(jnp.float32), out.astype(jnp.float32))
     delta = jnp.pad(delta, ((0, 0), (0, 0), (0, sq_p - sq)))[..., None]
     delta = jnp.broadcast_to(delta, (b, hq, sq_p, 128))
+    return qt, kt, vt, dot, mask, delta, sq_p, sk_p
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
+def _flash_bwd_impl(q, k, v, kv_mask, out, lse, g, scale, block_q, block_k):
+    """Returns (dq, dk_per_qhead, dv_per_qhead); GQA group-sum happens in the
+    caller."""
+    b, sq, hq, d = q.shape
+    _, sk, hkv, _ = k.shape
+    rep = hq // hkv
+    qt, kt, vt, dot, mask, delta, sq_p, sk_p = _bwd_prepare(
+        q, k, v, kv_mask, out, g, block_q, block_k)
 
     interpret = jax.default_backend() == "cpu"
 
@@ -587,19 +598,9 @@ def _flash_bwd_fused_impl(q, k, v, kv_mask, out, lse, g, scale, block_q, block_k
     b, sq, hq, d = q.shape
     _, sk, hkv, _ = k.shape
     rep = hq // hkv
-    sq_p = _round_up(sq, block_q)
-    sk_p = _round_up(sk, block_k)
+    qt, kt, vt, dot, mask, delta, sq_p, sk_p = _bwd_prepare(
+        q, k, v, kv_mask, out, g, block_q, block_k)
     nk = sk_p // block_k
-
-    qt = jnp.pad(q.transpose(0, 2, 1, 3), ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
-    kt = jnp.pad(k.transpose(0, 2, 1, 3), ((0, 0), (0, 0), (0, sk_p - sk), (0, 0)))
-    vt = jnp.pad(v.transpose(0, 2, 1, 3), ((0, 0), (0, 0), (0, sk_p - sk), (0, 0)))
-    dot = jnp.pad(g.transpose(0, 2, 1, 3), ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
-    mask = jnp.pad(kv_mask.astype(jnp.int32), ((0, 0), (0, sk_p - sk)))[:, None, :]
-
-    delta = jnp.einsum("bshd,bshd->bhs", g.astype(jnp.float32), out.astype(jnp.float32))
-    delta = jnp.pad(delta, ((0, 0), (0, 0), (0, sq_p - sq)))[..., None]
-    delta = jnp.broadcast_to(delta, (b, hq, sq_p, 128))
 
     interpret = jax.default_backend() == "cpu"
 
@@ -652,21 +653,23 @@ def _flash_bwd_fused_impl(q, k, v, kv_mask, out, lse, g, scale, block_q, block_k
     return dq, dk, dv
 
 
-def _use_fused_bwd(b, sq, hq, d, block_k, sk) -> bool:
+def _use_fused_bwd(b, sq, hq, d, block_q, block_k, sk) -> bool:
     import os
 
     v = os.environ.get("LUMINA_FLASH_FUSED_BWD", "")
     if v:
         return v != "0"
-    # auto: fused wins while the fp32 dQ-partials array (nk * |dQ|) stays
-    # small next to HBM; past that the extra traffic eats the saved recompute
+    # auto: fused wins while the fp32 dQ-partials array (nk * |dQ|, with sq
+    # padded to block_q exactly as the impl pads it) stays small next to
+    # HBM; past that the extra traffic eats the saved recompute
     nk = _round_up(sk, block_k) // block_k
-    partial_bytes = 4 * b * hq * _round_up(sq, 128) * d * nk
+    partial_bytes = 4 * b * hq * _round_up(sq, block_q) * d * nk
     return partial_bytes <= 1 << 30  # 1 GiB
 
 
 def _flash_bwd(q, k, v, kv_mask, out, lse, g, scale, block_q, block_k):
-    if _use_fused_bwd(q.shape[0], q.shape[1], q.shape[2], q.shape[3], block_k, k.shape[1]):
+    if _use_fused_bwd(q.shape[0], q.shape[1], q.shape[2], q.shape[3],
+                      block_q, block_k, k.shape[1]):
         return _flash_bwd_fused_impl(q, k, v, kv_mask, out, lse, g, scale, block_q, block_k)
     return _flash_bwd_impl(q, k, v, kv_mask, out, lse, g, scale, block_q, block_k)
 

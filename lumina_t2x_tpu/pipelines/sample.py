@@ -53,6 +53,8 @@ def parse_args(argv=None):
     p.add_argument("--vae", type=str, choices=["ema", "mse", "sdxl", "sd3"], default="ema")
     p.add_argument("--vae_ckpt", type=str, default=None)
     p.add_argument("--text_encoder", type=str, default=None, help="HF path of the caption LM")
+    p.add_argument("--cap_feat_dim", type=int, default=2048,
+                   help="caption feature width (2048 Gemma-2B, 4096 LLaMA-2-7B)")
     p.add_argument("--train_res", type=int, default=1024)
     p.add_argument("--debug", action="store_true", help="random weights, no checkpoint needed")
     p.add_argument("--batch_size", type=int, default=1)
@@ -90,7 +92,7 @@ def main(argv=None):
         # which is what lets the 5B/7B configs run inference on one chip
         model_kwargs["param_dtype"] = jnp.bfloat16
     if not is_class_cond:
-        model_kwargs["cap_feat_dim"] = 2048
+        model_kwargs["cap_feat_dim"] = args.cap_feat_dim
     if args.ckpt and not args.debug:
         train_args = load_model_args(args.ckpt)
         args.model = train_args.get("model", args.model)
@@ -147,7 +149,7 @@ def main(argv=None):
             # debug: random caption features (the reference's --debug skips
             # checkpoint loading but still runs Gemma; offline we synthesize)
             ly = 32
-            cap_feats = jax.random.normal(rng, (2 * len(prompts), ly, 2048))
+            cap_feats = jax.random.normal(rng, (2 * len(prompts), ly, args.cap_feat_dim))
             cap_mask = jnp.ones((2 * len(prompts), ly), jnp.int32)
 
         for res in args.resolution:

@@ -324,7 +324,7 @@ def main(argv=None):
             batch = form_global_batch(mesh, batch)
         # trace capture (SURVEY.md §5: a capability the reference lacks):
         # skip the compile step, then profile N steps
-        if args.profile_steps and step == start_step + 1:
+        if args.profile_steps and step == min(start_step + 1, args.max_steps - 1):
             jax.profiler.start_trace(os.path.join(exp_dir, "trace"))
             tracing = True
             logger.info(f"profiler: tracing {args.profile_steps} steps")

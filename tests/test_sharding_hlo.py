@@ -42,7 +42,9 @@ COLLECTIVES = ("all-reduce", "all-gather", "reduce-scatter", "all-to-all",
 
 
 def collective_counts(hlo: str):
-    return {op: len(re.findall(rf"= \S+ {op}\(|= \(\S+[^)]*\) {op}\(", hlo))
+    # match sync and async-start forms (the partitioner may emit either);
+    # -done ops are excluded so async pairs count once
+    return {op: len(re.findall(rf"= \S+ {op}(?:-start)?\(|= \(\S+[^)]*\) {op}(?:-start)?\(", hlo))
             for op in COLLECTIVES}
 
 
