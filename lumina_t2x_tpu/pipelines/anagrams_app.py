@@ -49,6 +49,8 @@ def parse_args(argv=None):
     p.add_argument("--resolution", type=int, default=1024)
     p.add_argument("--proportional_attn", action="store_true")
     p.add_argument("--scaling_watershed", type=float, default=0.3)
+    p.add_argument("--vae_ckpt", type=str, default=None,
+                   help="diffusers VAE weights for the phase-2 pixel-space upsample")
     p.add_argument("--kv_merge_ratio", type=int, default=1,
                    help="AvgPool K/V over the token grid in the upscale phase "
                         "(the fork's kv_merge trick; 1 = off, as upstream)")
@@ -189,7 +191,36 @@ def main(argv=None):
             os.path.join(os.path.abspath(args.ckpt), "ema"), variables["params"]
         )
         variables = {"params": restored}
-    phase1, _ = generate_anagram(
+    # Phase 2 (reference `generate.py:357-498` two-stage 256 -> 1024): needs
+    # pixel-space decode/upsample/re-encode. With --vae_ckpt the real VAE is
+    # used; in --debug latent stand-ins (nearest-resize decode / avg-pool
+    # encode) exercise the identical flow without weights.
+    upscale_latent = args.resolution // 8 if args.resolution > args.base_res else None
+    vae_encode_fn = vae_decode_fn = None
+    if upscale_latent:
+        if args.vae_ckpt and not args.debug:
+            from ..codecs.vae import AutoencoderKL, import_autoencoder_kl_weights
+            from ..core import load_torch_state_dict
+
+            from ..codecs.vae import decode_from_latent, encode_to_latent
+
+            vae = AutoencoderKL()
+            vv = {"params": import_autoencoder_kl_weights(load_torch_state_dict(args.vae_ckpt))}
+            vae_decode_fn = jax.jit(lambda z: decode_from_latent(vae, vv, z))
+            vae_encode_fn = jax.jit(lambda x: encode_to_latent(
+                vae, vv, x, jax.random.PRNGKey(0)))
+        else:
+            def vae_decode_fn(z):
+                return jax.image.resize(z[:, :3].astype(jnp.float32),
+                                        (z.shape[0], 3, z.shape[2] * 8, z.shape[3] * 8),
+                                        method="nearest")
+
+            def vae_encode_fn(img):
+                b, c, h, w = img.shape
+                z = img.reshape(b, c, h // 8, 8, w // 8, 8).mean((3, 5))
+                return jnp.concatenate([z, z[:, :1]], axis=1)
+
+    phase1, phase2 = generate_anagram(
         model, variables, cap_feats_list, cap_mask_list, views,
         base_latent=base_latent, num_steps=args.num_inference_steps,
         cfg_scale=args.cfg_scale, time_shifting_factor=args.time_shifting_factor,
@@ -197,9 +228,13 @@ def main(argv=None):
         base_seqlen=(args.base_res // 16) ** 2,
         scale_watershed=args.scaling_watershed,
         kv_merge_ratio=args.kv_merge_ratio,
+        upscale_latent=upscale_latent,
+        vae_encode_fn=vae_encode_fn, vae_decode_fn=vae_decode_fn,
     )
     sample_dir = os.path.join(args.save_dir, args.name, f"{args.seed:04d}")
     paths = save_illusion(phase1, views, sample_dir)
+    if phase2 is not None:
+        paths += save_illusion(phase2, views, sample_dir, tag="_hires")
     print(f"saved {len(paths)} views to {sample_dir}")
     return paths
 

@@ -272,3 +272,37 @@ class TestCompositional:
                                global_cap_feats=gcap, global_cap_mask=gmask,
                                h_split_num=2, w_split_num=2)
         assert out.shape == x.shape
+
+
+class TestAnagramAppTwoStage:
+    def test_cli_runs_phase2(self, tmp_path):
+        """--resolution > --base_res must wire phase 2 (decode -> bicubic
+        upsample -> tiled re-encode -> guided loop) and save _hires views;
+        in --debug latent stand-ins replace the VAE but the flow is
+        identical (reference `generate.py:357-498`)."""
+        from lumina_t2x_tpu import models as m
+        from lumina_t2x_tpu.models.next_dit import NextDiT
+
+        m.MODELS["NextDiT_600M_patch2"] = lambda **kw: NextDiT(
+            **{**dict(dim=32, n_layers=1, n_heads=4, multiple_of=16),
+               **{k: v for k, v in kw.items() if k != "remat"}}
+        )
+        from lumina_t2x_tpu.pipelines.anagrams_app import main
+
+        paths = main([
+            "--model", "NextDiT_600M_patch2",
+            "--prompts", "a cat", "a dog",
+            "--views", "identity", "flip",
+            "--save_dir", str(tmp_path),
+            "--num_inference_steps", "2",
+            "--base_res", "64", "--resolution", "128",
+            "--debug",
+        ])
+        hires = [p for p in paths if "_hires" in p]
+        assert len(hires) == 2
+        import numpy as np
+        from PIL import Image
+
+        base = Image.open([p for p in paths if "_hires" not in p][0])
+        hi = Image.open(hires[0])
+        assert hi.size == (16, 16) and base.size == (8, 8)  # latent previews
