@@ -95,6 +95,12 @@ def main(argv=None):
         rng, jnp.zeros((2, 4, h // 8, w // 8)), jnp.zeros((2,)), cap_feats, cap_mask,
         gfeats, gmask, h_split_num=args.h_split_num, w_split_num=args.w_split_num,
     )
+    if args.ckpt and not args.debug:
+        import orbax.checkpoint as ocp
+
+        variables = {"params": ocp.StandardCheckpointer().restore(
+            os.path.join(os.path.abspath(args.ckpt), "ema"), variables["params"]
+        )}
     fn = jax.jit(build_compositional_sample_fn(
         model, h_split_num=args.h_split_num, w_split_num=args.w_split_num,
         latent_h=h // 8, latent_w=w // 8, num_steps=args.num_sampling_steps,

@@ -31,7 +31,6 @@ def parse_args(argv=None):
     p.add_argument("--vae_ckpt", type=str, default=None)
     p.add_argument("--text_encoder", type=str, default=None)
     p.add_argument("--max_caption_len", type=int, default=256)
-    p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--limit", type=int, default=0, help="0 = all items")
     p.add_argument("--precision", choices=["fp32", "bf16"], default="bf16")
     return p.parse_args(argv)

@@ -291,8 +291,10 @@ def main(argv=None):
         logger.info(f"initialized weights from {args.init_from}")
 
     micro = (args.global_batch_size // args.micro_batch_size) if args.micro_batch_size else 1
+    grad_dtype = {"fp32": None, "fp16": jnp.float16, "bf16": jnp.bfloat16}[args.grad_precision]
     step_fn = make_train_step(
-        model, transport, optimizer, cond_fn, grad_clip=args.grad_clip, micro_batches=micro
+        model, transport, optimizer, cond_fn, grad_clip=args.grad_clip,
+        micro_batches=micro, grad_dtype=grad_dtype,
     )
     jitted, _ = make_sharded_train_step(mesh, step_fn, state,
                                         fsdp=(args.data_parallel == "fsdp"))

@@ -76,13 +76,24 @@ def make_train_step(
     ema_decay: float = 0.9999,
     micro_batches: int = 1,
     loss_mask_fn: Optional[Callable[[Dict], Any]] = None,
+    grad_dtype=None,
 ):
     """Build the (un-jitted) train step; wrap with jit/shardings via
     `make_sharded_train_step`.
 
     cond_kwargs_fn(batch) -> model kwargs beyond (x, t), e.g.
     {"y": batch["y"]} or {"cap_feats": ..., "cap_mask": ...}.
+
+    grad_dtype: dtype gradients are cast to before accumulation and the
+    (GSPMD-inserted) data-axis reduction — the reference's
+    `--grad_precision` / FSDP MixedPrecision reduce_dtype
+    (`lumina_next_t2i/train.py:171-204`). None keeps full fp32; the
+    optimizer update itself always runs in the param dtype.
     """
+    cast_grads = (
+        (lambda g: jax.tree.map(lambda a: a.astype(grad_dtype), g))
+        if grad_dtype is not None else (lambda g: g)
+    )
 
     def compute_grads(params, batch, drop_rng, loss_rng):
         def loss_fn(p):
@@ -105,6 +116,7 @@ def make_train_step(
 
         if micro_batches == 1:
             loss, _, grads = compute_grads(state.params, batch, drop_rng, loss_rng)
+            grads = cast_grads(grads)
         else:
             # micro-batch accumulation as a scan: reshape (B, ...) ->
             # (micro, B/micro, ...) and average grads
@@ -119,9 +131,11 @@ def make_train_step(
                 l, _, g = compute_grads(
                     state.params, mb, jax.random.fold_in(drop_rng, i), jax.random.fold_in(loss_rng, i)
                 )
-                return (jax.tree.map(jnp.add, acc_grads, g), acc_loss + l), None
+                return (jax.tree.map(jnp.add, acc_grads, cast_grads(g)), acc_loss + l), None
 
-            zero = jax.tree.map(jnp.zeros_like, state.params)
+            zero = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, grad_dtype or p.dtype), state.params
+            )
             (grads, loss), _ = jax.lax.scan(
                 body, (zero, jnp.zeros(())), jnp.arange(micro_batches)
             )
@@ -133,6 +147,8 @@ def make_train_step(
             scale = jnp.minimum(1.0, grad_clip / (grad_norm + 1e-6))
             grads = jax.tree.map(lambda g: g * scale, grads)
 
+        if grad_dtype is not None:  # optimizer math stays in param precision
+            grads = jax.tree.map(lambda g, p: g.astype(p.dtype), grads, state.params)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         ema = jax.tree.map(
