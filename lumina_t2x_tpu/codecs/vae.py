@@ -303,3 +303,17 @@ def import_autoencoder_kl_weights(sd, ch_mult: Sequence[int] = (1, 2, 4, 4),
         "quant_conv": _conv(sd, "quant_conv"),
         "post_quant_conv": _conv(sd, "post_quant_conv"),
     }
+
+
+def load_vae(vae_ckpt: str, **vae_kwargs):
+    """Build an AutoencoderKL and import diffusers-format weights.
+
+    Single home for the load-VAE idiom used by every pipeline (sampler,
+    img2img, SD3, dreambooth, encode_latents, anagrams). Returns
+    (vae, variables) ready for `encode_to_latent` / `decode_from_latent`.
+    """
+    from ..core.checkpoint import load_torch_state_dict
+
+    vae = AutoencoderKL(**vae_kwargs)
+    variables = {"params": import_autoencoder_kl_weights(load_torch_state_dict(vae_ckpt))}
+    return vae, variables

@@ -198,18 +198,16 @@ def main(argv=None):
     upscale_latent = args.resolution // 8 if args.resolution > args.base_res else None
     vae_encode_fn = vae_decode_fn = None
     if upscale_latent:
-        if args.vae_ckpt and not args.debug:
-            from ..codecs.vae import AutoencoderKL, import_autoencoder_kl_weights
-            from ..core import load_torch_state_dict
+        if args.vae_ckpt:
+            from ..codecs.vae import decode_from_latent, encode_to_latent, load_vae
 
-            from ..codecs.vae import decode_from_latent, encode_to_latent
-
-            vae = AutoencoderKL()
-            vv = {"params": import_autoencoder_kl_weights(load_torch_state_dict(args.vae_ckpt))}
+            vae, vv = load_vae(args.vae_ckpt)
             vae_decode_fn = jax.jit(lambda z: decode_from_latent(vae, vv, z))
             vae_encode_fn = jax.jit(lambda x: encode_to_latent(
                 vae, vv, x, jax.random.PRNGKey(0)))
-        else:
+        elif args.debug:
+            # latent stand-ins: exercise the identical phase-2 flow
+            # (decode -> upsample -> tiled re-encode) without VAE weights
             def vae_decode_fn(z):
                 return jax.image.resize(z[:, :3].astype(jnp.float32),
                                         (z.shape[0], 3, z.shape[2] * 8, z.shape[3] * 8),
@@ -219,6 +217,13 @@ def main(argv=None):
                 b, c, h, w = img.shape
                 z = img.reshape(b, c, h // 8, 8, w // 8, 8).mean((3, 5))
                 return jnp.concatenate([z, z[:, :1]], axis=1)
+        else:
+            # silently producing "hi-res" outputs guided by a fake VAE
+            # round-trip would waste a long run; keep phase 1 only
+            print("warning: --resolution > --base_res needs --vae_ckpt for the "
+                  "phase-2 upsample (or --debug for the stand-in flow); "
+                  "running phase 1 only")
+            upscale_latent = None
 
     phase1, phase2 = generate_anagram(
         model, variables, cap_feats_list, cap_mask_list, views,

@@ -171,13 +171,9 @@ def main(argv=None):
     model = get_model(args.model, cap_feat_dim=args.cap_feat_dim, dtype=dtype, qk_norm=True)
     vae = vae_variables = None
     if args.vae_ckpt:
-        from ..codecs.vae import AutoencoderKL, import_autoencoder_kl_weights
-        from ..core import load_torch_state_dict
+        from ..codecs.vae import load_vae
 
-        vae = AutoencoderKL()
-        vae_variables = {
-            "params": import_autoencoder_kl_weights(load_torch_state_dict(args.vae_ckpt))
-        }
+        vae, vae_variables = load_vae(args.vae_ckpt)
     batches = dreambooth_batches(args, text_encoder, vae, vae_variables)
     first = next(batches)
     cond = lambda b: {"cap_feats": b["cap_feats"], "cap_mask": b["cap_mask"]}

@@ -50,13 +50,13 @@ def main(argv=None):
                           T2IItemProcessor(lambda im: var_center_crop(im, crop_list)))
 
     # VAE (random init in smoke mode)
-    from ..codecs.vae import AutoencoderKL, encode_to_latent, import_autoencoder_kl_weights
+    from ..codecs.vae import AutoencoderKL, encode_to_latent
 
     vae = AutoencoderKL(dtype=dtype)
     if args.vae_ckpt:
-        from ..core.checkpoint import load_torch_state_dict
+        from ..codecs.vae import load_vae
 
-        vv = {"params": import_autoencoder_kl_weights(load_torch_state_dict(args.vae_ckpt))}
+        vae, vv = load_vae(args.vae_ckpt, dtype=dtype)
     else:
         vv = vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 64, 64)), jax.random.PRNGKey(1))
 

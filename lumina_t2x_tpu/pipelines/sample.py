@@ -193,11 +193,9 @@ def _sample_fid_npz(args, model, variables, sample_fn, rng):
     rng_np = np.random.default_rng(args.seed)
     decode = None
     if args.vae_ckpt:
-        from ..codecs.vae import AutoencoderKL, decode_from_latent, import_autoencoder_kl_weights
-        from ..core.checkpoint import load_torch_state_dict
+        from ..codecs.vae import decode_from_latent, load_vae
 
-        vae = AutoencoderKL()
-        vv = {"params": import_autoencoder_kl_weights(load_torch_state_dict(args.vae_ckpt))}
+        vae, vv = load_vae(args.vae_ckpt)
         decode = jax.jit(lambda z: decode_from_latent(vae, vv, z, args.vae))
 
     out_batches = []
@@ -224,16 +222,16 @@ def _sample_fid_npz(args, model, variables, sample_fn, rng):
 
 def _save_outputs(latents, args, manifest, names: List[str], res_tag: str = ""):
     latents = np.asarray(latents, np.float32)
+    if args.vae_ckpt:
+        from ..codecs.vae import load_vae
+
+        vae, vv = load_vae(args.vae_ckpt)
     for i, name in enumerate(names[: latents.shape[0]]):
         slug = "".join(c if c.isalnum() else "_" for c in name)[:64]
         if args.vae_ckpt:
-            from ..codecs.vae import (AutoencoderKL, decode_from_latent,
-                                      import_autoencoder_kl_weights)
-            from ..core.checkpoint import load_torch_state_dict
+            from ..codecs.vae import decode_from_latent
             from PIL import Image
 
-            vae = AutoencoderKL()
-            vv = {"params": import_autoencoder_kl_weights(load_torch_state_dict(args.vae_ckpt))}
             img = decode_from_latent(vae, vv, latents[i: i + 1], args.vae)[0]
             img = np.clip((np.asarray(img) + 1) / 2 * 255, 0, 255).astype(np.uint8)
             out = os.path.join(args.image_save_path, f"{slug}_{res_tag}.png")

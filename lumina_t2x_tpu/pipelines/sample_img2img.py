@@ -59,11 +59,9 @@ def main(argv=None):
 
     # encode to latents
     if args.vae_ckpt:
-        from ..codecs.vae import AutoencoderKL, encode_to_latent, import_autoencoder_kl_weights
-        from ..core.checkpoint import load_torch_state_dict
+        from ..codecs.vae import encode_to_latent, load_vae
 
-        vae = AutoencoderKL(dtype=dtype)
-        vv = {"params": import_autoencoder_kl_weights(load_torch_state_dict(args.vae_ckpt))}
+        vae, vv = load_vae(args.vae_ckpt, dtype=dtype)
         x1 = encode_to_latent(vae, vv, pixels, jax.random.fold_in(rng, 1))
     else:
         b, c, h, w = pixels.shape

@@ -103,11 +103,9 @@ def main(argv=None):
 
     vae_decode = None
     if args.vae_ckpt and not args.debug:
-        from ..codecs.vae import AutoencoderKL, import_autoencoder_kl_weights
-        from ..core import load_torch_state_dict
+        from ..codecs.vae import load_vae
 
-        vae = AutoencoderKL(in_channels=3, latent_channels=16)
-        vv = {"params": import_autoencoder_kl_weights(load_torch_state_dict(args.vae_ckpt))}
+        vae, vv = load_vae(args.vae_ckpt, in_channels=3, latent_channels=16)
         vae_decode = jax.jit(lambda z: vae.apply(vv, z, method=vae.decode))
 
     ode = MiniODE(args.num_sampling_steps, args.solver, args.time_shifting_factor,

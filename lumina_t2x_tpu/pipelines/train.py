@@ -250,13 +250,11 @@ def main(argv=None):
 
     vae = vae_variables = None
     if encode_images:
-        from ..codecs.vae import AutoencoderKL, import_autoencoder_kl_weights
-        from ..core.checkpoint import load_torch_state_dict
+        from ..codecs.vae import AutoencoderKL, load_vae
 
         vae = AutoencoderKL(dtype=dtype)
         if args.vae_ckpt:
-            sd = load_torch_state_dict(args.vae_ckpt)
-            vae_variables = {"params": import_autoencoder_kl_weights(sd)}
+            vae, vae_variables = load_vae(args.vae_ckpt, dtype=dtype)
             logger.info(f"loaded VAE weights from {args.vae_ckpt}")
         else:
             logger.warning("no --vae_ckpt: using randomly-initialized VAE (smoke mode)")

@@ -84,11 +84,13 @@ def make_train_step(
     cond_kwargs_fn(batch) -> model kwargs beyond (x, t), e.g.
     {"y": batch["y"]} or {"cap_feats": ..., "cap_mask": ...}.
 
-    grad_dtype: dtype gradients are cast to before accumulation and the
-    (GSPMD-inserted) data-axis reduction — the reference's
-    `--grad_precision` / FSDP MixedPrecision reduce_dtype
-    (`lumina_next_t2i/train.py:171-204`). None keeps full fp32; the
-    optimizer update itself always runs in the param dtype.
+    grad_dtype: dtype gradients are cast to right after the backward pass —
+    micro-batch ACCUMULATION runs in this dtype (the reference's
+    `--grad_precision`, `lumina_next_t2i/train.py:171-204`). Note: GSPMD
+    inserts the data-axis gradient reduction at the grad-production sites
+    inside the backward, so that collective may still run in fp32 — a
+    bandwidth-exact FSDP reduce_dtype would need per-site casts. Clipping,
+    the grad-norm metric, and the optimizer update always run in fp32.
     """
     cast_grads = (
         (lambda g: jax.tree.map(lambda a: a.astype(grad_dtype), g))
@@ -142,10 +144,14 @@ def make_train_step(
             grads = jax.tree.map(lambda g: g / micro_batches, grads)
             loss = loss / micro_batches
 
-        grad_norm = optax.global_norm(grads)
+        # norm/clip in fp32 regardless of grad_dtype: an fp16 sum-of-squares
+        # overflows past ~6e4 and a resulting inf norm would zero every grad
+        grad_norm = optax.global_norm(
+            jax.tree.map(lambda g: g.astype(jnp.float32), grads))
         if grad_clip is not None and grad_clip > 0:
             scale = jnp.minimum(1.0, grad_clip / (grad_norm + 1e-6))
-            grads = jax.tree.map(lambda g: g * scale, grads)
+            grads = jax.tree.map(lambda g: (g.astype(jnp.float32) * scale).astype(g.dtype),
+                                 grads)
 
         if grad_dtype is not None:  # optimizer math stays in param precision
             grads = jax.tree.map(lambda g, p: g.astype(p.dtype), grads, state.params)
