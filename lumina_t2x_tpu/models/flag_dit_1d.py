@@ -51,6 +51,7 @@ class FlagDiT1D(nn.Module):
     rope_scaling_factor: float = 1.0
     ntk_factor: float = 1.0
     dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
     scan_blocks: bool = True
     remat: bool = False
@@ -63,20 +64,22 @@ class FlagDiT1D(nn.Module):
 
         h = x.astype(self.dtype).transpose(0, 2, 1)  # (B, T, C)
         h = nn.Dense(self.hidden_size, kernel_init=nn.initializers.xavier_uniform(),
-                     bias_init=nn.initializers.zeros, dtype=self.dtype, name="proj_in")(h)
+                     bias_init=nn.initializers.zeros, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="proj_in")(h)
 
         angles = rope_angles_1d(
             head_dim, jnp.arange(seq), self.rope_theta,
             linear_factor=self.rope_scaling_factor, ntk_factor=self.ntk_factor,
         )
 
-        t_emb = TimestepEmbedder(self.hidden_size, dtype=self.dtype, name="t_embedder")(t)
+        t_emb = TimestepEmbedder(self.hidden_size, dtype=self.dtype,
+                                 param_dtype=self.param_dtype, name="t_embedder")(t)
         context = context.astype(self.dtype)
         cap_mask = jnp.ones(context.shape[:2], jnp.int32)
         cap_pool = pooled_caption(context, cap_mask)
         cap_emb = nn.Dense(
             self.hidden_size, kernel_init=nn.initializers.xavier_uniform(),
-            dtype=self.dtype, name="cap_embedder_proj",
+            dtype=self.dtype, param_dtype=self.param_dtype, name="cap_embedder_proj",
         )(LayerNorm(eps=1e-5, name="cap_embedder_norm")(cap_pool))
         adaln_input = t_emb + cap_emb
 
@@ -89,7 +92,7 @@ class FlagDiT1D(nn.Module):
             dim=self.hidden_size, n_heads=self.num_heads, n_kv_heads=self.n_kv_heads,
             multiple_of=self.multiple_of, ffn_dim_multiplier=self.ffn_dim_multiplier,
             norm_eps=self.norm_eps, qk_norm=self.qk_norm, y_dim=self.context_dim,
-            dtype=self.dtype, attn_impl=self.attn_impl,
+            dtype=self.dtype, param_dtype=self.param_dtype, attn_impl=self.attn_impl,
         )
         if self.scan_blocks:
             from .flag_dit import _ScannedFlagDiTBlock
@@ -112,9 +115,11 @@ class FlagDiT1D(nn.Module):
         # final layer (`flag_large_dit.py:460-482`)
         h_norm = LayerNorm(eps=1e-6, use_affine=False, name="final_norm")(h)
         mod = nn.Dense(2 * self.hidden_size, kernel_init=nn.initializers.zeros,
-                       dtype=self.dtype, name="final_adaLN_modulation")(nn.silu(adaln_input))
+                       dtype=self.dtype, param_dtype=self.param_dtype,
+                       name="final_adaLN_modulation")(nn.silu(adaln_input))
         shift, scale = jnp.split(mod, 2, axis=-1)
         h_out = modulate(h_norm, scale, shift)
         h_out = nn.Dense(self.in_channels, kernel_init=nn.initializers.zeros,
-                         dtype=self.dtype, name="final_linear")(h_out)
+                         dtype=self.dtype, param_dtype=self.param_dtype,
+                         name="final_linear")(h_out)
         return h_out.transpose(0, 2, 1).astype(jnp.float32)  # (B, C, T)

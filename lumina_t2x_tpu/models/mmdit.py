@@ -60,6 +60,7 @@ class MMDiTBlock(nn.Module):
     context_pre_only: bool = False
     mlp_ratio: float = 4.0
     dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, c, cond):
@@ -69,17 +70,17 @@ class MMDiTBlock(nn.Module):
         zeros = nn.initializers.zeros
 
         x_mod = nn.Dense(6 * self.dim, kernel_init=zeros, dtype=self.dtype,
-                         name="x_adaLN")(nn.silu(cond))
+                         param_dtype=self.param_dtype, name="x_adaLN")(nn.silu(cond))
         sx1, scx1, gx1, sx2, scx2, gx2 = jnp.split(x_mod, 6, axis=-1)
         n_c_chunks = 2 if self.context_pre_only else 6
         c_mod = nn.Dense(n_c_chunks * self.dim, kernel_init=zeros, dtype=self.dtype,
-                         name="c_adaLN")(nn.silu(cond))
+                         param_dtype=self.param_dtype, name="c_adaLN")(nn.silu(cond))
         c_chunks = jnp.split(c_mod, n_c_chunks, axis=-1)
 
         def qkv(h, prefix):
-            q = nn.Dense(self.dim, dtype=self.dtype, name=f"{prefix}_q")(h)
-            k = nn.Dense(self.dim, dtype=self.dtype, name=f"{prefix}_k")(h)
-            v = nn.Dense(self.dim, dtype=self.dtype, name=f"{prefix}_v")(h)
+            q = nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name=f"{prefix}_q")(h)
+            k = nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name=f"{prefix}_k")(h)
+            v = nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name=f"{prefix}_v")(h)
             b, s, _ = h.shape
             q = q.reshape(b, s, self.n_heads, head_dim)
             k = k.reshape(b, s, self.n_heads, head_dim)
@@ -106,14 +107,14 @@ class MMDiTBlock(nn.Module):
         attn_c, attn_x = attn[:, :sc], attn[:, sc:]
         b = x.shape[0]
 
-        x_attn = nn.Dense(self.dim, dtype=self.dtype, name="x_proj")(
+        x_attn = nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name="x_proj")(
             attn_x.reshape(b, -1, self.dim)
         )
         x = x + gx1[:, None, :].astype(x.dtype) * x_attn
         x_mlp_in = modulate(LayerNorm(eps=1e-6, use_affine=False, name="x_norm2")(x), scx2, sx2)
         hidden = int(self.dim * self.mlp_ratio)
-        x_mlp = nn.Dense(self.dim, dtype=self.dtype, name="x_mlp_out")(
-            nn.gelu(nn.Dense(hidden, dtype=self.dtype, name="x_mlp_in")(x_mlp_in),
+        x_mlp = nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name="x_mlp_out")(
+            nn.gelu(nn.Dense(hidden, dtype=self.dtype, param_dtype=self.param_dtype, name="x_mlp_in")(x_mlp_in),
                     approximate=True)
         )
         x = x + gx2[:, None, :].astype(x.dtype) * x_mlp
@@ -121,14 +122,14 @@ class MMDiTBlock(nn.Module):
         if self.context_pre_only:
             return x, None
 
-        c_attn = nn.Dense(self.dim, dtype=self.dtype, name="c_proj")(
+        c_attn = nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name="c_proj")(
             attn_c.reshape(b, -1, self.dim)
         )
         c = c + c_chunks[2][:, None, :].astype(c.dtype) * c_attn
         c_mlp_in = modulate(LayerNorm(eps=1e-6, use_affine=False, name="c_norm2")(c),
                             c_chunks[4], c_chunks[3])
-        c_mlp = nn.Dense(self.dim, dtype=self.dtype, name="c_mlp_out")(
-            nn.gelu(nn.Dense(hidden, dtype=self.dtype, name="c_mlp_in")(c_mlp_in),
+        c_mlp = nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name="c_mlp_out")(
+            nn.gelu(nn.Dense(hidden, dtype=self.dtype, param_dtype=self.param_dtype, name="c_mlp_in")(c_mlp_in),
                     approximate=True)
         )
         c = c + c_chunks[5][:, None, :].astype(c.dtype) * c_mlp
@@ -148,6 +149,7 @@ class MMDiT(nn.Module):
     out_channels: Optional[int] = None
     qk_norm: bool = True
     dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, t, context, pooled):
@@ -159,15 +161,15 @@ class MMDiT(nn.Module):
         gh, gw = h // p, w // p
 
         tokens = patchify(x.astype(self.dtype), p)
-        tokens = nn.Dense(self.dim, dtype=self.dtype, name="x_embedder")(tokens)
+        tokens = nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name="x_embedder")(tokens)
         tokens = tokens + sincos_pos_embed_2d(self.dim, gh, gw)[None].astype(tokens.dtype)
 
-        c = nn.Dense(self.dim, dtype=self.dtype, name="context_embedder")(
+        c = nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name="context_embedder")(
             context.astype(self.dtype)
         )
-        t_emb = TimestepEmbedder(self.dim, dtype=self.dtype, name="t_embedder")(t)
-        pooled_emb = nn.Dense(self.dim, dtype=self.dtype, name="pooled_in")(
-            nn.silu(nn.Dense(self.dim, dtype=self.dtype, name="pooled_hidden")(
+        t_emb = TimestepEmbedder(self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name="t_embedder")(t)
+        pooled_emb = nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name="pooled_in")(
+            nn.silu(nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name="pooled_hidden")(
                 pooled.astype(self.dtype)))
         )
         cond = t_emb + pooled_emb
@@ -176,16 +178,17 @@ class MMDiT(nn.Module):
             tokens, c = MMDiTBlock(
                 dim=self.dim, n_heads=self.n_heads, qk_norm=self.qk_norm,
                 context_pre_only=(i == self.n_layers - 1), dtype=self.dtype,
+                param_dtype=self.param_dtype,
                 name=f"blocks_{i}",
             )(tokens, c if c is not None else jnp.zeros_like(tokens[:, :0]), cond)
 
         mod = nn.Dense(2 * self.dim, kernel_init=nn.initializers.zeros, dtype=self.dtype,
-                       name="final_adaLN")(nn.silu(cond))
+                       param_dtype=self.param_dtype, name="final_adaLN")(nn.silu(cond))
         shift, scale = jnp.split(mod, 2, axis=-1)
         tokens = modulate(LayerNorm(eps=1e-6, use_affine=False, name="final_norm")(tokens),
                           scale, shift)
         tokens = nn.Dense(p * p * out_ch, kernel_init=nn.initializers.zeros,
-                          dtype=self.dtype, name="final_linear")(tokens)
+                          dtype=self.dtype, param_dtype=self.param_dtype, name="final_linear")(tokens)
         return unpatchify(tokens, h, w, p, out_ch).astype(jnp.float32)
 
 
