@@ -184,10 +184,15 @@ class NextDiTImageNet(nn.Module):
 
 
 def forward_with_cfg(model, variables, x, t, y, cfg_scale, num_cfg_channels: int = 3, **kwargs):
-    """Duplicated-half-batch CFG (`models.py:946-974`)."""
+    """Duplicated-half-batch CFG (`models.py:946-974`).
+
+    `y` is passed by KEYWORD: NextDiTImageNet takes (x, t, y) but the
+    class-conditional FlagDiT configs share the text model's signature
+    (x, t, cap_feats=None, ..., y=None) — positional y would silently land
+    in cap_feats."""
     half = x[: x.shape[0] // 2]
     combined = jnp.concatenate([half, half], axis=0)
-    out = model.apply(variables, combined, t, y, **kwargs)
+    out = model.apply(variables, combined, t, y=y, **kwargs)
     eps, rest = out[:, :num_cfg_channels], out[:, num_cfg_channels:]
     b = eps.shape[0] // 2
     cond_eps, uncond_eps = eps[:b], eps[b:]

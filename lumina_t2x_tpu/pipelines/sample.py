@@ -110,7 +110,9 @@ def main(argv=None):
         y = jnp.asarray(labels, jnp.int32)
         x_init = jnp.zeros((1, 4, latent, latent))
         t0 = jnp.zeros((1,))
-        variables = jax.jit(model.init)(rng, x_init, t0, y[:1])
+        # keyword y: class-cond FlagDiT shares the text signature where the
+        # third positional slot is cap_feats (see imagenet forward_with_cfg)
+        variables = jax.jit(model.init)(rng, x_init, t0, y=y[:1])
         if args.ckpt and not args.debug:
             import orbax.checkpoint as ocp
 

@@ -246,3 +246,30 @@ class TestFIDSampling:
         assert files, "npz not written"
         arr = np.load(files[0])["arr_0"]
         assert arr.shape[0] == 5
+
+
+class TestFlagDiTImageNetSampler:
+    def test_class_cond_sampler_routes_y_by_keyword(self, tmp_path):
+        """Class-cond Flag-DiT shares the text model's signature
+        (x, t, cap_feats=None, ..., y=None): the sampler/CFG must pass y by
+        keyword or labels silently land in cap_feats (regression: crashed
+        with a broadcast error)."""
+        from lumina_t2x_tpu import models as m
+        from lumina_t2x_tpu.models.flag_dit import FlagDiT
+
+        m.MODELS["FlagDiT_ImageNet_600M_patch2"] = lambda **kw: FlagDiT(
+            patch_size=2, dim=32, n_layers=1, n_heads=4, multiple_of=16,
+            num_classes=8, use_eol_token=False, attn_impl="xla",
+            **{k: v for k, v in kw.items() if k in ("qk_norm",)})
+        from lumina_t2x_tpu.pipelines.sample import main
+
+        manifest = main([
+            "--model", "FlagDiT_ImageNet_600M_patch2",
+            "--labels", "2,5",
+            "--resolution", "1:32x32",
+            "--num_sampling_steps", "2",
+            "--image_save_path", str(tmp_path / "out"),
+            "--precision", "fp32",
+            "--debug",
+        ])
+        assert len(manifest["items"]) == 2
