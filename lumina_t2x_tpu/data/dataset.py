@@ -2,15 +2,20 @@
 resumable sampling.
 
 Behavior parity with `lumina_next_t2i/data/dataset.py:20-189` and
-`train.py:61-104`:
+`train.py:61-104`. The on-disk/compat contracts kept exactly:
 
-- `MetaDataset`: YAML config (`META: [{path, type, root, ratio}]`) over
-  json/jsonl annotation lists; per-group index ranges; optional h5 disk cache
-  built once by the lead process with a `ready` sentinel other processes poll
-  (`dataset.py:111-155`);
-- error handling: a failing item logs and substitutes a neighboring index
-  within the same meta group (`dataset.py:166-186`);
-- `ItemProcessor` / `T2IItemProcessor` abstraction (`train.py:61-77`);
+- YAML config schema ``META: [{path, type, root, ratio}]`` over json/jsonl
+  annotation lists; items concatenated per ``type`` group, groups in first-
+  appearance order;
+- ``ratio`` subsampling is seeded (seed 0) so every process/run selects the
+  identical subset;
+- h5 disk cache format: ``accessory_data_cache/<sanitized-config-path>/
+  data.h5`` holding an ``ann`` vlen-str dataset plus a json
+  ``group_indice_range``, completed by a ``ready`` sentinel file the lead
+  process writes and followers poll (`dataset.py:111-155`);
+- a failing item is replaced by its left neighbor within the same meta
+  group, wrapping to the group's last index at the group start
+  (`dataset.py:166-186`);
 - `resumable_sampler_indices`: infinite shuffled index stream strided by
   dp-rank, epoch-seeded, offset-corrected for resume (`train.py:91-104`).
 
@@ -25,12 +30,11 @@ import json
 import logging
 import os
 import random
+import time
 import traceback
-import warnings
 from abc import ABC, abstractmethod
-from pathlib import Path
-from time import sleep
-from typing import Iterator, List, Optional
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Tuple
 
 import numpy as np
 import yaml
@@ -39,6 +43,8 @@ logger = logging.getLogger(__name__)
 
 
 class DataBriefReportException(Exception):
+    """An expected per-item failure worth one log line, not a traceback."""
+
     def __init__(self, message=None):
         self.message = message
 
@@ -116,6 +122,112 @@ class TokenizedT2IItemProcessor(ItemProcessor):
         return image, np.asarray(ids, np.int32), token_mask
 
 
+# -- annotation loading ------------------------------------------------------
+
+
+def _read_annotation_file(path: str) -> List[dict]:
+    """One meta file -> list of annotation dicts. ``.json`` is a single list;
+    ``.jsonl`` is one record per line (bad lines are fatal, with a located
+    error message)."""
+    ext = os.path.splitext(path)[-1]
+    if ext == ".json":
+        with open(path) as f:
+            return json.load(f)
+    if ext == ".jsonl":
+        records = []
+        with open(path) as f:
+            for lineno, line in enumerate(f):
+                try:
+                    records.append(json.loads(line))
+                except json.decoder.JSONDecodeError:
+                    logger.error(f"bad jsonl record at {path}:{lineno}: {line.rstrip()}")
+                    raise
+        return records
+    raise NotImplementedError(f'Unknown meta file extension: "{ext}"')
+
+
+def _apply_meta_options(records: List[dict], meta: dict) -> List[dict]:
+    """Per-META-entry options: seeded ``ratio`` subsampling (seed 0 — every
+    process must select the identical subset) and ``root`` path prefixing."""
+    if "ratio" in meta:
+        random.seed(0)
+        records = random.sample(records, int(len(records) * meta["ratio"]))
+    root = meta.get("root")
+    if root is not None:
+        for rec in records:
+            for key in ("path", "image_url", "image"):
+                if key in rec:
+                    rec[key] = os.path.join(root, rec[key])
+    return records
+
+
+def _load_meta_config(config: dict) -> Tuple[List[dict], Dict[str, List[int]]]:
+    """Flatten a META config into (all annotations, {group: [start, stop]}).
+    Items of the same ``type`` are contiguous; group order is first
+    appearance in the config."""
+    by_group: Dict[str, List[dict]] = {}
+    for meta in config["META"]:
+        records = _apply_meta_options(_read_annotation_file(meta["path"]), meta)
+        by_group.setdefault(meta.get("type", "default"), []).extend(records)
+
+    flat: List[dict] = []
+    ranges: Dict[str, List[int]] = {}
+    for name, records in by_group.items():
+        ranges[name] = [len(flat), len(flat) + len(records)]
+        flat.extend(records)
+    return flat, ranges
+
+
+# -- h5 disk cache -----------------------------------------------------------
+
+_CACHE_ROOT = "./accessory_data_cache"
+_READY_SENTINEL = "ready"
+
+
+def _cache_dir_for(config_path: str) -> str:
+    """Config path -> cache dir, path separators and punctuation mapped to
+    '-' (the reference's directory-name convention, `dataset.py:137-144`)."""
+    safe = "".join("-" if ch in '/\\.?!' else ch for ch in config_path)
+    return os.path.join(_CACHE_ROOT, safe)
+
+
+def _build_disk_cache(cache_dir: str, flat: List[dict], ranges: Dict[str, List[int]]) -> None:
+    """Lead-process cache build: annotations as one vlen-str h5 dataset plus
+    the group ranges as json, then the ``ready`` sentinel last (followers key
+    on the sentinel, so a crashed build is never mistaken for a finished
+    one)."""
+    import h5py
+
+    os.makedirs(cache_dir, exist_ok=True)
+    with h5py.File(os.path.join(cache_dir, "data.h5"), "w") as f:
+        ann = f.create_dataset("ann", (len(flat),), dtype=h5py.vlen_dtype(str))
+        ann[:] = [json.dumps(rec) for rec in flat]
+        f.create_dataset("group_indice_range", data=json.dumps(ranges))
+    with open(os.path.join(cache_dir, _READY_SENTINEL), "w") as f:
+        f.write(_READY_SENTINEL)
+
+
+def _open_disk_cache(cache_dir: str, is_lead: bool):
+    """Open the h5 cache, polling for the lead's sentinel first. The h5 file
+    stays open for the dataset's lifetime (annotations are read lazily per
+    item — the point of the cache is NOT materializing them in every
+    process)."""
+    import h5py
+
+    while not os.path.exists(os.path.join(cache_dir, _READY_SENTINEL)):
+        assert not is_lead, "lead process must have built the cache before opening"
+        time.sleep(1)
+    f = h5py.File(os.path.join(cache_dir, "data.h5"), "r")
+    return f["ann"], json.loads(f["group_indice_range"].asstr()[()])
+
+
+@dataclass(frozen=True)
+class _Group:
+    name: str
+    start: int
+    stop: int  # exclusive
+
+
 class MetaDataset:
     """YAML-meta dataset (`dataset.py:34-189`)."""
 
@@ -125,115 +237,55 @@ class MetaDataset:
             self.config = yaml.safe_load(f)
         self.cache_on_disk = cache_on_disk
         if cache_on_disk:
-            cache_dir = self._get_cache_dir(config_path)
-            if rank == 0:
-                self._collect_annotations_and_save_to_cache(cache_dir)
-            ann, group_indice_range = self._load_annotations_from_cache(cache_dir, rank)
+            cache_dir = _cache_dir_for(config_path)
+            cached = (os.path.exists(os.path.join(cache_dir, "data.h5"))
+                      and os.path.exists(os.path.join(cache_dir, _READY_SENTINEL)))
+            if rank == 0 and not cached:
+                flat, ranges = _load_meta_config(self.config)
+                _build_disk_cache(cache_dir, flat, ranges)
+            elif cached:
+                logger.warning(f"using existing h5 data cache: {cache_dir} "
+                               "(delete it if the underlying data changed)")
+            self.ann, ranges = _open_disk_cache(cache_dir, is_lead=(rank == 0))
         else:
-            ann, group_indice_range = self._collect_annotations()
-        self.ann = ann
-        self.group_indices = {k: list(range(v[0], v[1])) for k, v in group_indice_range.items()}
+            self.ann, ranges = _load_meta_config(self.config)
+        self._groups = [_Group(name, lo, hi) for name, (lo, hi) in ranges.items()]
         self.item_processor = item_processor
 
     def __len__(self):
         return len(self.ann)
 
-    def _collect_annotations(self):
-        group_ann = {}
-        for meta in self.config["META"]:
-            meta_path, meta_type = meta["path"], meta.get("type", "default")
-            ext = os.path.splitext(meta_path)[-1]
-            if ext == ".json":
-                with open(meta_path) as f:
-                    meta_l = json.load(f)
-            elif ext == ".jsonl":
-                meta_l = []
-                with open(meta_path) as f:
-                    for i, line in enumerate(f):
-                        try:
-                            meta_l.append(json.loads(line))
-                        except json.decoder.JSONDecodeError:
-                            logger.error(f"Error decoding jsonl line ({i}): {line.rstrip()}")
-                            raise
-            else:
-                raise NotImplementedError(f'Unknown meta file extension: "{ext}"')
-            if "ratio" in meta:
-                random.seed(0)
-                meta_l = random.sample(meta_l, int(len(meta_l) * meta["ratio"]))
-            if "root" in meta:
-                for item in meta_l:
-                    for path_key in ("path", "image_url", "image"):
-                        if path_key in item:
-                            item[path_key] = os.path.join(meta["root"], item[path_key])
-            group_ann.setdefault(meta_type, []).extend(meta_l)
-
-        ann = sum(list(group_ann.values()), start=[])
-        group_indice_range, start = {}, 0
-        for meta_type, meta_l in group_ann.items():
-            group_indice_range[meta_type] = [start, start + len(meta_l)]
-            start += len(meta_l)
-        return ann, group_indice_range
-
-    def _collect_annotations_and_save_to_cache(self, cache_dir):
-        import h5py
-
-        if (Path(cache_dir) / "data.h5").exists() and (Path(cache_dir) / "ready").exists():
-            warnings.warn(f"Use existing h5 data cache: {cache_dir}")
-            return
-        Path(cache_dir).mkdir(parents=True, exist_ok=True)
-        ann, group_indice_range = self._collect_annotations()
-        serialized = [json.dumps(a) for a in ann]
-        with h5py.File(Path(cache_dir) / "data.h5", "w") as f:
-            dt = h5py.vlen_dtype(str)
-            h5_ann = f.create_dataset("ann", (len(serialized),), dtype=dt)
-            h5_ann[:] = serialized
-            f.create_dataset("group_indice_range", data=json.dumps(group_indice_range))
-        with open(Path(cache_dir) / "ready", "w") as f:
-            f.write("ready")
-
-    @staticmethod
-    def _get_cache_dir(config_path):
-        ident = config_path
-        for ch in ("/", "\\", ".", "?", "!"):
-            ident = ident.replace(ch, "-")
-        return f"./accessory_data_cache/{ident}"
-
-    @staticmethod
-    def _load_annotations_from_cache(cache_dir, rank):
-        import h5py
-
-        while not (Path(cache_dir) / "ready").exists():
-            assert rank != 0
-            sleep(1)
-        cache_file = h5py.File(Path(cache_dir) / "data.h5", "r")
-        annotations = cache_file["ann"]
-        group_indice_range = json.loads(cache_file["group_indice_range"].asstr()[()])
-        return annotations, group_indice_range
+    def _decode(self, index: int) -> dict:
+        raw = self.ann[index]
+        # h5-cached rows are json strings; in-memory rows are shared dicts
+        # the processor may mutate, hence the copy.
+        return json.loads(raw) if self.cache_on_disk else copy.deepcopy(raw)
 
     def get_item_func(self, index):
-        data_item = self.ann[index]
-        data_item = json.loads(data_item) if self.cache_on_disk else copy.deepcopy(data_item)
-        return self.item_processor.process_item(data_item, training_mode=True)
+        return self.item_processor.process_item(self._decode(index), training_mode=True)
+
+    def _fallback_index(self, index: int) -> int:
+        """Replacement for a failed item: the previous index, staying inside
+        the same meta group (wrap to the group's last item at the group
+        start)."""
+        for g in self._groups:
+            if g.start <= index < g.stop:
+                return g.stop - 1 if index == g.start else index - 1
+        raise RuntimeError(f"index {index} outside every group")
 
     def __getitem__(self, index):
         try:
             return self.get_item_func(index)
-        except Exception as e:
-            if isinstance(e, DataBriefReportException):
-                logger.info(str(e))
-            else:
-                logger.info(
-                    f"Item {index} errored, annotation:\n{self.ann[index]}\n"
-                    f"Error:\n{traceback.format_exc()}"
-                )
-            for indices in self.group_indices.values():
-                if indices[0] <= index <= indices[-1]:
-                    new_index = indices[-1] if index == indices[0] else index - 1
-                    return self[new_index]
-            raise RuntimeError
+        except DataBriefReportException as e:
+            logger.info(str(e))
+        except Exception:
+            logger.info(f"Item {index} errored, annotation:\n{self.ann[index]}\n"
+                        f"Error:\n{traceback.format_exc()}")
+        return self[self._fallback_index(index)]
 
-    def groups(self):
-        return list(self.group_indices.values())
+    def groups(self) -> List[List[int]]:
+        """Per-group index lists (the sampler's group-aware batching hook)."""
+        return [list(range(g.start, g.stop)) for g in self._groups]
 
 
 def resumable_sampler_indices(

@@ -1,9 +1,10 @@
 """Image preprocessing: aspect-ratio bucketing and crops.
 
-Behavior parity with `lumina_next_t2i/imgproc.py:1-58`. The crop-size list is
-doubly important on TPU: it is the *static shape bucket set* — one compiled
-program per bucket (SURVEY.md §7) — so `generate_crop_size_list` defines the
-compilation universe, not just the crop choices.
+Behavior parity with `lumina_next_t2i/imgproc.py:1-58` (same crop geometry,
+same RNG-draw order, same bucket set). The crop-size list is doubly important
+on TPU: it is the *static shape bucket set* — one compiled program per bucket
+(SURVEY.md §7) — so `generate_crop_size_list` defines the compilation
+universe, not just the crop choices.
 """
 
 from __future__ import annotations
@@ -11,73 +12,91 @@ from __future__ import annotations
 import random
 from typing import List, Tuple
 
-import numpy as np
 from PIL import Image
 
 
+def _shrink_by_halves(img, min_w: int, min_h: int):
+    """Repeated 2x box downsampling while another halving still keeps both
+    dimensions at/above (min_w, min_h) — the antialiasing pre-pass of the ADM
+    preprocessing (box filter is exact for 2x)."""
+    w, h = img.size
+    while w // 2 >= min_w and h // 2 >= min_h:
+        w, h = w // 2, h // 2
+        img = img.resize((w, h), resample=Image.BOX)
+    return img
+
+
 def center_crop_arr(pil_image, image_size: int):
-    """ADM center crop (`imgproc.py:7-21`)."""
-    while min(*pil_image.size) >= 2 * image_size:
-        pil_image = pil_image.resize(tuple(x // 2 for x in pil_image.size), resample=Image.BOX)
-    scale = image_size / min(*pil_image.size)
-    pil_image = pil_image.resize(tuple(round(x * scale) for x in pil_image.size), resample=Image.BICUBIC)
-    arr = np.array(pil_image)
-    crop_y = (arr.shape[0] - image_size) // 2
-    crop_x = (arr.shape[1] - image_size) // 2
-    return Image.fromarray(arr[crop_y : crop_y + image_size, crop_x : crop_x + image_size])
+    """ADM square center crop (`imgproc.py:7-21`): halve to near target,
+    bicubic-scale the short side to `image_size`, crop the middle."""
+    img = _shrink_by_halves(pil_image, image_size, image_size)
+    w, h = img.size
+    s = image_size / min(w, h)
+    img = img.resize((round(w * s), round(h * s)), resample=Image.BICUBIC)
+    w, h = img.size
+    left, top = (w - image_size) // 2, (h - image_size) // 2
+    return img.crop((left, top, left + image_size, top + image_size))
 
 
 def center_crop(pil_image, crop_size: Tuple[int, int]):
-    """Random-position crop after scale-to-cover (`imgproc.py:24-35`)."""
-    while pil_image.size[0] >= 2 * crop_size[0] and pil_image.size[1] >= 2 * crop_size[1]:
-        pil_image = pil_image.resize(tuple(x // 2 for x in pil_image.size), resample=Image.BOX)
-    scale = max(crop_size[0] / pil_image.size[0], crop_size[1] / pil_image.size[1])
-    pil_image = pil_image.resize(tuple(round(x * scale) for x in pil_image.size), resample=Image.BICUBIC)
-    crop_left = random.randint(0, pil_image.size[0] - crop_size[0])
-    crop_upper = random.randint(0, pil_image.size[1] - crop_size[1])
-    return pil_image.crop(
-        box=(crop_left, crop_upper, crop_left + crop_size[0], crop_upper + crop_size[1])
-    )
+    """Scale-to-cover then crop at a uniformly random position
+    (`imgproc.py:24-35` — despite the name the position is random; the
+    randomness is the reference's crop augmentation)."""
+    cw, ch = crop_size
+    img = _shrink_by_halves(pil_image, cw, ch)
+    w, h = img.size
+    s = max(cw / w, ch / h)
+    img = img.resize((round(w * s), round(h * s)), resample=Image.BICUBIC)
+    w, h = img.size
+    left = random.randint(0, w - cw)
+    top = random.randint(0, h - ch)
+    return img.crop((left, top, left + cw, top + ch))
+
+
+def _aspect_fit(img_w: int, img_h: int, bucket: Tuple[int, int]) -> float:
+    """How well `bucket`'s aspect matches the image: the fraction of the
+    image kept after scale-to-cover + crop, in (0, 1], 1 = exact aspect."""
+    sw, sh = bucket[0] / img_w, bucket[1] / img_h
+    return min(sw, sh) / max(sw, sh)
 
 
 def var_center_crop(pil_image, crop_size_list: List[Tuple[int, int]], random_top_k: int = 4):
-    """Pick among the top-k closest-aspect buckets at random (`imgproc.py:38-44`)."""
+    """Crop to one of the `random_top_k` best-aspect buckets, chosen at
+    random (`imgproc.py:38-44`) — trades a little aspect fidelity for shape
+    diversity across epochs."""
     w, h = pil_image.size
-    rem_percent = [min(cw / w, ch / h) / max(cw / w, ch / h) for cw, ch in crop_size_list]
-    crop_size = random.choice(
-        sorted(((x, y) for x, y in zip(rem_percent, crop_size_list)), reverse=True)[:random_top_k]
-    )[1]
-    return center_crop(pil_image, crop_size)
+    ranked = sorted(crop_size_list, key=lambda c: _aspect_fit(w, h, c), reverse=True)
+    return center_crop(pil_image, random.choice(ranked[:random_top_k]))
 
 
 def match_bucket(width: int, height: int, crop_size_list: List[Tuple[int, int]]) -> Tuple[int, int]:
     """Deterministic best bucket for (width, height) — used at batching time
     so every item in a batch shares one static shape."""
-    rem = [
-        (min(cw / width, ch / height) / max(cw / width, ch / height), (cw, ch))
-        for cw, ch in crop_size_list
-    ]
-    return max(rem)[1]
+    return max(crop_size_list, key=lambda c: _aspect_fit(width, height, c))
 
 
 def generate_crop_size_list(num_patches: int, patch_size: int, max_ratio: float = 4.0):
-    """All (w, h) with w/p * h/p <= num_patches and aspect <= max_ratio
-    (`imgproc.py:47-58`)."""
+    """All pixel sizes (w, h) = (wp, hp) * patch_size on the staircase
+    boundary of {wp * hp <= num_patches}, aspect capped at max_ratio
+    (`imgproc.py:47-58`). Enumerated row-by-row: for each width wp
+    (descending) the heights from just-past the previous column's tallest up
+    to this column's tallest, floor(num_patches / wp) — which is exactly the
+    boundary staircase."""
     assert max_ratio >= 1.0
-    crop_size_list = []
-    wp, hp = num_patches, 1
-    while wp > 0:
-        if max(wp, hp) / min(wp, hp) <= max_ratio:
-            crop_size_list.append((wp * patch_size, hp * patch_size))
-        if (hp + 1) * wp <= num_patches:
-            hp += 1
-        else:
-            wp -= 1
-    return crop_size_list
+    sizes: List[Tuple[int, int]] = []
+    prev_tallest = 1
+    for wp in range(num_patches, 0, -1):
+        tallest = num_patches // wp
+        for hp in range(prev_tallest, tallest + 1):
+            if max(wp, hp) <= max_ratio * min(wp, hp):
+                sizes.append((wp * patch_size, hp * patch_size))
+        prev_tallest = tallest
+    return sizes
 
 
-def to_latent_input(pil_image) -> np.ndarray:
+def to_latent_input(pil_image):
     """PIL -> CHW float32 in [-1, 1] (the reference's transform stack)."""
+    import numpy as np
+
     arr = np.asarray(pil_image.convert("RGB"), np.float32) / 255.0
-    arr = (arr - 0.5) / 0.5
-    return arr.transpose(2, 0, 1)
+    return ((arr - 0.5) / 0.5).transpose(2, 0, 1)

@@ -74,7 +74,10 @@ def _flash_kernel_static_max(mask_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, *,
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
     s = jnp.where(mask_ref[0] != 0, s, _NEG_INF)
-    p = jnp.exp(s - static_max)
+    # Clamp the exponent so a misconfigured bound (actual logits above
+    # static_max by more than f32 exp headroom) degrades accuracy instead of
+    # silently flooding the accumulator with inf/NaN.
+    p = jnp.exp(jnp.minimum(s - static_max, 80.0))
     pv = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
     acc_ref[:] = acc_ref[:] + pv
@@ -220,8 +223,10 @@ def _flash_attention_fwd_impl(q, k, v, kv_mask, scale, block_q, block_k,
 
     `static_max` selects the fixed-bound kernel; like block_q/block_k it is
     read from the environment OUTSIDE this jit boundary (in _flash_attention)
-    so it participates in the jit cache key — toggling the env var at runtime
-    retraces instead of silently reusing the cached kernel."""
+    so it participates in the jit cache key. Note _flash_attention itself is
+    normally traced inside the caller's outer jit, so the env is only
+    re-read when THAT jit retraces — an already-compiled sampler/train step
+    does not see a mid-process env change."""
     b, sq, hq, d = q.shape
     _, sk, hkv, _ = k.shape
     rep = hq // hkv

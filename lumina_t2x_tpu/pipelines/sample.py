@@ -53,8 +53,10 @@ def parse_args(argv=None):
     p.add_argument("--vae", type=str, choices=["ema", "mse", "sdxl", "sd3"], default="ema")
     p.add_argument("--vae_ckpt", type=str, default=None)
     p.add_argument("--text_encoder", type=str, default=None, help="HF path of the caption LM")
-    p.add_argument("--cap_feat_dim", type=int, default=2048,
-                   help="caption feature width (2048 Gemma-2B, 4096 LLaMA-2-7B)")
+    p.add_argument("--cap_feat_dim", type=int, default=None,
+                   help="caption feature width (2048 Gemma-2B, 4096 LLaMA-2-7B); "
+                        "default: the model config's own width (e.g. 4096 for "
+                        "FlagDiT_5B_patch2, 2048 for the NextDiT registry entries)")
     p.add_argument("--train_res", type=int, default=1024)
     p.add_argument("--debug", action="store_true", help="random weights, no checkpoint needed")
     p.add_argument("--batch_size", type=int, default=1)
@@ -92,7 +94,12 @@ def main(argv=None):
         # which is what lets the 5B/7B configs run inference on one chip
         model_kwargs["param_dtype"] = jnp.bfloat16
     if not is_class_cond:
-        model_kwargs["cap_feat_dim"] = args.cap_feat_dim
+        if args.cap_feat_dim is not None:
+            model_kwargs["cap_feat_dim"] = args.cap_feat_dim
+        elif "FlagDiT" not in args.model:
+            # Gemma-2B width, the lumina_next default; FlagDiT configs keep
+            # their own registry default (4096, LLaMA-2-7B features).
+            model_kwargs["cap_feat_dim"] = 2048
     if args.ckpt and not args.debug:
         train_args = load_model_args(args.ckpt)
         args.model = train_args.get("model", args.model)
@@ -151,7 +158,8 @@ def main(argv=None):
             # debug: random caption features (the reference's --debug skips
             # checkpoint loading but still runs Gemma; offline we synthesize)
             ly = 32
-            cap_feats = jax.random.normal(rng, (2 * len(prompts), ly, args.cap_feat_dim))
+            cap_dim = getattr(model, "cap_feat_dim", args.cap_feat_dim or 2048)
+            cap_feats = jax.random.normal(rng, (2 * len(prompts), ly, cap_dim))
             cap_mask = jnp.ones((2 * len(prompts), ly), jnp.int32)
 
         for res in args.resolution:

@@ -15,7 +15,14 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+if "concurrency_optimized_scheduler" not in _flags:
+    # Sequential thunk order: stops virtual devices from reaching independent
+    # collectives (FSDP all-gather vs DP all-reduce) in different orders,
+    # which deadlocks XLA-CPU's in-process rendezvous on a 1-core host
+    # (see __graft_entry__.dryrun_multichip).
+    _flags = (_flags + " --xla_cpu_enable_concurrency_optimized_scheduler=false").strip()
+os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402
 
