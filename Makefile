@@ -1,13 +1,19 @@
 # Developer ergonomics. Tests force the 8-device virtual CPU mesh via
 # tests/conftest.py; bench runs on the real TPU through the session backend.
 
-.PHONY: test test-fast bench native clean
+.PHONY: test test-all test-fast bench native clean
 
+# fast default (pyproject addopts excludes the `slow` marker; <5 min)
 test:
 	python -m pytest tests/ -q
 
+# everything, incl. sharding/apps/e2e/parity; run EXCLUSIVELY (concurrent
+# collective tests can contend on the 1-core virtual-device host)
+test-all:
+	python -m pytest tests/ -q -m ''
+
 test-fast:
-	python -m pytest tests/test_transport.py tests/test_ops.py tests/test_models.py -q
+	python -m pytest tests/test_transport.py tests/test_models.py -q
 
 bench:
 	python bench.py

@@ -85,43 +85,71 @@ class Upsample1D(nn.Module):
 
 
 class Encoder1D(nn.Module):
+    """`autoencoder1d.py:321-438`. `down_layers` lists the levels that
+    downsample (the maa2 music VAE only downsamples level 0 — total rate 2);
+    None keeps the legacy default of every level but the last. `attn_layers`
+    lists levels that get one AttnBlock1D after each res block (the shipped
+    configs set [3], out of range — i.e. no per-level attention; the
+    bottleneck mid attention is unconditional, as in the reference)."""
+
     ch: int = 128
     ch_mult: Sequence[int] = (1, 2, 4)
     num_res_blocks: int = 2
     z_channels: int = 20
     double_z: bool = True
     use_mid_attn: bool = True
+    attn_layers: Sequence[int] = ()
+    down_layers: Sequence[int] | None = None
+    kernel_size: int = 3
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):  # (B, T, mel)
-        h = nn.Conv(self.ch, (3,), padding=1, dtype=self.dtype, name="conv_in")(x)
+        ks = self.kernel_size
+        downs = (tuple(range(len(self.ch_mult) - 1)) if self.down_layers is None
+                 else tuple(self.down_layers))
+        h = nn.Conv(self.ch, (ks,), padding=ks // 2, dtype=self.dtype, name="conv_in")(x)
         for i, mult in enumerate(self.ch_mult):
             for j in range(self.num_res_blocks):
-                h = ResnetBlock1D(self.ch * mult, dtype=self.dtype, name=f"down_{i}_block_{j}")(h)
-            if i != len(self.ch_mult) - 1:
+                h = ResnetBlock1D(self.ch * mult, kernel_size=ks, dtype=self.dtype,
+                                  name=f"down_{i}_block_{j}")(h)
+                if i in self.attn_layers:
+                    h = AttnBlock1D(dtype=self.dtype, name=f"down_{i}_attn_{j}")(h)
+            if i in downs:
                 h = Downsample1D(dtype=self.dtype, name=f"down_{i}_downsample")(h)
-        h = ResnetBlock1D(h.shape[-1], dtype=self.dtype, name="mid_block_1")(h)
+        h = ResnetBlock1D(h.shape[-1], kernel_size=ks, dtype=self.dtype, name="mid_block_1")(h)
         if self.use_mid_attn:
             h = AttnBlock1D(dtype=self.dtype, name="mid_attn_1")(h)
-        h = ResnetBlock1D(h.shape[-1], dtype=self.dtype, name="mid_block_2")(h)
+        h = ResnetBlock1D(h.shape[-1], kernel_size=ks, dtype=self.dtype, name="mid_block_2")(h)
         h = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="norm_out")(h)
         out_c = 2 * self.z_channels if self.double_z else self.z_channels
-        return nn.Conv(out_c, (3,), padding=1, dtype=self.dtype, name="conv_out")(nn.silu(h))
+        return nn.Conv(out_c, (ks,), padding=ks // 2, dtype=self.dtype, name="conv_out")(nn.silu(h))
 
 
 class Decoder1D(nn.Module):
+    """`autoencoder1d.py:439-548`. Upsamples at levels {d+1 for d in
+    down_layers}. Reference quirk kept exactly: the decoder's mid and
+    per-level res blocks do NOT receive the configured kernel_size — they
+    use the ResnetBlock1D default of 3 (`autoencoder1d.py:480-505`) — while
+    conv_in/conv_out do."""
+
     ch: int = 128
     ch_mult: Sequence[int] = (1, 2, 4)
     num_res_blocks: int = 2
     out_channels: int = 80
     use_mid_attn: bool = True
+    attn_layers: Sequence[int] = ()
+    down_layers: Sequence[int] | None = None
+    kernel_size: int = 3
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, z):  # (B, t, z)
+        ks = self.kernel_size
+        ups = (tuple(range(1, len(self.ch_mult))) if self.down_layers is None
+               else tuple(d + 1 for d in self.down_layers))
         block_in = self.ch * self.ch_mult[-1]
-        h = nn.Conv(block_in, (3,), padding=1, dtype=self.dtype, name="conv_in")(z)
+        h = nn.Conv(block_in, (ks,), padding=ks // 2, dtype=self.dtype, name="conv_in")(z)
         h = ResnetBlock1D(block_in, dtype=self.dtype, name="mid_block_1")(h)
         if self.use_mid_attn:
             h = AttnBlock1D(dtype=self.dtype, name="mid_attn_1")(h)
@@ -129,10 +157,12 @@ class Decoder1D(nn.Module):
         for i, mult in reversed(list(enumerate(self.ch_mult))):
             for j in range(self.num_res_blocks + 1):
                 h = ResnetBlock1D(self.ch * mult, dtype=self.dtype, name=f"up_{i}_block_{j}")(h)
-            if i != 0:
+                if i in self.attn_layers:
+                    h = AttnBlock1D(dtype=self.dtype, name=f"up_{i}_attn_{j}")(h)
+            if i in ups:
                 h = Upsample1D(dtype=self.dtype, name=f"up_{i}_upsample")(h)
         h = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="norm_out")(h)
-        return nn.Conv(self.out_channels, (3,), padding=1, dtype=self.dtype,
+        return nn.Conv(self.out_channels, (ks,), padding=ks // 2, dtype=self.dtype,
                        name="conv_out")(nn.silu(h))
 
 
@@ -213,13 +243,20 @@ class AutoencoderKL1D(nn.Module):
     ch_mult: Sequence[int] = (1, 2, 4)
     num_res_blocks: int = 2
     z_channels: int = 20
+    attn_layers: Sequence[int] = ()
+    down_layers: Sequence[int] | None = None
+    kernel_size: int = 3
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         self.encoder = Encoder1D(self.ch, self.ch_mult, self.num_res_blocks,
-                                 self.z_channels, True, dtype=self.dtype)
+                                 self.z_channels, True, attn_layers=self.attn_layers,
+                                 down_layers=self.down_layers,
+                                 kernel_size=self.kernel_size, dtype=self.dtype)
         self.decoder = Decoder1D(self.ch, self.ch_mult, self.num_res_blocks,
-                                 self.mel_bins, dtype=self.dtype)
+                                 self.mel_bins, attn_layers=self.attn_layers,
+                                 down_layers=self.down_layers,
+                                 kernel_size=self.kernel_size, dtype=self.dtype)
         self.quant_conv = nn.Conv(2 * self.embed_dim, (1,), dtype=self.dtype,
                                   name="quant_conv")
         self.post_quant_conv = nn.Conv(self.z_channels, (1,), dtype=self.dtype,
@@ -240,3 +277,103 @@ class AutoencoderKL1D(nn.Module):
         posterior = DiagonalGaussian(moments, axis=1)
         z = posterior.sample(rng)
         return self.decode(z), posterior
+
+
+def _conv1d(sd, name):
+    """torch Conv1d (out, in, k) -> flax Conv kernel (k, in, out)."""
+    out = {"kernel": sd[f"{name}.weight"].transpose(2, 1, 0)}
+    if f"{name}.bias" in sd:
+        out["bias"] = sd[f"{name}.bias"]
+    return out
+
+
+def _gn1d(sd, name):
+    return {"scale": sd[f"{name}.weight"], "bias": sd[f"{name}.bias"]}
+
+
+def _resnet1d(sd, pre):
+    out = {
+        "norm1": _gn1d(sd, f"{pre}.norm1"),
+        "conv1": _conv1d(sd, f"{pre}.conv1"),
+        "norm2": _gn1d(sd, f"{pre}.norm2"),
+        "conv2": _conv1d(sd, f"{pre}.conv2"),
+    }
+    if f"{pre}.nin_shortcut.weight" in sd:
+        out["nin_shortcut"] = _conv1d(sd, f"{pre}.nin_shortcut")
+    return out
+
+
+def _attn1d(sd, pre):
+    return {
+        "norm": _gn1d(sd, f"{pre}.norm"),
+        "q": _conv1d(sd, f"{pre}.q"),
+        "k": _conv1d(sd, f"{pre}.k"),
+        "v": _conv1d(sd, f"{pre}.v"),
+        "proj_out": _conv1d(sd, f"{pre}.proj_out"),
+    }
+
+
+def import_autoencoder_kl_1d_weights(sd, ch_mult: Sequence[int] = (1, 2, 4),
+                                     num_res_blocks: int = 2,
+                                     attn_layers: Sequence[int] = (),
+                                     down_layers: Sequence[int] | None = None):
+    """Map a reference/Make-An-Audio-2 1-D `AutoencoderKL` state dict
+    (`lumina_music/models/autoencoder1d.py:23-121`, CompVis naming:
+    `encoder.down.{i}.block.{j}` / `mid.block_1` / `up.{i}` ...) onto our
+    `AutoencoderKL1D` param tree. Accepts both a bare autoencoder state dict
+    and an LDM checkpoint (`first_stage_model.` prefix is stripped)."""
+    if any(k.startswith("first_stage_model.") for k in sd):
+        sd = {k[len("first_stage_model."):]: v for k, v in sd.items()
+              if k.startswith("first_stage_model.")}
+    n_levels = len(ch_mult)
+    downs = (tuple(range(n_levels - 1)) if down_layers is None else tuple(down_layers))
+    ups = tuple(d + 1 for d in downs)
+
+    enc = {"conv_in": _conv1d(sd, "encoder.conv_in")}
+    for i in range(n_levels):
+        for j in range(num_res_blocks):
+            enc[f"down_{i}_block_{j}"] = _resnet1d(sd, f"encoder.down.{i}.block.{j}")
+            if i in attn_layers:
+                enc[f"down_{i}_attn_{j}"] = _attn1d(sd, f"encoder.down.{i}.attn.{j}")
+        if i in downs:
+            enc[f"down_{i}_downsample"] = {
+                "conv": _conv1d(sd, f"encoder.down.{i}.downsample.conv")}
+    enc["mid_block_1"] = _resnet1d(sd, "encoder.mid.block_1")
+    enc["mid_attn_1"] = _attn1d(sd, "encoder.mid.attn_1")
+    enc["mid_block_2"] = _resnet1d(sd, "encoder.mid.block_2")
+    enc["norm_out"] = _gn1d(sd, "encoder.norm_out")
+    enc["conv_out"] = _conv1d(sd, "encoder.conv_out")
+
+    dec = {"conv_in": _conv1d(sd, "decoder.conv_in")}
+    dec["mid_block_1"] = _resnet1d(sd, "decoder.mid.block_1")
+    dec["mid_attn_1"] = _attn1d(sd, "decoder.mid.attn_1")
+    dec["mid_block_2"] = _resnet1d(sd, "decoder.mid.block_2")
+    for i in range(n_levels):
+        for j in range(num_res_blocks + 1):
+            dec[f"up_{i}_block_{j}"] = _resnet1d(sd, f"decoder.up.{i}.block.{j}")
+            if i in attn_layers:
+                dec[f"up_{i}_attn_{j}"] = _attn1d(sd, f"decoder.up.{i}.attn.{j}")
+        if i in ups:
+            dec[f"up_{i}_upsample"] = {"conv": _conv1d(sd, f"decoder.up.{i}.upsample.conv")}
+    dec["norm_out"] = _gn1d(sd, "decoder.norm_out")
+    dec["conv_out"] = _conv1d(sd, "decoder.conv_out")
+
+    return {
+        "encoder": enc,
+        "decoder": dec,
+        "quant_conv": _conv1d(sd, "quant_conv"),
+        "post_quant_conv": _conv1d(sd, "post_quant_conv"),
+    }
+
+
+def make_an_audio_2_vae(**overrides) -> AutoencoderKL1D:
+    """The shipped Make-An-Audio-2 mel-VAE configuration the reference's
+    trained audio/music checkpoints use
+    (`lumina_music/configs/lumina-text2music.yaml:43-65`): 80 mel bins,
+    ch=384, ch_mult (1,2,4), k=5, downsample only at level 0 (rate 2),
+    attn_layers [3] = no per-level attention, z=20 double_z."""
+    cfg = dict(mel_bins=80, embed_dim=20, ch=384, ch_mult=(1, 2, 4),
+               num_res_blocks=2, z_channels=20, attn_layers=(), down_layers=(0,),
+               kernel_size=5)
+    cfg.update(overrides)
+    return AutoencoderKL1D(**cfg)

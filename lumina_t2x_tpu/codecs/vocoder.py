@@ -64,16 +64,29 @@ def _depthwise_fir(x, fir: np.ndarray, stride: int = 1, pad: int = 0):
 
 
 def upsample2_fir(x, kernel_size: int = 12):
-    """Zero-stuff 2x then low-pass (`alias_free_torch/resample.py`)."""
+    """Replicate-pad, zero-stuff 2x, low-pass — numerically identical to the
+    reference's `UpSample1d` (`alias_free_torch/resample.py:10-31`: replicate
+    pad k/2-1, conv_transpose stride 2, crop pad*2+(k-2)/2 per side). The
+    transpose-conv + crop collapses to a VALID correlation of the stuffed
+    signal at offset 2*(k/2-1) + (k-2)/2 - (k-1) (even kernels are
+    symmetric)."""
     b, t, c = x.shape
-    stuffed = jnp.zeros((b, t * 2, c), x.dtype).at[:, ::2].set(x)
+    pad = kernel_size // 2 - 1
+    xe = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)), mode="edge")
+    stuffed = jnp.zeros((b, 2 * (t + 2 * pad), c), x.dtype).at[:, ::2].set(xe)
     fir = 2 * kaiser_sinc_filter1d(0.25, 0.3, kernel_size)
-    return _depthwise_fir(stuffed, fir, pad=kernel_size // 2)[:, : t * 2]
+    off = 2 * pad + (kernel_size - 2) // 2 - (kernel_size - 1)
+    return _depthwise_fir(stuffed, fir, pad=0)[:, off : off + 2 * t]
 
 
 def downsample2_fir(x, kernel_size: int = 12):
+    """Replicate-pad (k/2-1, k/2) then stride-2 low-pass — identical to the
+    reference's `DownSample1d`/`LowPassFilter1d`
+    (`alias_free_torch/filter.py:61-95`)."""
     fir = kaiser_sinc_filter1d(0.25, 0.3, kernel_size)
-    return _depthwise_fir(x, fir, stride=2, pad=kernel_size // 2)[:, : x.shape[1] // 2]
+    pl, pr = kernel_size // 2 - 1, kernel_size // 2
+    xe = jnp.pad(x, ((0, 0), (pl, pr), (0, 0)), mode="edge")
+    return _depthwise_fir(xe, fir, stride=2, pad=0)
 
 
 class SnakeBeta(nn.Module):
@@ -164,6 +177,70 @@ class BigVGAN(nn.Module):
         return jnp.tanh(x)[..., 0]
 
 
+def _wn_weight(sd, name):
+    """Reconstruct a torch weight_norm'd weight: w = g * v / ||v|| with the
+    norm over all dims but 0 (torch's default dim=0). Falls back to a plain
+    `.weight` key for checkpoints saved after remove_weight_norm."""
+    if f"{name}.weight" in sd:
+        return sd[f"{name}.weight"]
+    g, v = sd[f"{name}.weight_g"], sd[f"{name}.weight_v"]
+    norm = np.sqrt((v.astype(np.float64) ** 2).sum(axis=tuple(range(1, v.ndim)),
+                                                   keepdims=True))
+    return (g * v / norm).astype(np.float32)
+
+
+def _wn_conv1d(sd, name):
+    w = _wn_weight(sd, name)  # torch Conv1d (out, in, k) -> flax (k, in, out)
+    out = {"kernel": w.transpose(2, 1, 0)}
+    if f"{name}.bias" in sd:
+        out["bias"] = sd[f"{name}.bias"]
+    return out
+
+
+def _wn_conv_transpose1d(sd, name):
+    # torch ConvTranspose1d (in, out, k) -> flax ConvTranspose (k, in, out),
+    # TIME-FLIPPED: torch's transposed conv convolves (adjoint of its
+    # correlation) while flax's correlates (verified numerically vs torch).
+    w = _wn_weight(sd, name)
+    out = {"kernel": np.ascontiguousarray(w.transpose(2, 0, 1)[::-1])}
+    if f"{name}.bias" in sd:
+        out["bias"] = sd[f"{name}.bias"]
+    return out
+
+
+def _snake(sd, name):
+    return {"snake": {"alpha": sd[f"{name}.alpha"], "beta": sd[f"{name}.beta"]}}
+
+
+def import_bigvgan_weights(sd, upsample_rates: Sequence[int] = (4, 4, 2, 2, 2, 2),
+                           resblock_kernel_sizes: Sequence[int] = (3, 7, 11),
+                           resblock_dilation_sizes: Sequence[Sequence[int]] = ((1, 3, 5),) * 3):
+    """Map a reference BigVGAN generator state dict
+    (`lumina_music/models/vocoder/bigvgan/models.py:194-287`, snakebeta
+    activation, weight-norm'd convs) onto our `BigVGAN` param tree. Accepts a
+    raw `best_netG.pt`-style dict (optionally nested under "generator")."""
+    if "generator" in sd and isinstance(sd["generator"], dict):
+        sd = sd["generator"]
+    nk = len(resblock_kernel_sizes)
+    params = {
+        "conv_pre": _wn_conv1d(sd, "conv_pre"),
+        "conv_post": _wn_conv1d(sd, "conv_post"),
+        "activation_post": _snake(sd, "activation_post.act"),
+    }
+    for i in range(len(upsample_rates)):
+        params[f"ups_{i}"] = _wn_conv_transpose1d(sd, f"ups.{i}.0")
+        for j in range(nk):
+            n = i * nk + j
+            block = {}
+            for d in range(len(resblock_dilation_sizes[j])):
+                block[f"convs1_{d}"] = _wn_conv1d(sd, f"resblocks.{n}.convs1.{d}")
+                block[f"convs2_{d}"] = _wn_conv1d(sd, f"resblocks.{n}.convs2.{d}")
+                block[f"act1_{d}"] = _snake(sd, f"resblocks.{n}.activations.{2 * d}.act")
+                block[f"act2_{d}"] = _snake(sd, f"resblocks.{n}.activations.{2 * d + 1}.act")
+            params[f"resblocks_{i}_{j}"] = block
+    return params
+
+
 class VocoderBigVGAN:
     """Inference wrapper (`models.py:492+`): mel spectrogram -> waveform."""
 
@@ -178,6 +255,21 @@ class VocoderBigVGAN:
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         variables = model.init(rng, jnp.zeros((1, mel_bins, 16)))
         return cls(model, variables)
+
+    @classmethod
+    def from_torch_checkpoint(cls, ckpt_path: str, mel_bins: int = 80, **kwargs):
+        """Load the reference's trained vocoder (`best_netG.pt`,
+        `models.py:492-503`) into the flax generator."""
+        from ..core.checkpoint import load_torch_state_dict
+
+        sd = load_torch_state_dict(ckpt_path)
+        model = BigVGAN(mel_bins=mel_bins, **kwargs)
+        params = import_bigvgan_weights(
+            sd, upsample_rates=model.upsample_rates,
+            resblock_kernel_sizes=model.resblock_kernel_sizes,
+            resblock_dilation_sizes=model.resblock_dilation_sizes,
+        )
+        return cls(model, {"params": params})
 
     def vocode(self, mel):
         if mel.ndim == 2:

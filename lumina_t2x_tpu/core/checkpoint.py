@@ -276,6 +276,193 @@ def import_flag_dit_weights(state_dict: Dict[str, np.ndarray], n_layers: int,
     return params
 
 
+def import_next_dit_imagenet_weights(state_dict: Dict[str, np.ndarray], n_layers: int,
+                                     scan_layers: bool = True) -> Dict[str, Any]:
+    """Map a reference Next-DiT-ImageNet state_dict
+    (`Next-DiT-ImageNet/models/models.py:836-1035`, SandwichNorm2 blocks)
+    onto our `models/next_dit_imagenet.py` tree: 4-chunk adaLN
+    (scale, tanh-gate), inner PFRMSNorm (attention_norm1/ffn_norm1) + outer
+    RMSNorm (attention_norm/ffn_norm), class-label embedding table."""
+    sd = state_dict
+    params: Dict[str, Any] = {
+        "x_embedder": _torch_linear(sd, "x_embedder"),
+        "t_embedder": {
+            "mlp_0": _torch_linear(sd, "t_embedder.mlp.0"),
+            "mlp_2": _torch_linear(sd, "t_embedder.mlp.2"),
+        },
+        "y_embedder": {"embedding": sd["y_embedder.embedding_table.weight"]},
+        "final_layer": {
+            "linear": _torch_linear(sd, "final_layer.linear"),
+            "adaLN_modulation": _torch_linear(sd, "final_layer.adaLN_modulation.1"),
+        },
+    }
+
+    def layer_params(i):
+        pre = f"layers.{i}"
+        p = {
+            "adaLN_modulation": _torch_linear(sd, f"{pre}.adaLN_modulation.1"),
+            # inner norms (attention_norm1/ffn_norm1) are parameter-free
+            # PFRMSNorms — nothing to import for them
+            "attention_norm": {"weight": sd[f"{pre}.attention_norm.weight"]},
+            "ffn_norm": {"weight": sd[f"{pre}.ffn_norm.weight"]},
+            "attention": {
+                name: _torch_linear(sd, f"{pre}.attention.{name}", has_bias=False)
+                for name in ("wq", "wk", "wv", "wo")
+            },
+            "feed_forward": {
+                name: _torch_linear(sd, f"{pre}.feed_forward.{name}", has_bias=False)
+                for name in ("w1", "w2", "w3")
+            },
+        }
+        for norm in ("q_norm", "k_norm"):
+            if f"{pre}.attention.{norm}.weight" in sd:
+                p["attention"][norm] = {
+                    "weight": sd[f"{pre}.attention.{norm}.weight"],
+                    "bias": sd[f"{pre}.attention.{norm}.bias"],
+                }
+        return p
+
+    per_layer = [layer_params(i) for i in range(n_layers)]
+    if scan_layers:
+        params["layers"] = jax.tree.map(lambda *xs: np.stack(xs), *per_layer)
+    else:
+        for i, p in enumerate(per_layer):
+            params[f"layers_{i}"] = p
+    return params
+
+
+def _import_moe_ffn(sd, prefix: str) -> Dict[str, Any]:
+    """One reference Time/SpaceMoeLayer (`Next-DiT-MoE/models/models2.py:451-506`:
+    per-expert SwiGLU modules + a bias-free gate) -> our stacked (E, ...)
+    expert tensors (`models/moe.py`)."""
+    experts = []
+    j = 0
+    while f"{prefix}.experts.{j}.w1.weight" in sd:
+        experts.append(j)
+        j += 1
+    return {
+        "w1": np.stack([sd[f"{prefix}.experts.{j}.w1.weight"].T for j in experts]),
+        "w2": np.stack([sd[f"{prefix}.experts.{j}.w2.weight"].T for j in experts]),
+        "w3": np.stack([sd[f"{prefix}.experts.{j}.w3.weight"].T for j in experts]),
+        "gate": {"kernel": sd[f"{prefix}.gate.weight"].T},
+    }
+
+
+def import_next_dit_moe_weights(state_dict: Dict[str, np.ndarray], n_layers: int,
+                                scan_layers: bool = True) -> Dict[str, Any]:
+    """Map a reference Next-DiT-MoE state_dict onto our `models/moe.py` tree.
+    Handles all three variants by key shape: `feed_forward_time` +
+    `feed_forward_space` (Both, `models2.py:692-819`) or a single
+    `feed_forward` (Time `models.py` / Space `models1.py`), MoE or dense."""
+    sd = state_dict
+    params: Dict[str, Any] = {
+        "x_embedder": _torch_linear(sd, "x_embedder"),
+        "t_embedder": {
+            "mlp_0": _torch_linear(sd, "t_embedder.mlp.0"),
+            "mlp_2": _torch_linear(sd, "t_embedder.mlp.2"),
+        },
+        "y_embedder": {"embedding": sd["y_embedder.embedding_table.weight"]},
+        "final_layer": {
+            "linear": _torch_linear(sd, "final_layer.linear"),
+            "adaLN_modulation": _torch_linear(sd, "final_layer.adaLN_modulation.1"),
+        },
+    }
+
+    def layer_params(i):
+        pre = f"layers.{i}"
+        p = {
+            "adaLN_modulation": _torch_linear(sd, f"{pre}.adaLN_modulation.1"),
+            "attention_norm": {"weight": sd[f"{pre}.attention_norm.weight"]},
+            "attention": {
+                name: _torch_linear(sd, f"{pre}.attention.{name}", has_bias=False)
+                for name in ("wq", "wk", "wv", "wo")
+            },
+        }
+        for norm in ("q_norm", "k_norm"):
+            if f"{pre}.attention.{norm}.weight" in sd:
+                p["attention"][norm] = {
+                    "weight": sd[f"{pre}.attention.{norm}.weight"],
+                    "bias": sd[f"{pre}.attention.{norm}.bias"],
+                }
+        if f"{pre}.feed_forward_time.gate.weight" in sd:  # Both variant
+            p["ffn_norm_time"] = {"weight": sd[f"{pre}.ffn_norm_time.weight"]}
+            p["ffn_norm_space"] = {"weight": sd[f"{pre}.ffn_norm_space.weight"]}
+            p["feed_forward_time"] = _import_moe_ffn(sd, f"{pre}.feed_forward_time")
+            p["feed_forward_space"] = _import_moe_ffn(sd, f"{pre}.feed_forward_space")
+        else:
+            p["ffn_norm"] = {"weight": sd[f"{pre}.ffn_norm.weight"]}
+            if f"{pre}.feed_forward.gate.weight" in sd:
+                p["feed_forward"] = _import_moe_ffn(sd, f"{pre}.feed_forward")
+            else:
+                p["feed_forward"] = {
+                    name: _torch_linear(sd, f"{pre}.feed_forward.{name}", has_bias=False)
+                    for name in ("w1", "w2", "w3")
+                }
+        return p
+
+    per_layer = [layer_params(i) for i in range(n_layers)]
+    if scan_layers:
+        params["layers"] = jax.tree.map(lambda *xs: np.stack(xs), *per_layer)
+    else:
+        for i, p in enumerate(per_layer):
+            params[f"layers_{i}"] = p
+    return params
+
+
+def import_flag_dit_1d_weights(state_dict: Dict[str, np.ndarray], depth: int,
+                               scan_layers: bool = True) -> Dict[str, Any]:
+    """Map a reference music/audio FlagDiT state_dict
+    (`lumina_music/models/diffusion/flag_large_dit.py:485-659`) onto our
+    `models/flag_dit_1d.py` tree (blocks share FlagDiTBlock's layout; the
+    head is channel-wise: proj_in + LayerNorm/shift-scale/Linear)."""
+    sd = state_dict
+    params: Dict[str, Any] = {
+        "proj_in": _torch_linear(sd, "proj_in"),
+        "t_embedder": {
+            "mlp_0": _torch_linear(sd, "t_embedder.mlp.0"),
+            "mlp_2": _torch_linear(sd, "t_embedder.mlp.2"),
+        },
+        "cap_embedder_norm": {"weight": sd["cap_embedder.0.weight"],
+                              "bias": sd["cap_embedder.0.bias"]},
+        "cap_embedder_proj": _torch_linear(sd, "cap_embedder.1"),
+        "final_adaLN_modulation": _torch_linear(sd, "final_layer.adaLN_modulation.1"),
+        "final_linear": _torch_linear(sd, "final_layer.linear"),
+    }
+
+    def block_params(i):
+        pre = f"blocks.{i}"
+        p = {
+            "adaLN_modulation": _torch_linear(sd, f"{pre}.adaLN_modulation.1"),
+            "attention_norm": {"weight": sd[f"{pre}.attention_norm.weight"]},
+            "ffn_norm": {"weight": sd[f"{pre}.ffn_norm.weight"]},
+            "attention_y_norm": {"weight": sd[f"{pre}.attention_y_norm.weight"]},
+            "attention": {
+                name: _torch_linear(sd, f"{pre}.attention.{name}", has_bias=False)
+                for name in ("wq", "wk", "wv", "wo", "wk_y", "wv_y")
+            },
+            "feed_forward": {
+                name: _torch_linear(sd, f"{pre}.feed_forward.{name}", has_bias=False)
+                for name in ("w1", "w2", "w3")
+            },
+        }
+        p["attention"]["gate"] = sd[f"{pre}.attention.gate"]
+        for norm in ("q_norm", "k_norm", "ky_norm"):
+            if f"{pre}.attention.{norm}.weight" in sd:
+                p["attention"][norm] = {
+                    "weight": sd[f"{pre}.attention.{norm}.weight"],
+                    "bias": sd[f"{pre}.attention.{norm}.bias"],
+                }
+        return p
+
+    per_layer = [block_params(i) for i in range(depth)]
+    if scan_layers:
+        params["blocks"] = jax.tree.map(lambda *xs: np.stack(xs), *per_layer)
+    else:
+        for i, p in enumerate(per_layer):
+            params[f"blocks_{i}"] = p
+    return params
+
+
 def export_next_dit_weights(params: Dict[str, Any], scan_layers: bool = True) -> Dict[str, np.ndarray]:
     """Inverse of import_next_dit_weights: our tree -> reference-style
     state_dict (for the `lumina convert` parity, `entry_point.py:115-156`)."""

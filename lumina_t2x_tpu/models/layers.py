@@ -44,19 +44,22 @@ def modulate(x, scale, shift=None):
 
 
 class RMSNorm(nn.Module):
-    """RMSNorm with learned scale; always computed in float32.
+    """RMSNorm, always computed in float32.
 
-    Covers both the reference's apex/vanilla `RMSNorm`
-    (`components.py:1-55`) and `PFRMSNorm` (fp32-cast variant,
-    `Next-DiT-ImageNet/models/models.py:76-118`) — the distinction between
-    them is CUDA-kernel precision, which does not exist here.
+    With `use_scale=True` (default) this is the reference's apex/vanilla
+    `RMSNorm` with a learned gain (`components.py:1-55`); with
+    `use_scale=False` it is the parameter-free `PFRMSNorm`
+    (`Next-DiT-ImageNet/models/models.py:76-118`) used for the SandwichNorm2
+    inner norms.
     """
 
     eps: float = 1e-5
+    use_scale: bool = True
 
     @nn.compact
     def __call__(self, x):
-        weight = self.param("weight", nn.initializers.ones, (x.shape[-1],), jnp.float32)
+        weight = (self.param("weight", nn.initializers.ones, (x.shape[-1],), jnp.float32)
+                  if self.use_scale else None)
         return rms_norm(x, weight, self.eps)
 
 

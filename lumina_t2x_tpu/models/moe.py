@@ -198,7 +198,7 @@ class NextDiTMoEBlock(nn.Module):
             param_dtype=self.param_dtype, attn_impl=self.attn_impl,
             name="attention",
         )(
-            modulate(RMSNorm(eps=self.norm_eps, name="attention_norm1")(x), scale_msa),
+            modulate(RMSNorm(eps=self.norm_eps, use_scale=False, name="attention_norm1")(x), scale_msa),
             None, angles, None, None, default_attn_scale(self.dim // self.n_heads),
         )
         x = x + jnp.tanh(gate_msa)[:, None, :].astype(x.dtype) * RMSNorm(
@@ -215,14 +215,14 @@ class NextDiTMoEBlock(nn.Module):
         if self.moe_mode == "both":
             scale_t, gate_t, scale_s, gate_s = chunks[2], chunks[3], chunks[4], chunks[5]
             t_out = TimeMoEFFN(**moe_kwargs, name="feed_forward_time")(
-                modulate(RMSNorm(eps=self.norm_eps, name="ffn_norm_time1")(x), scale_t), time_input
+                modulate(RMSNorm(eps=self.norm_eps, use_scale=False, name="ffn_norm_time1")(x), scale_t), time_input
             )
             x = x + jnp.tanh(gate_t)[:, None, :].astype(x.dtype) * RMSNorm(
                 eps=self.norm_eps, name="ffn_norm_time"
             )(t_out)
             s_out = SpaceMoEFFN(**moe_kwargs, capacity_factor=self.capacity_factor,
                                 ep_axis=self.ep_axis, name="feed_forward_space")(
-                modulate(RMSNorm(eps=self.norm_eps, name="ffn_norm_space1")(x), scale_s)
+                modulate(RMSNorm(eps=self.norm_eps, use_scale=False, name="ffn_norm_space1")(x), scale_s)
             )
             x = x + jnp.tanh(gate_s)[:, None, :].astype(x.dtype) * RMSNorm(
                 eps=self.norm_eps, name="ffn_norm_space"
@@ -230,7 +230,7 @@ class NextDiTMoEBlock(nn.Module):
             return x
 
         scale_mlp, gate_mlp = chunks[2], chunks[3]
-        h = modulate(RMSNorm(eps=self.norm_eps, name="ffn_norm1")(x), scale_mlp)
+        h = modulate(RMSNorm(eps=self.norm_eps, use_scale=False, name="ffn_norm1")(x), scale_mlp)
         if self.moe_mode == "time":
             ffn_out = TimeMoEFFN(**moe_kwargs, name="feed_forward")(h, time_input)
         elif self.moe_mode == "space":

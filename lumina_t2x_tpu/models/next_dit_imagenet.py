@@ -64,7 +64,9 @@ class NextDiTImageNetBlock(nn.Module):
             param_dtype=self.param_dtype, attn_impl=self.attn_impl,
             name="attention",
         )(
-            modulate(RMSNorm(eps=self.norm_eps, name="attention_norm1")(x), scale_msa),
+            # inner norms are parameter-free (PFRMSNorm, `models.py:744-746`)
+            modulate(RMSNorm(eps=self.norm_eps, use_scale=False,
+                             name="attention_norm1")(x), scale_msa),
             None, angles, None, None, default_attn_scale(self.dim // self.n_heads),
         )
         x = x + jnp.tanh(gate_msa)[:, None, :].astype(x.dtype) * RMSNorm(
@@ -75,7 +77,8 @@ class NextDiTImageNetBlock(nn.Module):
             dim=self.dim, hidden_dim=4 * self.dim, multiple_of=self.multiple_of,
             ffn_dim_multiplier=self.ffn_dim_multiplier, dtype=self.dtype,
             param_dtype=self.param_dtype, name="feed_forward",
-        )(modulate(RMSNorm(eps=self.norm_eps, name="ffn_norm1")(x), scale_mlp))
+        )(modulate(RMSNorm(eps=self.norm_eps, use_scale=False, name="ffn_norm1")(x),
+                   scale_mlp))
         x = x + jnp.tanh(gate_mlp)[:, None, :].astype(x.dtype) * RMSNorm(
             eps=self.norm_eps, name="ffn_norm"
         )(mlp_out)

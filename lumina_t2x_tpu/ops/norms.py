@@ -15,11 +15,16 @@ import jax
 import jax.numpy as jnp
 
 
-def rms_norm(x, weight, eps: float = 1e-5):
-    """x * rsqrt(mean(x^2) + eps) * weight, computed in float32."""
+def rms_norm(x, weight=None, eps: float = 1e-5):
+    """x * rsqrt(mean(x^2) + eps) * weight, computed in float32.
+
+    `weight=None` gives the parameter-free variant (the reference's
+    `PFRMSNorm`, `Next-DiT-ImageNet/models/models.py:76-118`)."""
     xf = x.astype(jnp.float32)
     normed = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
-    return (normed * weight.astype(jnp.float32)).astype(x.dtype)
+    if weight is not None:
+        normed = normed * weight.astype(jnp.float32)
+    return normed.astype(x.dtype)
 
 
 def layer_norm(x, weight=None, bias=None, eps: float = 1e-6):
