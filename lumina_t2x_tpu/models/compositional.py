@@ -34,6 +34,7 @@ from ..ops.attention import attention as attention_op
 from ..ops.attention import default_attn_scale, proportional_attn_scale, sdpa
 from ..ops.rope import apply_rope, rope_angles_2d_timeaware
 from .layers import (
+    maybe_remat,
     CaptionEmbedder,
     FeedForward,
     FinalLayer,
@@ -204,6 +205,7 @@ class NextDiTCompositional(nn.Module):
     attn_impl: str = "auto"
     scan_blocks: bool = True
     remat: bool = False
+    remat_policy: str = "dots"  # see layers.maybe_remat
 
     @property
     def out_channels(self):
@@ -261,8 +263,7 @@ class NextDiTCompositional(nn.Module):
         cap_feats_c = cap_feats.astype(self.dtype)
         if self.scan_blocks:
             block_cls = _ScannedCompositionalBlock
-            if self.remat:
-                block_cls = nn.remat(block_cls, prevent_cse=False)
+            block_cls = maybe_remat(block_cls, self.remat, self.remat_policy)
             blocks = nn.scan(
                 block_cls, variable_axes={"params": 0}, split_rngs={"params": True},
                 in_axes=nn.broadcast, length=self.n_layers,

@@ -30,7 +30,7 @@ from flax import linen as nn
 from ..ops.attention import default_attn_scale, proportional_attn_scale
 from ..ops.rope import rope_angles_1d
 from .flag_dit import FlagDiTBlock
-from .layers import LayerNorm, TimestepEmbedder, modulate, pooled_caption
+from .layers import maybe_remat, LayerNorm, TimestepEmbedder, modulate, pooled_caption
 
 
 class FlagDiT1D(nn.Module):
@@ -55,6 +55,7 @@ class FlagDiT1D(nn.Module):
     attn_impl: str = "auto"
     scan_blocks: bool = True
     remat: bool = False
+    remat_policy: str = "dots"  # see layers.maybe_remat
 
     @nn.compact
     def __call__(self, x, t, context, *, proportional_attn: bool = False,
@@ -98,8 +99,7 @@ class FlagDiT1D(nn.Module):
             from .flag_dit import _ScannedFlagDiTBlock
 
             block_cls = _ScannedFlagDiTBlock
-            if self.remat:
-                block_cls = nn.remat(block_cls, prevent_cse=False)
+            block_cls = maybe_remat(block_cls, self.remat, self.remat_policy)
             blocks = nn.scan(
                 block_cls, variable_axes={"params": 0}, split_rngs={"params": True},
                 in_axes=nn.broadcast, length=self.depth,

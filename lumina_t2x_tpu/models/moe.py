@@ -32,6 +32,7 @@ from flax import linen as nn
 from ..ops.attention import default_attn_scale
 from ..ops.rope import rope_angles_2d
 from .layers import (
+    maybe_remat,
     Attention,
     FeedForward,
     FinalLayer,
@@ -281,6 +282,7 @@ class NextDiTMoE(nn.Module):
     attn_impl: str = "auto"
     scan_blocks: bool = True
     remat: bool = False
+    remat_policy: str = "dots"  # see layers.maybe_remat
 
     @property
     def out_channels(self):
@@ -327,8 +329,7 @@ class NextDiTMoE(nn.Module):
         )
         if self.scan_blocks:
             block_cls = _ScannedMoEBlock
-            if self.remat:
-                block_cls = nn.remat(block_cls, prevent_cse=False)
+            block_cls = maybe_remat(block_cls, self.remat, self.remat_policy)
             blocks = nn.scan(
                 block_cls, variable_axes={"params": 0}, split_rngs={"params": True},
                 in_axes=nn.broadcast, length=self.n_layers,

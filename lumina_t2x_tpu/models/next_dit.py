@@ -39,6 +39,7 @@ from flax import linen as nn
 from ..ops.attention import anagram_attn_scale, default_attn_scale, proportional_attn_scale
 from ..ops.rope import rope_angles_2d_timeaware
 from .layers import (
+    maybe_remat,
     Attention,
     CaptionEmbedder,
     FeedForward,
@@ -135,6 +136,7 @@ class NextDiT(nn.Module):
     attn_impl: str = "auto"
     scan_blocks: bool = True
     remat: bool = False
+    remat_policy: str = "dots"  # see layers.maybe_remat
     # context parallelism: shard the token axis over this mesh axis (GSPMD
     # partitions attention; the manual ring kernel lives in
     # ops/context_parallel.py). The reference has no sequence parallelism at
@@ -273,8 +275,7 @@ class NextDiT(nn.Module):
         cap_feats_c = cap_feats.astype(self.dtype)
         if self.scan_blocks:
             block_cls = _ScannedNextDiTBlock
-            if self.remat:
-                block_cls = nn.remat(block_cls, prevent_cse=False)
+            block_cls = maybe_remat(block_cls, self.remat, self.remat_policy)
             blocks = nn.scan(
                 block_cls,
                 variable_axes={"params": 0},

@@ -125,15 +125,42 @@ def instantiate_from_config(config):
 # ---------------------------------------------------------------------------
 
 
-def lambda_linear_schedule(warm_up_steps: int, f_min: float, f_max: float, f_start: float,
-                           cycle_lengths: int):
-    """LambdaLinearScheduler: linear warmup then linear decay over the cycle."""
+def lambda_linear_schedule(warm_up_steps, f_min, f_max, f_start, cycle_lengths,
+                           verbosity_interval: int = 0):
+    """`LambdaLinearScheduler` with the reference's full cycle-list
+    semantics (`models/lr_scheduler.py:37-59,85-104`): each of the five
+    arguments is a per-cycle list (scalars are promoted to one cycle); the
+    active cycle is the first whose cumulative end >= step (inclusive, like
+    `find_in_interval`'s `n <= cl`); within a cycle: linear warmup
+    f_start -> f_max over warm_up_steps, then linear decay
+    f_min + (f_max - f_min) * (L - n) / L — deliberately NOT clamped at
+    f_min, matching the reference (which applies no min()). Steps beyond the
+    last cycle stay in it (the reference would crash there; training never
+    exceeds the configured total)."""
+    as_list = lambda v: list(v) if isinstance(v, (list, tuple)) else [v]
+    wu, fmn, fmx, fst, cl = (as_list(v) for v in
+                             (warm_up_steps, f_min, f_max, f_start, cycle_lengths))
+    assert len(wu) == len(fmn) == len(fmx) == len(fst) == len(cl), \
+        "all five schedule arguments must have the same number of cycles"
+    cum = np.cumsum([0] + cl)
+    wu_a, fmn_a, fmx_a, fst_a, cl_a = (jnp.asarray(v, jnp.float32)
+                                       for v in (wu, fmn, fmx, fst, cl))
+    ends = jnp.asarray(cum[1:], jnp.float32)
+    starts = jnp.asarray(cum[:-1], jnp.float32)
 
     def f(step):
-        step = jnp.asarray(step, jnp.float32)
-        warm = f_start + (f_max - f_start) * step / max(warm_up_steps, 1)
-        decayed = f_min + (f_max - f_min) * (cycle_lengths - step) / cycle_lengths
-        return jnp.where(step < warm_up_steps, warm, jnp.maximum(decayed, f_min))
+        s = jnp.asarray(step, jnp.float32)
+        cycle = jnp.clip(jnp.sum(s > ends), 0, len(cl) - 1)
+        n = s - starts[cycle]
+        if verbosity_interval > 0 and not isinstance(step, jax.core.Tracer):
+            if int(step) % verbosity_interval == 0:
+                import logging
+
+                logging.getLogger(__name__).info(
+                    f"lr schedule: step {int(step)} cycle {int(cycle)}")
+        warm = fst_a[cycle] + (fmx_a[cycle] - fst_a[cycle]) * n / jnp.maximum(wu_a[cycle], 1.0)
+        decay = fmn_a[cycle] + (fmx_a[cycle] - fmn_a[cycle]) * (cl_a[cycle] - n) / cl_a[cycle]
+        return jnp.where(n < wu_a[cycle], warm, decay)
 
     return f
 

@@ -139,6 +139,13 @@ def main(argv=None):
     p.add_argument("--struct_caption", action="store_true",
                    help="audio task: convert prompt to structured caption")
     p.add_argument("--debug", action="store_true", help="random weights")
+    p.add_argument("--vae_ckpt", type=str, default=None,
+                   help="Make-An-Audio-2 mel-VAE torch checkpoint (maa2.ckpt, "
+                        "lumina-text2music.yaml:48); loads real weights via "
+                        "import_autoencoder_kl_1d_weights")
+    p.add_argument("--vocoder_ckpt", type=str, default=None,
+                   help="BigVGAN best_netG.pt; loads real weights via "
+                        "import_bigvgan_weights")
     args = p.parse_args(argv)
 
     from ..codecs.vae1d import AutoencoderKL1D
@@ -162,17 +169,30 @@ def main(argv=None):
     def denoiser_fn(x, t, c):
         return model.apply(variables, x, t, c)
 
-    vae = AutoencoderKL1D(mel_bins=80, embed_dim=20, ch=32 if args.debug else 128,
-                          ch_mult=(1, 2), num_res_blocks=1, z_channels=20)
-    vv = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 80, 16)), jax.random.PRNGKey(2))
+    if args.vae_ckpt:
+        # real trained mel-VAE: the maa2 structural config + imported weights
+        from ..codecs.vae1d import import_autoencoder_kl_1d_weights, make_an_audio_2_vae
+        from ..core.checkpoint import load_torch_state_dict
+
+        vae = make_an_audio_2_vae()
+        vv = {"params": import_autoencoder_kl_1d_weights(
+            load_torch_state_dict(args.vae_ckpt), ch_mult=vae.ch_mult,
+            num_res_blocks=vae.num_res_blocks, attn_layers=(), down_layers=(0,))}
+    else:
+        vae = AutoencoderKL1D(mel_bins=80, embed_dim=20, ch=32 if args.debug else 128,
+                              ch_mult=(1, 2), num_res_blocks=1, z_channels=20)
+        vv = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 80, 16)), jax.random.PRNGKey(2))
     vae_decode = lambda z: vae.apply(vv, z, method=vae.decode)
 
-    voc = VocoderBigVGAN.create(
-        mel_bins=80,
-        **({"upsample_rates": (2, 2), "upsample_kernel_sizes": (4, 4),
-            "upsample_initial_channel": 32, "resblock_kernel_sizes": (3,),
-            "resblock_dilation_sizes": ((1, 3),)} if args.debug else {}),
-    )
+    if args.vocoder_ckpt:
+        voc = VocoderBigVGAN.from_torch_checkpoint(args.vocoder_ckpt, mel_bins=80)
+    else:
+        voc = VocoderBigVGAN.create(
+            mel_bins=80,
+            **({"upsample_rates": (2, 2), "upsample_kernel_sizes": (4, 4),
+                "upsample_initial_channel": 32, "resblock_kernel_sizes": (3,),
+                "resblock_dilation_sizes": ((1, 3),)} if args.debug else {}),
+        )
 
     # deterministic pseudo text features offline (T5/CLAP wrappers available
     # in codecs.text_encoders when weights are present)

@@ -132,10 +132,11 @@ class InferenceWorker:
             return ModelFailure(traceback.format_exc())
 
 
-def build_gradio_ui(worker: InferenceWorker):
-    """Gradio Blocks UI (`demo.py:361-552`); raises ImportError without
-    gradio."""
-    import gradio as gr
+def make_submit_handler(worker: InferenceWorker, error_cls=RuntimeError):
+    """The UI submit round-trip (widget values -> InferenceRequest ->
+    worker.infer -> HWC uint8/float image), factored out of the Blocks
+    wiring so it is drivable without gradio installed (tests exercise this
+    directly; gradio only adds the widget layer on top)."""
 
     def on_submit(cap, neg_cap, resolution, steps, cfg, solver, t_shift, seed,
                   scaling_method, watershed, prop_attn):
@@ -147,12 +148,22 @@ def build_gradio_ui(worker: InferenceWorker):
         )
         result = worker.infer(req)
         if isinstance(result, ModelFailure):
-            raise gr.Error(f"generation failed:\n{result.error}")
+            raise error_cls(f"generation failed:\n{result.error}")
         if "image" in result:
             return result["image"][0].transpose(1, 2, 0)
         lat = result["latents"][0, :3]
-        lat = (lat - lat.min()) / (lat.ptp() + 1e-6)
+        lat = (lat - lat.min()) / (np.ptp(lat) + 1e-6)
         return (lat.transpose(1, 2, 0) * 255).astype(np.uint8)
+
+    return on_submit
+
+
+def build_gradio_ui(worker: InferenceWorker):
+    """Gradio Blocks UI (`demo.py:361-552`); raises ImportError without
+    gradio."""
+    import gradio as gr
+
+    on_submit = make_submit_handler(worker, error_cls=gr.Error)
 
     with gr.Blocks() as demo:
         gr.Markdown("# Lumina-Next T2I (TPU)")

@@ -67,6 +67,14 @@ def parse_args(argv=None):
     p.add_argument("--grad_precision", choices=["fp32", "fp16", "bf16"], default="fp32")
     p.add_argument("--qk_norm", action="store_true")
     p.add_argument("--checkpointing", action="store_true", help="activation rematerialization")
+    p.add_argument("--remat_policy", choices=["dots", "full"], default="dots",
+                   help="with --checkpointing: 'dots' keeps weight-matmul outputs "
+                        "and recomputes only elementwise/attention (higher MFU); "
+                        "'full' recomputes the whole block (max memory savings)")
+    p.add_argument("--fused_optimizer", action="store_true",
+                   help="single-pass AdamW+EMA update (same math, ~half the "
+                        "optimizer-phase HBM traffic); opt state keeps the "
+                        "ScaleByAdamState layout")
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--wd", type=float, default=0.0)
     p.add_argument("--grad_clip", type=float, default=2.0)
@@ -241,7 +249,8 @@ def main(argv=None):
         encode_images = True
 
     # -- model (after data: the text encoder may set cap_feat_dim) -----------
-    model_kwargs = dict(qk_norm=args.qk_norm, dtype=dtype, remat=args.checkpointing)
+    model_kwargs = dict(qk_norm=args.qk_norm, dtype=dtype, remat=args.checkpointing,
+                        remat_policy=args.remat_policy)
     if is_class_cond:
         model_kwargs["class_dropout_prob"] = args.class_dropout_prob
     else:
@@ -269,7 +278,12 @@ def main(argv=None):
 
     # -- state ---------------------------------------------------------------
     transport = create_transport(args.path_type, args.prediction, snr_type=args.snr_type)
-    optimizer = create_optimizer(args.lr, args.wd)
+    if args.fused_optimizer:
+        from .train_lib import FusedAdamWEMA
+
+        optimizer = FusedAdamWEMA(args.lr, weight_decay=args.wd)
+    else:
+        optimizer = create_optimizer(args.lr, args.wd)
     first = next(batches)
     example = dict(first)
     if encode_images:

@@ -135,6 +135,7 @@ def main(argv=None):
         in_channels=args.latent_channels, context_dim=args.context_dim,
         hidden_size=args.hidden_size, depth=args.depth, num_heads=args.num_heads,
         dtype=dtype, remat=args.checkpointing,
+        remat_policy=getattr(args, 'remat_policy', 'dots'),
     )
     batches = (synthetic_audio_batches(args) if args.data_path.startswith("synthetic://")
                else npy_audio_batches(args))

@@ -50,6 +50,61 @@ def create_optimizer(lr: float = 1e-4, weight_decay: float = 0.0,
     return optax.adamw(sched, b1=0.9, b2=0.999, weight_decay=weight_decay)
 
 
+class FusedAdamWEMA:
+    """Single-pass AdamW + EMA: one fused read-modify-write per parameter
+    tensor (reads g, m, v, p, ema; writes m, v, p, ema) with the grad-clip
+    scale folded in — instead of optax's chain (clip rewrite of the grad
+    tree, scale_by_adam, weight decay, lr scale, apply_updates, separate EMA
+    pass), each a full HBM pass over ~2.4 GB at 600M fp32. Same math as
+    `create_optimizer` (AdamW + bias correction + linear warmup); the opt
+    state reuses `optax.ScaleByAdamState` so the sharding rules and Orbax
+    checkpoints keep their layout.
+    """
+
+    def __init__(self, lr: float = 1e-4, b1: float = 0.9, b2: float = 0.999,
+                 eps: float = 1e-8, weight_decay: float = 0.0, warmup_steps: int = 0):
+        self.lr, self.b1, self.b2, self.eps = lr, b1, b2, eps
+        self.weight_decay, self.warmup_steps = weight_decay, warmup_steps
+
+    def init(self, params):
+        return optax.ScaleByAdamState(
+            count=jnp.zeros((), jnp.int32),
+            mu=jax.tree.map(jnp.zeros_like, params),
+            nu=jax.tree.map(jnp.zeros_like, params),
+        )
+
+    def step(self, grads, params, opt_state, ema, ema_decay: float, scale):
+        """-> (params, opt_state, ema). `scale` is the grad-clip multiplier,
+        applied inline (no scaled-grad tree is materialized)."""
+        count = opt_state.count + 1
+        lr = self.lr
+        if self.warmup_steps > 0:
+            lr = self.lr * jnp.minimum(1.0, count / self.warmup_steps)
+        b1c = 1.0 - self.b1 ** count.astype(jnp.float32)
+        b2c = 1.0 - self.b2 ** count.astype(jnp.float32)
+
+        def upd(g, p, m, v, e):
+            g32 = g.astype(jnp.float32) * scale
+            m2 = self.b1 * m + (1.0 - self.b1) * g32
+            v2 = self.b2 * v + (1.0 - self.b2) * g32 * g32
+            step_dir = (m2 / b1c) / (jnp.sqrt(v2 / b2c) + self.eps)
+            p2 = p - lr * (step_dir + self.weight_decay * p)
+            e2 = e * ema_decay + (1.0 - ema_decay) * p2
+            return p2, m2.astype(m.dtype), v2.astype(v.dtype), e2.astype(e.dtype)
+
+        g_l, treedef = jax.tree.flatten(grads)
+        p_l = treedef.flatten_up_to(params)
+        m_l = treedef.flatten_up_to(opt_state.mu)
+        v_l = treedef.flatten_up_to(opt_state.nu)
+        e_l = treedef.flatten_up_to(ema)
+        outs = [upd(g, p, m, v, e) for g, p, m, v, e in zip(g_l, p_l, m_l, v_l, e_l)]
+        new_p = jax.tree.unflatten(treedef, [o[0] for o in outs])
+        new_m = jax.tree.unflatten(treedef, [o[1] for o in outs])
+        new_v = jax.tree.unflatten(treedef, [o[2] for o in outs])
+        new_e = jax.tree.unflatten(treedef, [o[3] for o in outs])
+        return new_p, optax.ScaleByAdamState(count=count, mu=new_m, nu=new_v), new_e
+
+
 def create_train_state(rng, model, example_batch: Dict[str, Any], optimizer,
                        cond_kwargs_fn: Callable[[Dict], Dict]):
     """Initialize params / optimizer / EMA from an example batch."""
@@ -150,16 +205,25 @@ def make_train_step(
             jax.tree.map(lambda g: g.astype(jnp.float32), grads))
         if grad_clip is not None and grad_clip > 0:
             scale = jnp.minimum(1.0, grad_clip / (grad_norm + 1e-6))
-            grads = jax.tree.map(lambda g: (g.astype(jnp.float32) * scale).astype(g.dtype),
-                                 grads)
+        else:
+            scale = jnp.ones(())
 
-        if grad_dtype is not None:  # optimizer math stays in param precision
-            grads = jax.tree.map(lambda g, p: g.astype(p.dtype), grads, state.params)
-        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        ema = jax.tree.map(
-            lambda e, p: e * ema_decay + (1.0 - ema_decay) * p, state.ema_params, params
-        )
+        if isinstance(optimizer, FusedAdamWEMA):
+            # clip scale folded into the single fused pass — no scaled-grad
+            # tree is ever materialized
+            params, opt_state, ema = optimizer.step(
+                grads, state.params, state.opt_state, state.ema_params,
+                ema_decay, scale)
+        else:
+            grads = jax.tree.map(
+                lambda g: (g.astype(jnp.float32) * scale).astype(g.dtype), grads)
+            if grad_dtype is not None:  # optimizer math stays in param precision
+                grads = jax.tree.map(lambda g, p: g.astype(p.dtype), grads, state.params)
+            updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            ema = jax.tree.map(
+                lambda e, p: e * ema_decay + (1.0 - ema_decay) * p, state.ema_params, params
+            )
         new_state = state.replace(
             step=state.step + 1, params=params, opt_state=opt_state, ema_params=ema
         )

@@ -212,6 +212,24 @@ class TestLDMScaffold:
         assert float(f(0)) < 0.01
         np.testing.assert_allclose(float(f(10)), 0.9, atol=0.05)
 
+    def test_lambda_linear_schedule_cycles_match_reference(self):
+        """Multi-cycle semantics vs a direct transliteration of the
+        reference's LambdaLinearScheduler (`models/lr_scheduler.py:85-104`)."""
+        wu, fmn, fmx, fst, cl = [10, 5], [0.1, 0.0], [1.0, 0.5], [0.01, 0.2], [100, 50]
+        cum = np.cumsum([0] + cl)
+
+        def ref(n):
+            cycle = next(i for i, c in enumerate(cum[1:]) if n <= c)
+            n = n - cum[cycle]
+            if n < wu[cycle]:
+                return (fmx[cycle] - fst[cycle]) / wu[cycle] * n + fst[cycle]
+            return fmn[cycle] + (fmx[cycle] - fmn[cycle]) * (cl[cycle] - n) / cl[cycle]
+
+        f = lambda_linear_schedule(wu, fmn, fmx, fst, cl)
+        for n in [0, 3, 9, 10, 11, 60, 99, 100, 101, 104, 105, 106, 130, 149]:
+            np.testing.assert_allclose(float(f(n)), ref(n), rtol=1e-6,
+                                       err_msg=f"step {n}")
+
 
 class TestEndToEnd:
     def test_generate_audio_tiny(self):

@@ -66,6 +66,53 @@ class TestInferenceWorker:
         assert out.error
 
 
+class TestSubmitRoundTrip:
+    def _worker(self):
+        model = tiny_t2i()
+        rng = jax.random.PRNGKey(0)
+        x0 = jnp.zeros((2, 4, 8, 8))
+        cap = jnp.zeros((2, 4, 16))
+        variables = jax.jit(model.init)(rng, x0, jnp.zeros((2,)), cap,
+                                        jnp.ones((2, 4), jnp.int32))
+        return InferenceWorker(model, variables, train_res=64, cap_feat_dim=16)
+
+    def test_submit_handler_returns_image(self):
+        """UI submit path (`demo.py:361-552` equivalent) without gradio: the
+        handler converts widget values into a request, drives the worker and
+        returns an HWC image array."""
+        from lumina_t2x_tpu.pipelines.demo import make_submit_handler
+
+        handler = make_submit_handler(self._worker())
+        img = handler("a cat", "", "64x64", 3, 4.0, "euler", 4, 0, "None", 0.3, False)
+        assert img.ndim == 3 and img.shape[-1] == 3
+        assert img.dtype == np.uint8
+
+    def test_submit_handler_raises_on_failure(self):
+        from lumina_t2x_tpu.pipelines.demo import make_submit_handler
+
+        handler = make_submit_handler(self._worker(), error_cls=ValueError)
+        with pytest.raises(ValueError):
+            # unparseable resolution -> ModelFailure -> error_cls
+            handler("x", "", "not-a-resolution", 3, 4.0, "euler", 4, 0, "None",
+                    0.3, False)
+
+    def test_gradio_blocks_build_and_submit(self):
+        """Full Blocks construction + one submit round-trip; runs only where
+        gradio is installed (absent in this image — the handler above covers
+        the wiring headlessly)."""
+        gr = pytest.importorskip("gradio")
+        from lumina_t2x_tpu.pipelines.demo import build_gradio_ui
+
+        worker = self._worker()
+        demo = build_gradio_ui(worker)
+        assert isinstance(demo, gr.Blocks)
+        fns = getattr(demo, "fns", None)
+        assert fns, "Blocks app registered no event handlers"
+        fn = (list(fns.values())[0] if isinstance(fns, dict) else fns[0]).fn
+        img = fn("a cat", "", "64x64", 3, 4.0, "euler", 4, 0, "None", 0.3, False)
+        assert img.ndim == 3 and img.shape[-1] == 3
+
+
 class TestMiniTransport:
     def test_training_losses(self):
         x1 = jax.random.normal(jax.random.PRNGKey(0), (4, 4, 8, 8))

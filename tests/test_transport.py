@@ -168,6 +168,40 @@ class TestSolvers:
         np.testing.assert_allclose(float(out[0]), np.exp(-1.0), rtol=1e-5)
         np.testing.assert_allclose(float(out[1]), 1.0, rtol=1e-5)
 
+    def test_dopri5_dense_output_trajectory_independent_of_save_points(self):
+        """torchdiffeq contract (`integrators.py:104-116`): save points are
+        interpolated, never clip steps — the final state is identical for 2
+        vs 50 requested save points."""
+        f = lambda x, t: jnp.sin(3.0 * t) * x
+        x0 = jnp.array([1.0, 2.0])
+        a = odeint_adaptive(f, x0, jnp.linspace(0.0, 1.0, 2), atol=1e-7, rtol=1e-7)
+        b = odeint_adaptive(f, x0, jnp.linspace(0.0, 1.0, 50), atol=1e-7, rtol=1e-7)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+
+    def test_dopri5_dense_output_interpolant_accuracy(self):
+        """Interpolated intermediate save points must match the analytic
+        solution of x' = -x to interpolation-order accuracy."""
+        f = lambda x, t: -x
+        ts = jnp.linspace(0.0, 1.0, 11)
+        traj = odeint_adaptive(f, jnp.ones(()), ts, atol=1e-8, rtol=1e-8,
+                               return_all=True)
+        np.testing.assert_allclose(np.asarray(traj), np.exp(-np.asarray(ts)),
+                                   rtol=1e-5, atol=1e-7)
+
+    def test_dopri8_save_points_keep_solver_accuracy(self):
+        """dopri8 clips at save boundaries (documented deviation in
+        solvers.py) so every save point carries full solver-order accuracy
+        regardless of save density."""
+        from lumina_t2x_tpu.transport.solvers import odeint_dopri8
+
+        f = lambda x, t: jnp.cos(4.0 * t) * x
+        x0 = jnp.array([0.5, 1.5])
+        exact = np.asarray(x0) * np.exp(np.sin(4.0) / 4.0)
+        for n_save in (2, 40):
+            out = odeint_dopri8(f, x0, jnp.linspace(0.0, 1.0, n_save),
+                                atol=1e-9, rtol=1e-9)
+            np.testing.assert_allclose(np.asarray(out), exact, rtol=1e-6)
+
     def test_sde_zero_diffusion_matches_ode(self):
         drift = lambda x, t: -x
         diffusion = lambda x, t: jnp.zeros_like(x)
