@@ -141,11 +141,17 @@ def make_train_step(
 
     grad_dtype: dtype gradients are cast to right after the backward pass —
     micro-batch ACCUMULATION runs in this dtype (the reference's
-    `--grad_precision`, `lumina_next_t2i/train.py:171-204`). Note: GSPMD
-    inserts the data-axis gradient reduction at the grad-production sites
-    inside the backward, so that collective may still run in fp32 — a
-    bandwidth-exact FSDP reduce_dtype would need per-site casts. Clipping,
-    the grad-norm metric, and the optimizer update always run in fp32.
+    `--grad_precision`, `lumina_next_t2i/train.py:171-204`). Wire dtypes
+    (measured from compiled SPMD HLO, pinned in tests/test_sharding_hlo.py
+    TestCollectiveDtypes): the data-axis gradient all-reduce runs in fp32 —
+    matching the reference's default `--grad_precision fp32` exactly. A
+    bandwidth-exact bf16 REDUCE is not currently expressible under GSPMD:
+    the partitioner inserts the reduction at the grad-production dot and
+    will not commute a user cast across it (verified with pre-cast param
+    trees, sharding constraints and optimization_barrier — all still
+    produced f32 collectives). Same for the FSDP param all-gathers (f32
+    where FSDP's param_dtype=bf16 ships bf16). Clipping, the grad-norm
+    metric, and the optimizer update always run in fp32.
     """
     cast_grads = (
         (lambda g: jax.tree.map(lambda a: a.astype(grad_dtype), g))

@@ -20,6 +20,7 @@ Stubs provided (never touched by the fp32 CPU fallback paths we drive):
 from __future__ import annotations
 
 import importlib
+import importlib.machinery
 import os
 import sys
 import types
@@ -36,8 +37,15 @@ def _install_stubs():
     import torch
     import torch.nn as nn
 
+    def _stub_module(name):
+        mod = types.ModuleType(name)
+        # a real ModuleSpec: later importlib.util.find_spec(name) calls (e.g.
+        # transformers probing for apex) raise ValueError on __spec__=None
+        mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+        return mod
+
     for name in ("flash_attn", "flash_attn.bert_padding", "apex", "apex.normalization"):
-        sys.modules.setdefault(name, types.ModuleType(name))
+        sys.modules.setdefault(name, _stub_module(name))
     fa = sys.modules["flash_attn"]
     fa.flash_attn_varlen_func = None
     fa.flash_attn_func = None
@@ -65,7 +73,7 @@ def _install_stubs():
                 if init_method is not None:
                     init_method(self.weight)
 
-        mods = {name: types.ModuleType(name) for name in (
+        mods = {name: _stub_module(name) for name in (
             "fairscale", "fairscale.nn", "fairscale.nn.model_parallel",
             "fairscale.nn.model_parallel.initialize",
             "fairscale.nn.model_parallel.layers",
@@ -83,7 +91,7 @@ def _install_stubs():
         sys.modules.update(mods)
 
     if "omegaconf" not in sys.modules:
-        oc = types.ModuleType("omegaconf")
+        oc = _stub_module("omegaconf")
 
         class _OmegaConf:  # only .load is referenced at import time
             @staticmethod
@@ -94,7 +102,7 @@ def _install_stubs():
         sys.modules["omegaconf"] = oc
 
     if "pytorch_lightning" not in sys.modules:
-        pl = types.ModuleType("pytorch_lightning")
+        pl = _stub_module("pytorch_lightning")
         pl.LightningModule = nn.Module
         pl.__version__ = "1.4.2"
         sys.modules["pytorch_lightning"] = pl
