@@ -103,3 +103,16 @@ def test_vae1d_parity_maa2_structure():
     )({"params": params}, jnp.asarray(mean)))
     assert j_rec.shape == t_rec.shape == x.shape
     np.testing.assert_allclose(j_rec, t_rec, atol=5e-4, rtol=2e-3)
+
+
+def test_make_an_audio_2_vae_config():
+    """The factory must pin the shipped maa2 structural config
+    (`lumina_music/configs/lumina-text2music.yaml:49-65`)."""
+    from lumina_t2x_tpu.codecs.vae1d import make_an_audio_2_vae
+
+    vae = make_an_audio_2_vae()
+    assert (vae.mel_bins, vae.embed_dim, vae.ch, tuple(vae.ch_mult)) == (80, 20, 384, (1, 2, 4))
+    assert (vae.num_res_blocks, vae.z_channels, vae.kernel_size) == (2, 20, 5)
+    assert tuple(vae.down_layers) == (0,) and tuple(vae.attn_layers) == ()
+    # downsample rate: only level 0 halves T
+    assert 2 ** len(vae.down_layers) == 2
