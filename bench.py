@@ -72,11 +72,20 @@ def build_model_and_params():
 
 
 def measure(model, variables, batch: int, rng, runs: int = 3):
-    from lumina_t2x_tpu.pipelines.sample_lib import build_t2i_sample_fn
+    from lumina_t2x_tpu.pipelines.sample_lib import (
+        autocalibrate_flash_static_max, build_t2i_sample_fn)
 
     cap_len = 256
     cap = jax.random.normal(jax.random.fold_in(rng, 1), (2 * batch, cap_len, 2048))
     mask = jnp.ones((2 * batch, cap_len), jnp.int32)
+    # derive the qk-norm static-max flash bound (drops the online max-reduce;
+    # ~6% per step at 2B/1024^2) before the sampler traces; the batch-4
+    # subprocess inherits the bound through the environment
+    bound = autocalibrate_flash_static_max(
+        model, variables, cap, mask, width=RES, height=RES,
+        cfg_scale=4.0, time_shifting_factor=4.0)
+    if bound is not None:
+        print(f"# flash static-max calibrated: {bound:.2f}", file=sys.stderr)
     sample_fn = jax.jit(build_t2i_sample_fn(
         model, width=RES, height=RES, num_steps=NUM_STEPS, solver="midpoint",
         cfg_scale=4.0, time_shifting_factor=4.0,

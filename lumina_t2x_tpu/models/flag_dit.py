@@ -202,7 +202,7 @@ class FlagDiT(nn.Module):
             block_cls = maybe_remat(block_cls, self.remat, self.remat_policy)
             blocks = nn.scan(
                 block_cls,
-                variable_axes={"params": 0},
+                variable_axes={"params": 0, "calibration": 0},
                 split_rngs={"params": True},
                 in_axes=nn.broadcast,
                 length=self.n_layers,
@@ -232,20 +232,29 @@ class FlagDiT(nn.Module):
 
 
 def forward_with_cfg(model, variables, x, t, cfg_scale, num_cfg_channels: int = 3,
-                     rope_scaling_factor: float = 1.0, ntk_factor: float = 1.0, **cond_kwargs):
-    """Duplicated-half-batch CFG (`lumina_t2i/models/model.py:866-922`)."""
+                     rope_scaling_factor: float = 1.0, ntk_factor: float = 1.0,
+                     mutable=False, **cond_kwargs):
+    """Duplicated-half-batch CFG (`lumina_t2i/models/model.py:866-922`).
+
+    `mutable` forwards to `model.apply` (static-max calibration probe);
+    when set, returns `(velocity, updates)`."""
     half = x[: x.shape[0] // 2]
     combined = jnp.concatenate([half, half], axis=0)
     out = model.apply(
         variables, combined, t,
-        rope_scaling_factor=rope_scaling_factor, ntk_factor=ntk_factor, **cond_kwargs,
+        rope_scaling_factor=rope_scaling_factor, ntk_factor=ntk_factor,
+        mutable=mutable, **cond_kwargs,
     )
+    updates = None
+    if mutable:
+        out, updates = out
     eps, rest = out[:, :num_cfg_channels], out[:, num_cfg_channels:]
     b = eps.shape[0] // 2
     cond_eps, uncond_eps = eps[:b], eps[b:]
     half_eps = uncond_eps + cfg_scale * (cond_eps - uncond_eps)
     eps = jnp.concatenate([half_eps, half_eps], axis=0)
-    return jnp.concatenate([eps, rest], axis=1)
+    vel = jnp.concatenate([eps, rest], axis=1)
+    return (vel, updates) if mutable else vel
 
 
 # -- configs -----------------------------------------------------------------

@@ -276,6 +276,18 @@ class Attention(nn.Module):
                     m = x_mask_s.reshape(b, gh // r, r, gw // r, r)
                     x_mask_s = m.max(axis=(2, 4)).reshape(b, -1)
             out = attention_op(xq, xk_s, xv_s, kv_mask=x_mask_s, scale=scale, impl=impl)
+            if impl == "flash" and os.environ.get("LUMINA_FLASH_CALIBRATE", "0") == "1":
+                # Static-max calibration probe (sampling pipelines run one
+                # short trajectory under LUMINA_FLASH_CALIBRATE=1, read the
+                # sown lse ranges, then set LUMINA_FLASH_STATIC_MAX — see
+                # `pipelines/sample_lib.autocalibrate_flash_static_max`).
+                # Only the streaming kernel honors the static bound, so only
+                # those call sites contribute.
+                from ..ops.flash_attention import flash_lse_range, streams_kv
+
+                if streams_kv(xk_s.shape[1]):
+                    self.sow("calibration", "self_attn_lse_range",
+                             flash_lse_range(xq, xk_s, xv_s, x_mask_s, scale))
 
         if self.y_dim > 0 and y is not None:
             yk = nn.Dense(n_kv * head_dim, use_bias=False, kernel_init=init,

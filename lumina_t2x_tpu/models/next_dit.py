@@ -278,7 +278,10 @@ class NextDiT(nn.Module):
             block_cls = maybe_remat(block_cls, self.remat, self.remat_policy)
             blocks = nn.scan(
                 block_cls,
-                variable_axes={"params": 0},
+                # "calibration" carries the static-max probe's sown lse
+                # ranges (stacked along the layer axis); inert unless the
+                # caller passes mutable=["calibration"]
+                variable_axes={"params": 0, "calibration": 0},
                 split_rngs={"params": True},
                 in_axes=nn.broadcast,
                 length=self.n_layers,
@@ -333,10 +336,13 @@ def forward_with_cfg(
     attn_scale_variant: str = "proportional",
     kv_merge_ratio: int = 1,
     num_cfg_channels: int = 3,
+    mutable=False,
 ):
     """Duplicated-half-batch CFG forward (`model.py:866-913`).
 
     Jit-compatible: time-aware RoPE frequencies derive from the traced t[0].
+    `mutable` is forwarded to `model.apply` (the static-max calibration probe
+    passes `["calibration"]`); when set, returns `(velocity, updates)`.
     """
     half = x[: x.shape[0] // 2]
     combined = jnp.concatenate([half, half], axis=0)
@@ -345,13 +351,18 @@ def forward_with_cfg(
         rope_timestep=t[0], scale_factor=scale_factor, scale_watershed=scale_watershed,
         proportional_attn=proportional_attn, base_seqlen=base_seqlen,
         attn_scale_variant=attn_scale_variant, kv_merge_ratio=kv_merge_ratio,
+        mutable=mutable,
     )
+    updates = None
+    if mutable:
+        out, updates = out
     eps, rest = out[:, :num_cfg_channels], out[:, num_cfg_channels:]
     b = eps.shape[0] // 2
     cond_eps, uncond_eps = eps[:b], eps[b:]
     half_eps = uncond_eps + cfg_scale * (cond_eps - uncond_eps)
     eps = jnp.concatenate([half_eps, half_eps], axis=0)
-    return jnp.concatenate([eps, rest], axis=1)
+    vel = jnp.concatenate([eps, rest], axis=1)
+    return (vel, updates) if mutable else vel
 
 
 # -- configs (`model.py:994-999`) -------------------------------------------

@@ -95,6 +95,32 @@ def _static_max_bound() -> Optional[float]:
     return float(v) if v else None
 
 
+def streams_kv(sk: int) -> bool:
+    """True when a call with Sk keys dispatches to the streaming
+    online-softmax kernel — the only kernel `LUMINA_FLASH_STATIC_MAX`
+    affects (the small-KV single-pass kernel computes its row max for free,
+    and cross-attention lives there)."""
+    return sk > _SMALL_KV_MAX
+
+
+def flash_lse_range(q, k, v, kv_mask=None, scale=None):
+    """(max, min) over valid query rows of the attention log-sum-exp, as a
+    stacked (2,) f32 array. Calibration probe for the static-max kernel:
+    `lse >= rowmax(scaled logits)` always, and `lse <= rowmax + log(Sk)`, so
+    `max(lse)` is a tight safe upper bound for `static_max` and
+    `max(lse) - min(lse)` bounds the row-max spread that decides whether a
+    single global bound can serve every row without f32 exp underflow."""
+    b, sq, hq, d = q.shape
+    if scale is None:
+        scale = default_attn_scale(d)
+    if kv_mask is None:
+        kv_mask = jnp.ones((b, k.shape[1]), jnp.int32)
+    block_q, block_k = _pick_blocks(sq, k.shape[1], d)
+    _, lse = _flash_fwd_res_impl(q, k, v, kv_mask, scale, block_q, block_k)
+    rows = lse[:, :, :sq, 0]
+    return jnp.stack([jnp.max(rows), jnp.min(rows)])
+
+
 def _fused_sum_step(mask_ref, q_ref, k_ref, v_ref, m_ref, acc_ref, *, scale):
     """One online-softmax step with the denominator folded into the PV
     matmul: V carries an extra all-ones column, so `acc[:, d]` accumulates

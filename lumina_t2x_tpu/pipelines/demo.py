@@ -80,14 +80,25 @@ class InferenceWorker:
         w, h = s.lower().split("x")
         return int(w), int(h)
 
-    def _get_sampler(self, req: InferenceRequest):
-        from .sample_lib import build_t2i_sample_fn
+    def _get_sampler(self, req: InferenceRequest, cap_feats=None, cap_mask=None):
+        from .sample_lib import (autocalibrate_flash_static_max,
+                                 build_t2i_sample_fn)
 
         w, h = self._resolution(req.resolution)
         key = (w, h, req.num_sampling_steps, req.solver, req.cfg_scale, req.t_shift,
                req.scaling_method, req.scaling_watershed, req.proportional_attn)
         if key not in self._sampler_cache:
             do_timeaware = req.scaling_method == "Time-aware"
+            if cap_feats is not None:
+                # derive the static-max flash bound before the first trace of
+                # this sampler (the env is read at trace time)
+                autocalibrate_flash_static_max(
+                    self.model, self.variables, cap_feats, cap_mask,
+                    width=w, height=h, cfg_scale=req.cfg_scale,
+                    time_shifting_factor=req.t_shift, train_res=self.train_res,
+                    scale_watershed=req.scaling_watershed if do_timeaware else 1.0,
+                    proportional_attn=req.proportional_attn,
+                )
             fn = build_t2i_sample_fn(
                 self.model, width=w, height=h, num_steps=req.num_sampling_steps,
                 solver=req.solver, cfg_scale=req.cfg_scale,
@@ -115,7 +126,7 @@ class InferenceWorker:
         try:
             t0 = time.time()
             cap_feats, cap_mask = self._encode_captions(req.cap, req.neg_cap)
-            sampler = self._get_sampler(req)
+            sampler = self._get_sampler(req, cap_feats, cap_mask)
             rng = jax.random.PRNGKey(req.seed)
             latents = sampler(self.variables, rng, cap_feats, cap_mask)
             jax.block_until_ready(latents)

@@ -26,7 +26,8 @@ import numpy as np
 
 from ..core.checkpoint import find_auto_resume, load_model_args
 from ..models import get_model
-from .sample_lib import build_class_cond_sample_fn, build_t2i_sample_fn
+from .sample_lib import (autocalibrate_flash_static_max,
+                         build_class_cond_sample_fn, build_t2i_sample_fn)
 
 
 def parse_args(argv=None):
@@ -174,6 +175,15 @@ def main(argv=None):
                 variables = {"params": ocp.StandardCheckpointer().restore(
                     os.path.join(os.path.abspath(args.ckpt), "ema"), variables["params"]
                 )}
+            bound = autocalibrate_flash_static_max(
+                model, variables, cap_feats, cap_mask, width=w, height=h,
+                cfg_scale=args.cfg_scale,
+                time_shifting_factor=args.time_shifting_factor,
+                train_res=args.train_res, scale_watershed=args.scaling_watershed,
+                proportional_attn=args.proportional_attn or do_extrap,
+            )
+            if bound is not None:
+                print(f"flash static-max calibrated: {bound:.2f}")
             sample_fn = jax.jit(build_t2i_sample_fn(
                 model, width=w, height=h, num_steps=args.num_sampling_steps,
                 solver=args.solver, cfg_scale=args.cfg_scale,

@@ -1,0 +1,139 @@
+"""Static-max flash-kernel auto-calibration (VERDICT r1 item 4b).
+
+The streaming flash kernel can replace its online max-reduce with a fixed
+bound (`LUMINA_FLASH_STATIC_MAX`), but the bound is weight/data dependent, so
+the sampling pipelines *measure* it: a short probe trajectory under
+`LUMINA_FLASH_CALIBRATE=1` sows each streaming call site's log-sum-exp range
+(`flash_lse_range`; lse >= rowmax always), and the bound is max(lse)+margin
+(`sample_lib.autocalibrate_flash_static_max`). These tests pin:
+- the lse range probe against a direct softmax reference;
+- end-to-end: calibrated static-max sampling equals online-max sampling;
+- every bail-out guard (env pinned, auto off, no qk-norm, short sequences).
+"""
+
+import importlib
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+# `ops/__init__` re-exports the `flash_attention` FUNCTION, shadowing the
+# submodule attribute — resolve the module itself for monkeypatching.
+fa = importlib.import_module("lumina_t2x_tpu.ops.flash_attention")
+
+
+def _ref_lse_rows(q, k, kv_mask, scale):
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
+    s = jnp.where(kv_mask[:, None, None, :] != 0, s, -jnp.inf)
+    return jax.scipy.special.logsumexp(s, axis=-1)  # (B, H, Sq)
+
+
+class TestFlashLseRange:
+    def test_matches_direct_logsumexp(self):
+        rng = jax.random.PRNGKey(0)
+        kq, kk, kv = jax.random.split(rng, 3)
+        q = jax.random.normal(kq, (2, 40, 2, 64))
+        k = jax.random.normal(kk, (2, 37, 2, 64))
+        v = jax.random.normal(kv, (2, 37, 2, 64))
+        mask = jnp.ones((2, 37), jnp.int32).at[:, 30:].set(0)
+        scale = 0.17
+        got = fa.flash_lse_range(q, k, v, mask, scale)
+        ref = _ref_lse_rows(q, k, mask, scale)
+        np.testing.assert_allclose(float(got[0]), float(jnp.max(ref)), rtol=1e-5)
+        np.testing.assert_allclose(float(got[1]), float(jnp.min(ref)), rtol=1e-5)
+        assert float(got[0]) >= float(got[1])
+
+    def test_default_mask_and_scale(self):
+        rng = jax.random.PRNGKey(1)
+        q = jax.random.normal(rng, (1, 16, 2, 32))
+        k = jax.random.normal(jax.random.fold_in(rng, 1), (1, 16, 2, 32))
+        v = jax.random.normal(jax.random.fold_in(rng, 2), (1, 16, 2, 32))
+        got = fa.flash_lse_range(q, k, v)
+        ref = _ref_lse_rows(q, k, jnp.ones((1, 16), jnp.int32), 32**-0.5)
+        np.testing.assert_allclose(float(got[0]), float(jnp.max(ref)), rtol=1e-5)
+
+
+def _tiny_t2i_setup(qk_norm=True):
+    from lumina_t2x_tpu.models.next_dit import NextDiT
+
+    model = NextDiT(patch_size=2, dim=32, n_layers=2, n_heads=4, multiple_of=16,
+                    qk_norm=qk_norm, cap_feat_dim=16, attn_impl="flash")
+    rng = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((2, 4, 8, 8))
+    cap = jax.random.normal(jax.random.fold_in(rng, 1), (2, 8, 16))
+    cap_mask = jnp.ones((2, 8), jnp.int32)
+    variables = model.init(rng, x0, jnp.zeros((2,)), cap, cap_mask)
+    # break the zero-init final layer so trajectories are non-trivial
+    variables = jax.tree.map(
+        lambda a: jnp.where(jnp.all(a == 0), 0.02 * jnp.ones_like(a), a)
+        if a.ndim >= 1 else a, variables)
+    return model, variables, cap, cap_mask
+
+
+class TestAutocalibrate:
+    @pytest.fixture(autouse=True)
+    def _clean_env(self, monkeypatch):
+        monkeypatch.delenv("LUMINA_FLASH_STATIC_MAX", raising=False)
+        monkeypatch.delenv("LUMINA_FLASH_STATIC_MAX_AUTO", raising=False)
+        monkeypatch.delenv("LUMINA_FLASH_CALIBRATE", raising=False)
+        yield
+        os.environ.pop("LUMINA_FLASH_STATIC_MAX", None)
+        os.environ.pop("LUMINA_FLASH_CALIBRATE", None)
+
+    def test_calibrated_sampling_matches_online(self, monkeypatch):
+        from lumina_t2x_tpu.pipelines.sample_lib import (
+            autocalibrate_flash_static_max, build_t2i_sample_fn)
+
+        # 16-token latents must take the streaming kernel for the bound to bite
+        monkeypatch.setattr(fa, "_SMALL_KV_MAX", 8)
+        model, variables, cap, cap_mask = _tiny_t2i_setup()
+
+        fn = jax.jit(build_t2i_sample_fn(model, width=64, height=64, num_steps=4))
+        ref = fn(variables, jax.random.PRNGKey(7), cap, cap_mask)
+
+        bound = autocalibrate_flash_static_max(
+            model, variables, cap, cap_mask, width=64, height=64,
+            num_probe_steps=2)
+        assert bound is not None and np.isfinite(bound)
+        assert os.environ["LUMINA_FLASH_STATIC_MAX"] == repr(bound)
+        # calibration must not leak the probe flag
+        assert "LUMINA_FLASH_CALIBRATE" not in os.environ
+
+        # fresh trace reads the env at trace time (part of the cache key)
+        fn2 = jax.jit(build_t2i_sample_fn(model, width=64, height=64, num_steps=4))
+        got = fn2(variables, jax.random.PRNGKey(7), cap, cap_mask)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-5)
+
+    def test_guards(self, monkeypatch):
+        from lumina_t2x_tpu.pipelines.sample_lib import autocalibrate_flash_static_max
+
+        monkeypatch.setattr(fa, "_SMALL_KV_MAX", 8)
+        model, variables, cap, cap_mask = _tiny_t2i_setup()
+
+        # explicit env bound wins
+        monkeypatch.setenv("LUMINA_FLASH_STATIC_MAX", "12.0")
+        assert autocalibrate_flash_static_max(
+            model, variables, cap, cap_mask, width=64, height=64) is None
+        monkeypatch.delenv("LUMINA_FLASH_STATIC_MAX")
+
+        # kill switch
+        monkeypatch.setenv("LUMINA_FLASH_STATIC_MAX_AUTO", "0")
+        assert autocalibrate_flash_static_max(
+            model, variables, cap, cap_mask, width=64, height=64) is None
+        monkeypatch.delenv("LUMINA_FLASH_STATIC_MAX_AUTO")
+
+        # short sequences use the single-pass kernel — nothing to calibrate
+        monkeypatch.setattr(fa, "_SMALL_KV_MAX", 1024)
+        assert autocalibrate_flash_static_max(
+            model, variables, cap, cap_mask, width=64, height=64) is None
+        monkeypatch.setattr(fa, "_SMALL_KV_MAX", 8)
+
+        # no qk-norm -> logits unbounded -> stay online
+        model_nq, variables_nq, cap2, cap_mask2 = _tiny_t2i_setup(qk_norm=False)
+        assert autocalibrate_flash_static_max(
+            model_nq, variables_nq, cap2, cap_mask2, width=64, height=64) is None
+
+        assert "LUMINA_FLASH_STATIC_MAX" not in os.environ
