@@ -105,6 +105,19 @@ def generate_anagram(model, variables, cap_feats_list, cap_mask_list, views, *,
     guidance = tiled_encode(vae_encode_fn, img_up)
     guidance = jnp.concatenate([guidance, guidance], axis=0)
 
+    # derive the static-max flash bound for the long-seq upscale phase (the
+    # base phase's 256-token attention lives in the single-pass kernel). The
+    # probe uses the first view's captions; the +margin headroom covers the
+    # other views' prompts (same encoder, same weights).
+    from .sample_lib import autocalibrate_flash_static_max
+
+    autocalibrate_flash_static_max(
+        model, variables, cap_feats_list[0], cap_mask_list[0],
+        width=w, height=h, cfg_scale=cfg_scale,
+        time_shifting_factor=time_shifting_factor,
+        scale_watershed=scale_watershed, proportional_attn=proportional_attn,
+        attn_scale_variant="anagram", kv_merge_ratio=kv_merge_ratio,
+    )
     model_fns_hi = [make_fn(cf, cm, **extra) for cf, cm in zip(cap_feats_list, cap_mask_list)]
     z2 = jax.random.normal(jax.random.fold_in(rng, 1), (1, 4, upscale_latent, upscale_latent))
     z2 = jnp.concatenate([z2, z2], axis=0)

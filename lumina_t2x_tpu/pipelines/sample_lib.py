@@ -173,6 +173,8 @@ def autocalibrate_flash_static_max(
     margin: float = 6.0,
     spread_limit: float = 60.0,
     rng=None,
+    attn_scale_variant: str = "proportional",
+    kv_merge_ratio: int = 1,
 ) -> Optional[float]:
     """Derive and install a safe `LUMINA_FLASH_STATIC_MAX` bound for qk-norm
     models (VERDICT r1 item 4b), replacing the flash kernel's online
@@ -244,6 +246,8 @@ def autocalibrate_flash_static_max(
                 scale_watershed=scale_watershed if do_extrapolation else 1.0,
                 proportional_attn=proportional_attn and do_extrapolation,
                 base_seqlen=base_seqlen, mutable=["calibration"],
+                attn_scale_variant=attn_scale_variant,
+                kv_merge_ratio=kv_merge_ratio,
             )
         # leaves are (..., 2) [max, min] pairs — scanned blocks stack a
         # leading layer axis on theirs

@@ -56,6 +56,10 @@ _SLOW_TEST_FILES = {
     "test_context_parallel.py",
     "test_torch_parity.py",
     "test_torch_parity_families.py",
+    # r2 additions: integration-heavy (full train steps / whole-trajectory
+    # determinism), each >30s on the 1-core host
+    "test_determinism.py",
+    "test_train_fused.py",
 }
 
 

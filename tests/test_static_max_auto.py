@@ -72,6 +72,7 @@ def _tiny_t2i_setup(qk_norm=True):
     return model, variables, cap, cap_mask
 
 
+@pytest.mark.slow
 class TestAutocalibrate:
     @pytest.fixture(autouse=True)
     def _clean_env(self, monkeypatch):
