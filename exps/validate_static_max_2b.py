@@ -1,0 +1,82 @@
+"""On-chip numerics validation: online-max vs auto-calibrated static-max
+flash kernels on the full 2B NextDiT sampler (randomized non-zero weights).
+
+Drive with: `python exps/validate_static_max_2b.py [--steps 4]` (TPU).
+Mathematically the two kernels are identical (softmax is shift-invariant);
+differences come only from fp rounding, so max|diff| should sit at bf16
+noise. Records the measured bound and the deltas; the NOTES.md perf ledger
+keeps the history.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.makedirs("/tmp/lumina_jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/lumina_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=4)
+    p.add_argument("--res", type=int, default=1024)
+    args = p.parse_args()
+
+    from lumina_t2x_tpu.models import get_model
+    from lumina_t2x_tpu.pipelines.sample_lib import (
+        autocalibrate_flash_static_max, build_t2i_sample_fn)
+
+    model = get_model("NextDiT_2B_patch2", cap_feat_dim=2048, qk_norm=True,
+                      dtype=jnp.bfloat16, attn_impl="flash")
+    rng = jax.random.PRNGKey(0)
+    x0 = jax.random.normal(rng, (2, 4, 32, 32))
+    cap0 = jax.random.normal(rng, (2, 8, 2048))
+    variables = jax.jit(model.init)(
+        jax.random.fold_in(rng, 2), x0, jnp.zeros((2,)), cap0,
+        jnp.ones((2, 8), jnp.int32))
+    # randomize the zero-init final layers / gates so outputs are non-trivial
+    variables = jax.tree.map(
+        lambda a: jnp.where(jnp.all(a == 0),
+                            0.02 * jnp.ones_like(a), a).astype(
+            jnp.bfloat16 if a.dtype == jnp.float32 else a.dtype), variables)
+
+    cap = jax.random.normal(jax.random.fold_in(rng, 1), (2, 256, 2048))
+    mask = jnp.ones((2, 256), jnp.int32)
+
+    def run():
+        fn = jax.jit(build_t2i_sample_fn(
+            model, width=args.res, height=args.res, num_steps=args.steps))
+        t0 = time.time()
+        out = fn(variables, rng, cap, mask)
+        s = float(jnp.sum(out.astype(jnp.float32)))  # force real readback
+        return out, s, time.time() - t0
+
+    os.environ["LUMINA_FLASH_STATIC_MAX_AUTO"] = "0"
+    online, s1, dt1 = run()
+    print(f"online-max: sum={s1:.4f} ({dt1:.1f}s incl compile)")
+
+    os.environ.pop("LUMINA_FLASH_STATIC_MAX_AUTO", None)
+    bound = autocalibrate_flash_static_max(
+        model, variables, cap, mask, width=args.res, height=args.res)
+    print(f"calibrated bound: {bound}")
+    assert bound is not None
+
+    static, s2, dt2 = run()
+    print(f"static-max: sum={s2:.4f} ({dt2:.1f}s incl compile)")
+
+    d = jnp.abs(online.astype(jnp.float32) - static.astype(jnp.float32))
+    ref = jnp.abs(online.astype(jnp.float32))
+    print(f"max|diff|={float(jnp.max(d)):.3e}  "
+          f"mean|diff|={float(jnp.mean(d)):.3e}  "
+          f"mean|online|={float(jnp.mean(ref)):.3e}")
+    assert bool(jnp.all(jnp.isfinite(static))), "static-max produced non-finite"
+
+
+if __name__ == "__main__":
+    main()
