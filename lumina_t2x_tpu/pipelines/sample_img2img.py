@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models import get_model
-from .sample_lib import build_img2img_sample_fn
+from .sample_lib import autocalibrate_flash_static_max, build_img2img_sample_fn
 
 
 def parse_args(argv=None):
@@ -91,6 +91,12 @@ def main(argv=None):
             os.path.join(os.path.abspath(args.ckpt), "ema"), variables["params"]
         )}
 
+    autocalibrate_flash_static_max(
+        model, variables, cap_feats, cap_mask,
+        width=x1.shape[3] * 8, height=x1.shape[2] * 8,
+        cfg_scale=args.cfg_scale,
+        time_shifting_factor=args.time_shifting_factor,
+    )
     sample_fn = jax.jit(build_img2img_sample_fn(
         model, strength=args.strength, num_steps=args.num_sampling_steps,
         solver=args.solver, cfg_scale=args.cfg_scale,
