@@ -47,7 +47,11 @@ V5E_CEILING_VS_BASELINE = 1.58  # 197/312/0.40: 100%-MFU v5e vs the denominator
 NUM_STEPS = 30
 RES = 1024
 LATENT = RES // 8  # 128
-BEST_BATCH = 4
+# candidate larger per-chip batches, tried in order in guarded subprocesses.
+# batch 4 is ~64s of device time per 30-step call through the tunnel and has
+# been observed to die with "TPU device error" there; batch 2 (~32s/call)
+# is the fallback candidate.
+BEST_BATCH_CANDIDATES = (4, 2)
 BATCH4_TIMEOUT_S = int(os.environ.get("LUMINA_BENCH_BATCH4_TIMEOUT", "480"))
 
 
@@ -121,19 +125,21 @@ def main():
     # compile of the batch-4 program cannot stall the whole bench. With the
     # persistent cache warm it finishes in ~2 min.
     tput_best, best_batch = tput1, 1
-    try:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--batch", str(BEST_BATCH)],
-            capture_output=True, text=True, timeout=BATCH4_TIMEOUT_S,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-        if proc.returncode == 0:
-            line = proc.stdout.strip().splitlines()[-1]
-            d = json.loads(line)
-            if d["tput"] > tput_best:
-                tput_best, best_batch = d["tput"], d["batch"]
-    except (subprocess.TimeoutExpired, Exception):
-        pass
+    for cand in BEST_BATCH_CANDIDATES:
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--batch", str(cand)],
+                capture_output=True, text=True, timeout=BATCH4_TIMEOUT_S,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            if proc.returncode == 0:
+                line = proc.stdout.strip().splitlines()[-1]
+                d = json.loads(line)
+                if d["tput"] > tput_best:
+                    tput_best, best_batch = d["tput"], d["batch"]
+                break  # first candidate that runs is the measurement
+        except (subprocess.TimeoutExpired, Exception):
+            continue
 
     print(
         json.dumps(
