@@ -24,14 +24,15 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/lumina_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def bench_batch(model_name: str, batch: int, image_size: int, steps: int):
+def bench_batch(model_name: str, batch: int, image_size: int, steps: int,
+                remat_policy: str = "dots"):
     from lumina_t2x_tpu.models import get_model
     from lumina_t2x_tpu.pipelines.train_lib import (
         create_optimizer, create_train_state, make_train_step)
     from lumina_t2x_tpu.transport import create_transport
 
     model = get_model(model_name, qk_norm=True, dtype=jnp.bfloat16,
-                      attn_impl="flash", remat=True, remat_policy="dots")
+                      attn_impl="flash", remat=True, remat_policy=remat_policy)
     latent = image_size // 8
     rng = jax.random.PRNGKey(0)
     batch_data = {
@@ -57,7 +58,7 @@ def bench_batch(model_name: str, batch: int, image_size: int, steps: int):
         times.append(time.perf_counter() - t0)
     dt = min(times)
     tokens = batch * (latent // 2) ** 2
-    print(f"{model_name} B={batch} {image_size}px ({tokens} tok): "
+    print(f"{model_name} B={batch} {image_size}px ({tokens} tok, {remat_policy}): "
           f"{dt * 1000:.1f} ms/step  {batch / dt:.2f} imgs/sec")
     return dt
 
@@ -68,9 +69,12 @@ def main():
     p.add_argument("--batch", type=int, nargs="+", default=[1, 2, 4])
     p.add_argument("--image_size", type=int, default=1024)
     p.add_argument("--steps", type=int, default=6)
+    p.add_argument("--remat_policy", default="dots",
+                   choices=["dots", "dots_slim", "full"])
     args = p.parse_args()
     for b in args.batch:
-        bench_batch(args.model, b, args.image_size, args.steps)
+        bench_batch(args.model, b, args.image_size, args.steps,
+                    remat_policy=args.remat_policy)
 
 
 if __name__ == "__main__":

@@ -67,9 +67,11 @@ def parse_args(argv=None):
     p.add_argument("--grad_precision", choices=["fp32", "fp16", "bf16"], default="fp32")
     p.add_argument("--qk_norm", action="store_true")
     p.add_argument("--checkpointing", action="store_true", help="activation rematerialization")
-    p.add_argument("--remat_policy", choices=["dots", "full"], default="dots",
+    p.add_argument("--remat_policy", choices=["dots", "dots_slim", "full"], default="dots",
                    help="with --checkpointing: 'dots' keeps weight-matmul outputs "
                         "and recomputes only elementwise/attention (higher MFU); "
+                        "'dots_slim' also recomputes the expanding FFN "
+                        "up-projections (fits per-chip batch >= 2 at 4k tokens); "
                         "'full' recomputes the whole block (max memory savings)")
     p.add_argument("--fused_optimizer", action="store_true",
                    help="single-pass AdamW+EMA update (same math, ~half the "

@@ -113,7 +113,8 @@ class TestRematPolicy:
         opt = create_optimizer(lr=1e-3)
 
         losses, norms = [], []
-        for remat, policy in ((False, "dots"), (True, "dots"), (True, "full")):
+        for remat, policy in ((False, "dots"), (True, "dots"), (True, "full"),
+                              (True, "dots_slim")):
             model = NextDiT(dim=64, n_layers=2, n_heads=4, multiple_of=16,
                             cap_feat_dim=32, qk_norm=True, attn_impl="xla",
                             remat=remat, remat_policy=policy)
@@ -124,3 +125,29 @@ class TestRematPolicy:
             norms.append(float(m["grad_norm"]))
         np.testing.assert_allclose(losses, losses[0], rtol=1e-6)
         np.testing.assert_allclose(norms, norms[0], rtol=1e-5)
+
+    def test_dots_slim_saves_fewer_residuals(self):
+        """The slim policy must recompute the expanding FFN up-projections:
+        its saved-residual criterion rejects a dim->hidden dot and accepts
+        the square/contracting ones."""
+        import types
+
+        from lumina_t2x_tpu.models.layers import _dots_slim_policy
+
+        prim = types.SimpleNamespace(name="dot_general")
+
+        def dims(lc, rc):
+            return {"dimension_numbers": ((lc, rc), ((), ()))}
+
+        def aval(shape):
+            return types.SimpleNamespace(shape=shape)
+
+        tok = 64
+        # qkv / attn-out projection (dim -> dim): saved
+        assert _dots_slim_policy(prim, aval((tok, 96)), aval((96, 96)), **dims((1,), (0,)))
+        # FFN up-projection (dim -> hidden, expanding): recomputed
+        assert not _dots_slim_policy(prim, aval((tok, 96)), aval((96, 256)), **dims((1,), (0,)))
+        # FFN down-projection (hidden -> dim, contracting): saved
+        assert _dots_slim_policy(prim, aval((tok, 256)), aval((256, 96)), **dims((1,), (0,)))
+        # non-dot primitives are never saved by this policy
+        assert not _dots_slim_policy(types.SimpleNamespace(name="exp"), aval((tok,)))
