@@ -59,6 +59,10 @@ def parse_args(argv=None):
                         "default: the model config's own width (e.g. 4096 for "
                         "FlagDiT_5B_patch2, 2048 for the NextDiT registry entries)")
     p.add_argument("--train_res", type=int, default=1024)
+    p.add_argument("--model_parallel_size", type=int, default=1,
+                   help="shard params tensor-parallel over a (data, model) "
+                        "mesh for multi-chip inference (the reference's MP "
+                        "sampling path, lumina_t2i/sample.py process groups)")
     p.add_argument("--debug", action="store_true", help="random weights, no checkpoint needed")
     p.add_argument("--batch_size", type=int, default=1)
     p.add_argument("--num_fid_samples", type=int, default=0,
@@ -75,6 +79,19 @@ def parse_resolution(entry: str):
         cat, wh = "1", entry
     w, h = wh.lower().split("x")
     return int(cat), int(w), int(h)
+
+
+def _maybe_shard_params(args, variables):
+    """TP-shard the restored params over a (data, model) mesh when
+    --model_parallel_size > 1. The jitted sampler is mesh-agnostic: GSPMD
+    reads the NamedShardings off the param arrays and inserts the TP
+    collectives (tested: tests/test_sharding.py::TestShardedSampling)."""
+    if args.model_parallel_size <= 1:
+        return variables
+    from ..parallel import create_mesh, shard_params
+
+    mesh = create_mesh(model_parallel_size=args.model_parallel_size)
+    return {"params": shard_params(mesh, variables["params"])}
 
 
 def main(argv=None):
@@ -127,6 +144,7 @@ def main(argv=None):
             variables = {"params": ocp.StandardCheckpointer().restore(
                 os.path.join(os.path.abspath(args.ckpt), "ema"), variables["params"]
             )}
+        variables = _maybe_shard_params(args, variables)
         sample_fn = jax.jit(build_class_cond_sample_fn(
             model, num_steps=args.num_sampling_steps, solver=args.solver,
             cfg_scale=args.cfg_scale, latent_size=latent,
@@ -175,6 +193,7 @@ def main(argv=None):
                 variables = {"params": ocp.StandardCheckpointer().restore(
                     os.path.join(os.path.abspath(args.ckpt), "ema"), variables["params"]
                 )}
+            variables = _maybe_shard_params(args, variables)
             bound = autocalibrate_flash_static_max(
                 model, variables, cap_feats, cap_mask, width=w, height=h,
                 cfg_scale=args.cfg_scale,

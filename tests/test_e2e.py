@@ -150,6 +150,30 @@ class TestSampleApp:
         for item in manifest["items"]:
             assert os.path.exists(item["path"])
 
+    def test_debug_class_cond_model_parallel(self, tmp_path):
+        """--model_parallel_size 2 shards the restored params TP over the
+        virtual mesh and the jitted sampler matches the unsharded output
+        (reference: lumina_t2i/sample.py MP sampling)."""
+        import numpy as np
+
+        _tiny_overrides()
+        from lumina_t2x_tpu.pipelines.sample import main
+
+        argv = [
+            "--model", "NextDiT_ImageNet_600M_patch2",
+            "--labels", "1,2",
+            "--resolution", "1:64x64",
+            "--num_sampling_steps", "4",
+            "--precision", "fp32",
+            "--debug",
+        ]
+        ref = main(argv + ["--image_save_path", str(tmp_path / "ref")])
+        mp = main(argv + ["--image_save_path", str(tmp_path / "mp"),
+                          "--model_parallel_size", "2"])
+        for a, b in zip(ref["items"], mp["items"]):
+            np.testing.assert_allclose(np.load(a["path"]), np.load(b["path"]),
+                                       atol=2e-5)
+
     def test_debug_t2i(self, tmp_path):
         from lumina_t2x_tpu import models as m
         from lumina_t2x_tpu.models.next_dit import NextDiT
