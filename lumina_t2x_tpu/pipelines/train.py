@@ -208,6 +208,25 @@ def main(argv=None):
 
     enable_compile_cache()
     args = parse_args(argv)
+
+    # -- preemption safety ---------------------------------------------------
+    # Preemptible/spot TPU VMs get a SIGTERM grace window before reclaim
+    # (an aux capability beyond the reference, which only has --auto_resume).
+    # Registered before any slow setup so a signal during compile is caught;
+    # the handler only sets a flag — the loop checkpoints at the next step
+    # boundary and exits cleanly, so `--auto_resume` continues bit-exactly.
+    import signal
+
+    preempted = {"flag": False}
+
+    def _on_sigterm(signum, frame):
+        preempted["flag"] = True
+
+    try:
+        prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+    except ValueError:  # not the main thread (e.g. driven from a test runner)
+        prev_handler = None
+
     distributed_init()
     mesh = create_mesh(args.model_parallel_size)
 
@@ -330,6 +349,13 @@ def main(argv=None):
     running = []
     tracing = False
     for step in range(start_step, args.max_steps):
+        if preempted["flag"]:
+            path = save_checkpoint(exp_dir, step, state, model_args=vars(args))
+            logger.warning(f"SIGTERM: checkpointed step {step} to {path}; exiting")
+            metrics_writer.close()
+            if prev_handler is not None:
+                signal.signal(signal.SIGTERM, prev_handler)
+            return state
         if encode_images:
             batch = dict(batch)
             batch["x"] = encode_batch(vae_variables, jnp.asarray(batch["x"]),
@@ -376,6 +402,8 @@ def main(argv=None):
         batch = next(batches)
 
     metrics_writer.close()
+    if prev_handler is not None:
+        signal.signal(signal.SIGTERM, prev_handler)
     logger.info("done")
     return state
 

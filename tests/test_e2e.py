@@ -99,6 +99,38 @@ class TestTrainApp:
         assert trace_dir.exists()
         assert list(trace_dir.rglob("*.xplane.pb")), "no xplane trace written"
 
+    def test_sigterm_checkpoints_and_exits(self, tmp_path):
+        """Preemption safety: SIGTERM mid-run -> checkpoint at the next step
+        boundary + clean return; --auto_resume continues from it."""
+        import os
+        import signal
+        import threading
+
+        from lumina_t2x_tpu.pipelines.train import main
+
+        argv = [
+            "--model", "NextDiT_ImageNet_600M_patch2",
+            "--data_path", "synthetic://8x8",
+            "--results_dir", str(tmp_path),
+            "--global_batch_size", "8",
+            "--max_steps", "200",
+            "--log_every", "50",
+            "--ckpt_every", "200",
+            "--precision", "fp32",
+        ] + _tiny_overrides()
+        timer = threading.Timer(1.0, lambda: os.kill(os.getpid(), signal.SIGTERM))
+        timer.start()
+        try:
+            state = main(argv)
+        finally:
+            timer.cancel()
+        stopped = int(state.step)
+        assert stopped < 200, "SIGTERM did not stop the run early"
+        ckpts = tmp_path / "NextDiT_ImageNet_600M_patch2" / "checkpoints"
+        assert (ckpts / f"{stopped:07d}").exists()
+        state = main(argv + ["--auto_resume"])
+        assert int(state.step) > stopped
+
     def test_resume(self, tmp_path):
         from lumina_t2x_tpu.pipelines.train import main
 
