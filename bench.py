@@ -138,14 +138,27 @@ def main():
                 capture_output=True, text=True, timeout=BATCH4_TIMEOUT_S,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
-            if proc.returncode == 0:
-                line = proc.stdout.strip().splitlines()[-1]
-                d = json.loads(line)
-                if d["tput"] > tput_best:
-                    tput_best, best_batch = d["tput"], d["batch"]
-                break  # first candidate that runs is the measurement
-        except (subprocess.TimeoutExpired, Exception):
+        except subprocess.TimeoutExpired:
+            print(f"# batch-{cand} leg timed out after {BATCH4_TIMEOUT_S}s",
+                  file=sys.stderr)
             continue
+        # scan all stdout lines for the record: a stray library print after
+        # the JSON must not turn a successful run into a silent fallthrough
+        record = None
+        for line in proc.stdout.strip().splitlines():
+            try:
+                d = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if isinstance(d, dict) and "tput" in d:
+                record = d
+        if proc.returncode == 0 and record is not None:
+            if record["tput"] > tput_best:
+                tput_best, best_batch = record["tput"], record["batch"]
+            break  # first candidate that runs is the measurement
+        print(f"# batch-{cand} leg failed: rc={proc.returncode} "
+              f"stderr_tail={proc.stderr.strip().splitlines()[-1:]}",
+              file=sys.stderr)
 
     print(
         json.dumps(

@@ -63,16 +63,18 @@ def _aspect_fit(img_w: int, img_h: int, bucket: Tuple[int, int]) -> float:
 def var_center_crop(pil_image, crop_size_list: List[Tuple[int, int]], random_top_k: int = 4):
     """Crop to one of the `random_top_k` best-aspect buckets, chosen at
     random (`imgproc.py:38-44`) — trades a little aspect fidelity for shape
-    diversity across epochs."""
+    diversity across epochs. Equal-fit buckets rank by larger (w, h), the
+    reference's tuple-sort tie-break."""
     w, h = pil_image.size
-    ranked = sorted(crop_size_list, key=lambda c: _aspect_fit(w, h, c), reverse=True)
+    ranked = sorted(crop_size_list, key=lambda c: (_aspect_fit(w, h, c), c), reverse=True)
     return center_crop(pil_image, random.choice(ranked[:random_top_k]))
 
 
 def match_bucket(width: int, height: int, crop_size_list: List[Tuple[int, int]]) -> Tuple[int, int]:
     """Deterministic best bucket for (width, height) — used at batching time
-    so every item in a batch shares one static shape."""
-    return max(crop_size_list, key=lambda c: _aspect_fit(width, height, c))
+    so every item in a batch shares one static shape. Same tie-break as
+    `var_center_crop` (larger bucket wins on equal fit)."""
+    return max(crop_size_list, key=lambda c: (_aspect_fit(width, height, c), c))
 
 
 def generate_crop_size_list(num_patches: int, patch_size: int, max_ratio: float = 4.0):

@@ -59,7 +59,8 @@ def _flash_kernel_static_max(mask_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, *,
     running max — removes the only remaining full VPU reduction pass over the
     logits (~1 ms/layer at 2B 4k-token shapes). Opt-in via
     LUMINA_FLASH_STATIC_MAX=<bound>: only numerically safe when the caller
-    can bound the scaled logits (|s| <= bound, with f32 exp headroom ~80) —
+    can bound the scaled logits (|s| <= bound; exponents clamp at +55, see
+    below) —
     e.g. qk-norm models (`model.py:211-220`) with known norm gains. Masked
     keys still contribute exactly zero (exp(NEG_INF - M) == 0)."""
     ki = pl.program_id(3)
@@ -75,9 +76,12 @@ def _flash_kernel_static_max(mask_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, *,
                             preferred_element_type=jnp.float32) * scale
     s = jnp.where(mask_ref[0] != 0, s, _NEG_INF)
     # Clamp the exponent so a misconfigured bound (actual logits above
-    # static_max by more than f32 exp headroom) degrades accuracy instead of
-    # silently flooding the accumulator with inf/NaN.
-    p = jnp.exp(jnp.minimum(s - static_max, 80.0))
+    # static_max) degrades accuracy instead of silently flooding the
+    # accumulator with inf/NaN. 55 (not the f32 headroom ~88): the fp32
+    # accumulator sums up to Sk clamped terms, and exp(55) * 131072 keys
+    # ~= 1e29 still clears fp32's 3.4e38 by nine orders of magnitude,
+    # whereas exp(80) would overflow past ~6e3 saturated keys.
+    p = jnp.exp(jnp.minimum(s - static_max, 55.0))
     pv = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
     acc_ref[:] = acc_ref[:] + pv

@@ -365,16 +365,16 @@ def main(argv=None):
 
             batch = form_global_batch(mesh, batch)
         # trace capture (SURVEY.md §5: a capability the reference lacks):
-        # skip the compile step, then profile N steps
-        if args.profile_steps and step == start_step + 1:
-            # never trace the compile step (step == start_step): with only
-            # one step left the trace would measure compilation, so skip
+        # skip the compile step, then profile N steps. Never trace the
+        # compile step itself: with only one step total the trace would
+        # measure compilation, so warn and skip instead.
+        if args.profile_steps and step == start_step:
             if args.max_steps - start_step < 2:
                 logger.warning("profiler: <2 steps remain after compile; skipping trace")
-            else:
-                jax.profiler.start_trace(os.path.join(exp_dir, "trace"))
-                tracing = True
-                logger.info(f"profiler: tracing {args.profile_steps} steps")
+        elif args.profile_steps and step == start_step + 1:
+            jax.profiler.start_trace(os.path.join(exp_dir, "trace"))
+            tracing = True
+            logger.info(f"profiler: tracing {args.profile_steps} steps")
         state, m = jitted(state, batch, rng)
         running.append(m)
         if tracing and step >= min(start_step + args.profile_steps,

@@ -52,6 +52,8 @@ def parse_args(argv=None):
     p.add_argument("--precision", choices=["fp32", "bf16"], default="bf16")
     p.add_argument("--model_parallel_size", type=int, default=1)
     p.add_argument("--checkpointing", action="store_true")
+    p.add_argument("--remat_policy", choices=["dots", "dots_slim", "full"],
+                   default="dots")
     p.add_argument("--auto_resume", action="store_true")
     p.add_argument("--log_every", type=int, default=100)
     p.add_argument("--ckpt_every", type=int, default=10_000)
@@ -135,7 +137,7 @@ def main(argv=None):
         in_channels=args.latent_channels, context_dim=args.context_dim,
         hidden_size=args.hidden_size, depth=args.depth, num_heads=args.num_heads,
         dtype=dtype, remat=args.checkpointing,
-        remat_policy=getattr(args, 'remat_policy', 'dots'),
+        remat_policy=args.remat_policy,
     )
     batches = (synthetic_audio_batches(args) if args.data_path.startswith("synthetic://")
                else npy_audio_batches(args))

@@ -57,8 +57,11 @@ class FusedAdamWEMA:
     tree, scale_by_adam, weight decay, lr scale, apply_updates, separate EMA
     pass), each a full HBM pass over ~2.4 GB at 600M fp32. Same math as
     `create_optimizer` (AdamW + bias correction + linear warmup); the opt
-    state reuses `optax.ScaleByAdamState` so the sharding rules and Orbax
-    checkpoints keep their layout.
+    state mirrors the no-warmup `optax.adamw` chain layout
+    ``(ScaleByAdamState, EmptyState, EmptyState)`` so sharding rules and
+    Orbax checkpoints are interchangeable with ``--fused_optimizer`` on or
+    off (warmup runs differ: optax keeps the schedule count in a
+    ScaleByScheduleState third element instead).
     """
 
     def __init__(self, lr: float = 1e-4, b1: float = 0.9, b2: float = 0.999,
@@ -67,19 +70,25 @@ class FusedAdamWEMA:
         self.weight_decay, self.warmup_steps = weight_decay, warmup_steps
 
     def init(self, params):
-        return optax.ScaleByAdamState(
+        adam = optax.ScaleByAdamState(
             count=jnp.zeros((), jnp.int32),
             mu=jax.tree.map(jnp.zeros_like, params),
             nu=jax.tree.map(jnp.zeros_like, params),
         )
+        return (adam, optax.EmptyState(), optax.EmptyState())
 
     def step(self, grads, params, opt_state, ema, ema_decay: float, scale):
         """-> (params, opt_state, ema). `scale` is the grad-clip multiplier,
         applied inline (no scaled-grad tree is materialized)."""
-        count = opt_state.count + 1
+        # accept the bare pre-r2 layout too (checkpoints saved before the
+        # chain-tuple wrapper)
+        adam = opt_state[0] if isinstance(opt_state, tuple) else opt_state
+        count = adam.count + 1
         lr = self.lr
         if self.warmup_steps > 0:
-            lr = self.lr * jnp.minimum(1.0, count / self.warmup_steps)
+            # match optax.linear_schedule's step indexing (count starts at 0
+            # on the first update: lr 0 -> full lr after warmup_steps updates)
+            lr = self.lr * jnp.minimum(1.0, (count - 1) / self.warmup_steps)
         b1c = 1.0 - self.b1 ** count.astype(jnp.float32)
         b2c = 1.0 - self.b2 ** count.astype(jnp.float32)
 
@@ -94,15 +103,16 @@ class FusedAdamWEMA:
 
         g_l, treedef = jax.tree.flatten(grads)
         p_l = treedef.flatten_up_to(params)
-        m_l = treedef.flatten_up_to(opt_state.mu)
-        v_l = treedef.flatten_up_to(opt_state.nu)
+        m_l = treedef.flatten_up_to(adam.mu)
+        v_l = treedef.flatten_up_to(adam.nu)
         e_l = treedef.flatten_up_to(ema)
         outs = [upd(g, p, m, v, e) for g, p, m, v, e in zip(g_l, p_l, m_l, v_l, e_l)]
         new_p = jax.tree.unflatten(treedef, [o[0] for o in outs])
         new_m = jax.tree.unflatten(treedef, [o[1] for o in outs])
         new_v = jax.tree.unflatten(treedef, [o[2] for o in outs])
         new_e = jax.tree.unflatten(treedef, [o[3] for o in outs])
-        return new_p, optax.ScaleByAdamState(count=count, mu=new_m, nu=new_v), new_e
+        new_adam = optax.ScaleByAdamState(count=count, mu=new_m, nu=new_v)
+        return new_p, (new_adam, optax.EmptyState(), optax.EmptyState()), new_e
 
 
 def create_train_state(rng, model, example_batch: Dict[str, Any], optimizer,

@@ -54,11 +54,27 @@ class TestFusedAdamWEMA:
         params, grads, ema = self._setup()
         fused = FusedAdamWEMA(1.0, weight_decay=0.0, warmup_steps=10)
         st = fused.init(params)
+        # optax.linear_schedule indexing: first update sees count=0 -> lr 0
         p1, st, _ = fused.step(grads, params, st, ema, 0.999, jnp.ones(()))
-        # step 1 of 10 warmup: effective lr 0.1 -> |delta| ~ 0.1 (adam step
-        # direction is ~unit magnitude)
         delta = float(jnp.max(jnp.abs(p1["w"] - params["w"])))
+        assert delta == 0.0
+        # second update: lr = 1/10 -> |delta| ~ 0.1 (adam step direction is
+        # ~unit magnitude)
+        p2, st, _ = fused.step(grads, p1, st, ema, 0.999, jnp.ones(()))
+        delta = float(jnp.max(jnp.abs(p2["w"] - p1["w"])))
         assert 0.05 < delta < 0.15
+
+    def test_opt_state_layout_matches_optax(self):
+        """Checkpoints must be interchangeable across --fused_optimizer:
+        FusedAdamWEMA's opt state has the same pytree structure as the
+        no-warmup optax.adamw chain state."""
+        from lumina_t2x_tpu.pipelines.train_lib import (FusedAdamWEMA,
+                                                        create_optimizer)
+
+        params, _, _ = self._setup()
+        fused_st = FusedAdamWEMA(1e-3).init(params)
+        optax_st = create_optimizer(1e-3).init(params)
+        assert (jax.tree.structure(fused_st) == jax.tree.structure(optax_st))
 
     def test_fused_in_train_step(self):
         """End-to-end train step with FusedAdamWEMA matches the optax path."""
