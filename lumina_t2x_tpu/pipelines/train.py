@@ -386,6 +386,10 @@ def main(argv=None):
         if (step + 1) % args.log_every == 0:
             loss = float(jnp.mean(jnp.stack([r["loss"] for r in running])))
             gnorm = float(running[-1]["grad_norm"])
+            n_skipped = int(sum(int(r["skipped"]) for r in running))
+            if n_skipped:
+                logger.warning(f"non-finite loss/grad: skipped {n_skipped} of "
+                               f"the last {len(running)} updates")
             tp = meter.step(args.log_every * args.global_batch_size, sync_array=m["loss"])
             logger.info(
                 f"(step={step + 1:07d}) Train Loss: {loss:.4f}, "

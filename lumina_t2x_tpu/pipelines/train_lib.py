@@ -223,6 +223,13 @@ def make_train_step(
             scale = jnp.minimum(1.0, grad_clip / (grad_norm + 1e-6))
         else:
             scale = jnp.ones(())
+        # non-finite guard: a NaN/inf loss or grad would corrupt params and
+        # moments irrecoverably. Resolve in-graph (no host sync): the update
+        # below runs with scale 0 and its results are discarded in favor of
+        # the old state; `metrics["skipped"]` reports it. (The reference has
+        # no such guard — a bf16 overflow NaNs the torch run permanently.)
+        skipped = ~(jnp.isfinite(grad_norm) & jnp.isfinite(loss))
+        scale = jnp.where(skipped, 0.0, scale)
 
         if isinstance(optimizer, FusedAdamWEMA):
             # clip scale folded into the single fused pass — no scaled-grad
@@ -240,10 +247,19 @@ def make_train_step(
             ema = jax.tree.map(
                 lambda e, p: e * ema_decay + (1.0 - ema_decay) * p, state.ema_params, params
             )
+        # discard the (scale-0) update entirely on a skipped step so moments,
+        # Adam count and weight decay see no effect; fuses into the optimizer
+        # pass as a select, no extra HBM round-trip
+        keep = lambda new, old: jax.tree.map(
+            lambda n, o: jnp.where(skipped, o, n), new, old)
         new_state = state.replace(
-            step=state.step + 1, params=params, opt_state=opt_state, ema_params=ema
+            step=state.step + 1,
+            params=keep(params, state.params),
+            opt_state=keep(opt_state, state.opt_state),
+            ema_params=keep(ema, state.ema_params),
         )
-        metrics = {"loss": loss, "grad_norm": grad_norm}
+        metrics = {"loss": loss, "grad_norm": grad_norm,
+                   "skipped": skipped.astype(jnp.int32)}
         return new_state, metrics
 
     return train_step

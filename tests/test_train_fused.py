@@ -112,6 +112,55 @@ class TestFusedAdamWEMA:
         _tree_allclose(s_f.ema_params, s_ref.ema_params, rtol=2e-5, atol=2e-6)
 
 
+class TestNonFiniteGuard:
+    def _setup(self, optimizer):
+        from lumina_t2x_tpu.models.next_dit import NextDiT
+        from lumina_t2x_tpu.pipelines.train_lib import (create_train_state,
+                                                        make_train_step)
+        from lumina_t2x_tpu.transport import create_transport
+
+        model = NextDiT(dim=64, n_layers=2, n_heads=4, multiple_of=16,
+                        cap_feat_dim=32, qk_norm=True, attn_impl="xla")
+        batch = {
+            "x": jax.random.normal(jax.random.PRNGKey(0), (2, 4, 16, 16)),
+            "cap_feats": jax.random.normal(jax.random.PRNGKey(1), (2, 8, 32)),
+            "cap_mask": jnp.ones((2, 8), jnp.int32),
+        }
+        cond = lambda b: {"cap_feats": b["cap_feats"], "cap_mask": b["cap_mask"]}
+        transport = create_transport("Linear", "velocity")
+        state = create_train_state(jax.random.PRNGKey(0), model, batch, optimizer, cond)
+        step = jax.jit(make_train_step(model, transport, optimizer, cond, grad_clip=1.0))
+        return state, step, batch
+
+    def _run(self, optimizer):
+        state, step, batch = self._setup(optimizer)
+        bad = dict(batch, x=batch["x"].at[0, 0, 0, 0].set(jnp.nan))
+        s1, m1 = step(state, bad, jax.random.PRNGKey(7))
+        assert int(m1["skipped"]) == 1
+        # params / moments / EMA unchanged; step counter still advances
+        _tree_allclose(s1.params, state.params, rtol=0)
+        _tree_allclose(s1.opt_state, state.opt_state, rtol=0)
+        _tree_allclose(s1.ema_params, state.ema_params, rtol=0)
+        assert int(s1.step) == int(state.step) + 1
+        # a clean batch then updates normally
+        s2, m2 = step(s1, batch, jax.random.PRNGKey(8))
+        assert int(m2["skipped"]) == 0
+        assert bool(jnp.isfinite(m2["loss"]))
+        changed = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                               s2.params, s1.params)
+        assert max(jax.tree.leaves(changed)) > 0
+
+    def test_skips_nan_batch_optax(self):
+        from lumina_t2x_tpu.pipelines.train_lib import create_optimizer
+
+        self._run(create_optimizer(1e-3))
+
+    def test_skips_nan_batch_fused(self):
+        from lumina_t2x_tpu.pipelines.train_lib import FusedAdamWEMA
+
+        self._run(FusedAdamWEMA(1e-3))
+
+
 class TestRematPolicy:
     def test_dots_policy_matches_full_and_none(self):
         from lumina_t2x_tpu.models.next_dit import NextDiT
