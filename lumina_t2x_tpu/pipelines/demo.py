@@ -233,8 +233,17 @@ def main(argv=None):
     try:
         ui = build_gradio_ui(worker)
     except ImportError:
-        print("gradio is not installed in this environment; the InferenceWorker "
-              "API remains available programmatically.")
+        # no gradio in the image: fall back to the dependency-free HTTP
+        # front-end (pipelines/serve.py) on the same port + worker
+        from .serve import DemoApp, make_server
+
+        print("gradio is not installed; serving the stdlib HTTP demo instead "
+              f"at http://127.0.0.1:{args.port}/")
+        server = make_server(DemoApp(worker, model_name=args.model), port=args.port)
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            server.shutdown()
         return worker
     ui.launch(server_port=args.port)
 
