@@ -41,6 +41,7 @@ from ..core.checkpoint import (
 from ..core.logging import MetricsWriter, Throughput, create_logger
 from ..models import get_model
 from ..parallel import create_mesh, distributed_init
+from ..parallel.mesh import AXIS_DATA
 from ..transport import create_transport
 from .train_lib import (
     create_optimizer,
@@ -325,9 +326,21 @@ def main(argv=None):
 
     micro = (args.global_batch_size // args.micro_batch_size) if args.micro_batch_size else 1
     grad_dtype = {"fp32": None, "fp16": jnp.float16, "bf16": jnp.bfloat16}[args.grad_precision]
+    # bandwidth-exact reduce (FSDP reduce_dtype semantics): with sdp params
+    # the data-axis gradient reduce rides the wire in grad_precision; under
+    # fsdp the params/grads are data-sharded and GSPMD's fused fp32
+    # reduce-scatter stays (see make_grad_reduce_wrapper)
+    reduce_wrapper = None
+    if grad_dtype is not None and args.data_parallel == "sdp" \
+            and mesh.shape[AXIS_DATA] > 1:
+        from .train_lib import make_grad_reduce_wrapper
+
+        reduce_wrapper = make_grad_reduce_wrapper(mesh, reduce_dtype=grad_dtype)
+        logger.info(f"gradient reduce wire: {args.grad_precision} (shard_map)")
     step_fn = make_train_step(
         model, transport, optimizer, cond_fn, grad_clip=args.grad_clip,
         micro_batches=micro, grad_dtype=grad_dtype,
+        grad_reduce_wrapper=reduce_wrapper,
     )
     jitted, _ = make_sharded_train_step(mesh, step_fn, state,
                                         fsdp=(args.data_parallel == "fsdp"))

@@ -142,6 +142,7 @@ def make_train_step(
     micro_batches: int = 1,
     loss_mask_fn: Optional[Callable[[Dict], Any]] = None,
     grad_dtype=None,
+    grad_reduce_wrapper: Optional[Callable] = None,
 ):
     """Build the (un-jitted) train step; wrap with jit/shardings via
     `make_sharded_train_step`.
@@ -153,15 +154,22 @@ def make_train_step(
     micro-batch ACCUMULATION runs in this dtype (the reference's
     `--grad_precision`, `lumina_next_t2i/train.py:171-204`). Wire dtypes
     (measured from compiled SPMD HLO, pinned in tests/test_sharding_hlo.py
-    TestCollectiveDtypes): the data-axis gradient all-reduce runs in fp32 —
-    matching the reference's default `--grad_precision fp32` exactly. A
-    bandwidth-exact bf16 REDUCE is not currently expressible under GSPMD:
-    the partitioner inserts the reduction at the grad-production dot and
-    will not commute a user cast across it (verified with pre-cast param
-    trees, sharding constraints and optimization_barrier — all still
-    produced f32 collectives). Same for the FSDP param all-gathers (f32
-    where FSDP's param_dtype=bf16 ships bf16). Clipping, the grad-norm
-    metric, and the optimizer update always run in fp32.
+    TestCollectiveDtypes): under plain GSPMD the data-axis gradient
+    all-reduce runs in fp32 — matching the reference's default
+    `--grad_precision fp32` exactly. A bandwidth-exact reduced-precision
+    REDUCE is not expressible as a cast under GSPMD: the partitioner inserts
+    the reduction at the grad-production dot and will not commute a user
+    cast across it (verified with pre-cast param trees, sharding constraints
+    and optimization_barrier — all still produced f32 collectives). The
+    bf16 wire is instead provided by `make_grad_reduce_wrapper` (a
+    partially-manual shard_map; pass it as `grad_reduce_wrapper`), matching
+    FSDP's `reduce_dtype=bf16` semantics. Clipping, the grad-norm metric,
+    and the optimizer update always run in fp32.
+
+    grad_reduce_wrapper: optional transform of the local-gradients function
+    (params, batch, drop_rng, loss_rng) -> (loss, grads); when given, IT owns
+    the data-axis reduction (see `make_grad_reduce_wrapper`), otherwise the
+    reduction is GSPMD's implicit fp32 all-reduce.
     """
     cast_grads = (
         (lambda g: jax.tree.map(lambda a: a.astype(grad_dtype), g))
@@ -183,37 +191,47 @@ def make_train_step(
         (loss, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         return loss, terms, grads
 
+    def local_grads(params, batch, drop_rng, loss_rng):
+        """(loss, grads) with micro-batch accumulation folded in. Makes no
+        promise about the data-axis reduction: under plain jit GSPMD reduces
+        at the backward dots (fp32); under `grad_reduce_wrapper` this body
+        runs per data shard and the wrapper owns the (one) reduce — which is
+        also why accumulation lives inside it, mirroring DDP no_sync
+        (`lumina_next_t2i/train.py:551-571`): accumulate locally, reduce
+        once."""
+        if micro_batches == 1:
+            loss, _, grads = compute_grads(params, batch, drop_rng, loss_rng)
+            return loss, cast_grads(grads)
+        # micro-batch accumulation as a scan: reshape (B, ...) ->
+        # (micro, B/micro, ...) and average grads
+        def slice_batch(b, i):
+            return jax.tree.map(
+                lambda a: a.reshape(micro_batches, -1, *a.shape[1:])[i], b
+            )
+
+        def body(carry, i):
+            acc_grads, acc_loss = carry
+            mb = slice_batch(batch, i)
+            l, _, g = compute_grads(
+                params, mb, jax.random.fold_in(drop_rng, i), jax.random.fold_in(loss_rng, i)
+            )
+            return (jax.tree.map(jnp.add, acc_grads, cast_grads(g)), acc_loss + l), None
+
+        zero = jax.tree.map(
+            lambda p: jnp.zeros(p.shape, grad_dtype or p.dtype), params
+        )
+        (grads, loss), _ = jax.lax.scan(
+            body, (zero, jnp.zeros(())), jnp.arange(micro_batches)
+        )
+        grads = jax.tree.map(lambda g: g / micro_batches, grads)
+        return loss / micro_batches, grads
+
+    grads_fn = grad_reduce_wrapper(local_grads) if grad_reduce_wrapper else local_grads
+
     def train_step(state: TrainState, batch: Dict[str, Any], rng):
         step_rng = jax.random.fold_in(rng, state.step)
         drop_rng, loss_rng = jax.random.split(step_rng)
-
-        if micro_batches == 1:
-            loss, _, grads = compute_grads(state.params, batch, drop_rng, loss_rng)
-            grads = cast_grads(grads)
-        else:
-            # micro-batch accumulation as a scan: reshape (B, ...) ->
-            # (micro, B/micro, ...) and average grads
-            def slice_batch(b, i):
-                return jax.tree.map(
-                    lambda a: a.reshape(micro_batches, -1, *a.shape[1:])[i], b
-                )
-
-            def body(carry, i):
-                acc_grads, acc_loss = carry
-                mb = slice_batch(batch, i)
-                l, _, g = compute_grads(
-                    state.params, mb, jax.random.fold_in(drop_rng, i), jax.random.fold_in(loss_rng, i)
-                )
-                return (jax.tree.map(jnp.add, acc_grads, cast_grads(g)), acc_loss + l), None
-
-            zero = jax.tree.map(
-                lambda p: jnp.zeros(p.shape, grad_dtype or p.dtype), state.params
-            )
-            (grads, loss), _ = jax.lax.scan(
-                body, (zero, jnp.zeros(())), jnp.arange(micro_batches)
-            )
-            grads = jax.tree.map(lambda g: g / micro_batches, grads)
-            loss = loss / micro_batches
+        loss, grads = grads_fn(state.params, batch, drop_rng, loss_rng)
 
         # norm/clip in fp32 regardless of grad_dtype: an fp16 sum-of-squares
         # overflows past ~6e4 and a resulting inf norm would zero every grad
@@ -263,6 +281,75 @@ def make_train_step(
         return new_state, metrics
 
     return train_step
+
+
+def make_grad_reduce_wrapper(mesh, reduce_dtype=jnp.bfloat16):
+    """Bandwidth-exact data-axis gradient reduction, matching the torch
+    FSDP `MixedPrecision(reduce_dtype=...)` wire contract the reference
+    selects with `--grad_precision` (`lumina_next_t2i/train.py:171-204`).
+
+    GSPMD will not commute a user cast across its implicit grad all-reduce
+    (see `make_train_step` docstring), so the reduce is made explicit: a
+    partially-manual `jax.shard_map` — MANUAL over the data axis (the
+    local-gradient body runs per data shard, then one
+    `psum(bf16)` -> fp32), AUTO over the model axis (the TP sharding inside
+    the model still partitions via GSPMD). Halves DP gradient wire bytes.
+
+    Only valid when parameters are replicated over the data axis
+    (`--data_parallel sdp`): under FSDP the params/grads are themselves
+    data-sharded and the boundary in/out specs here would silently
+    all-gather them, trading the wire win for a bigger one.
+
+    Sampling decorrelation: GSPMD draws batch randomness (t, noise, dropout)
+    from one global stream it partitions; a manual shard must fold its own
+    data coordinate into the keys or every shard would sample identical
+    t/noise patterns.
+
+    Implementation note — why there is no psum inside the shard_map: XLA
+    (jax 0.9 vintage) miscompiles reduced-precision collectives inside a
+    PARTIALLY-manual region (the SPMD partitioner rewrites the bf16
+    all-reduce's reduction region root into a `copy`, and a later pass
+    aborts with "Invalid binary instruction opcode copy"; fp32 psum is
+    fine, full-manual is fine). So the region emits its per-shard grads
+    cast to `reduce_dtype` stacked on a new leading axis (out_spec over the
+    data axis = no boundary communication), and the reduction is a plain
+    `sum` in auto/GSPMD-land with an explicit `reduce_dtype` accumulator —
+    which the partitioner turns into the desired reduced-precision
+    all-reduce (`jnp.sum` without the dtype= would silently re-promote the
+    accumulation, and the wire, to f32).
+    """
+    n_data = mesh.shape[AXIS_DATA]
+
+    def wrap(local_grads):
+        def body(params, batch, drop_rng, loss_rng):
+            idx = jax.lax.axis_index(AXIS_DATA)
+            loss, grads = local_grads(
+                params, batch,
+                jax.random.fold_in(drop_rng, idx), jax.random.fold_in(loss_rng, idx))
+            return loss[None], jax.tree.map(
+                lambda g: g.astype(reduce_dtype)[None], grads)
+
+        sm = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(), P(AXIS_DATA), P(), P()),
+            out_specs=(P(AXIS_DATA), P(AXIS_DATA)),
+            axis_names=frozenset({AXIS_DATA}),
+            check_vma=False,
+        )
+
+        def wrapped(params, batch, drop_rng, loss_rng):
+            losses, stacked = sm(params, batch, drop_rng, loss_rng)
+            # global-batch-mean grads = mean of the per-shard local-mean
+            # grads; the cross-shard sum IS the wire (n_data-sharded axis 0)
+            grads = jax.tree.map(
+                lambda g: (jnp.sum(g, axis=0, dtype=reduce_dtype)
+                           .astype(jnp.float32) / n_data),
+                stacked)
+            return jnp.mean(losses), grads
+
+        return wrapped
+
+    return wrap
 
 
 def make_sharded_train_step(mesh, train_step, state, fsdp: bool = True):

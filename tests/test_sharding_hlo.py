@@ -25,6 +25,7 @@ import re
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from lumina_t2x_tpu.models.next_dit_imagenet import NextDiTImageNet
 from lumina_t2x_tpu.parallel import create_mesh, shard_params
@@ -160,3 +161,137 @@ class TestCollectiveDtypes:
         # every gradient all-reduce runs in fp32 (no silent low-precision wire)
         assert set(ar) <= {"f32", "pred", "s32"}, ar
         assert ar.get("f32", 0) >= 2, ar
+
+
+class TestGradReduceWire:
+    """`make_grad_reduce_wrapper`: the bandwidth-exact bf16 gradient reduce
+    (FSDP `reduce_dtype` semantics, `lumina_next_t2i/train.py:171-204`) as a
+    partially-manual shard_map — manual over data, auto over model."""
+
+    class _DetTransport:
+        """Deterministic loss (no rng draws) so the GSPMD and shard_map paths
+        are numerically comparable — the wrapper folds the data coordinate
+        into the rngs, which changes any SAMPLED t/noise."""
+
+        def training_losses(self, rng, model_fn, x, loss_mask=None):
+            t = jnp.full((x.shape[0],), 0.5)
+            pred = model_fn(x, t)
+            return {"loss": jnp.mean((pred - x) ** 2, axis=(1, 2, 3))}
+
+    def _build(self, wrapper=None, grad_dtype=None, transport=None):
+        from lumina_t2x_tpu.pipelines.train_lib import make_grad_reduce_wrapper
+
+        model = NextDiTImageNet(dim=256, n_layers=2, n_heads=8, multiple_of=64,
+                                num_classes=8, class_dropout_prob=0.0,
+                                attn_impl="xla")
+        batch = {"x": jax.random.normal(jax.random.PRNGKey(0), (8, 4, 16, 16)),
+                 "y": jnp.arange(8) % 8}
+        cond = lambda b: {"y": b["y"]}
+        mesh = create_mesh(model_parallel_size=2)
+        transport = transport or self._DetTransport()
+        opt = create_optimizer(lr=1e-3)
+        state = create_train_state(jax.random.PRNGKey(0), model, batch, opt, cond)
+        wrap = (make_grad_reduce_wrapper(mesh, reduce_dtype=wrapper)
+                if wrapper is not None else None)
+        step = make_train_step(model, transport, opt, cond, grad_clip=2.0,
+                               grad_dtype=grad_dtype, grad_reduce_wrapper=wrap)
+        # sdp: params replicated over data (the wrapper's validity condition)
+        jitted, _ = make_sharded_train_step(mesh, step, state, fsdp=False)
+        return jitted, place_state(mesh, state, fsdp=False), batch
+
+    def test_bf16_wire_hlo(self, tmp_path):
+        """The data-axis gradient all-reduces are bf16 at the SPMD-partitioner
+        output — the platform-independent wire dtype. (The FINAL CPU HLO
+        re-promotes them to f32: the CPU backend's all-reduce-promotion /
+        bf16 float-normalization legalization, which TPU — native bf16
+        collectives — does not run. So the assertion reads the
+        after_spmd-partitioning dump, not as_text().)"""
+        jitted, state, batch = self._build(wrapper=jnp.bfloat16,
+                                           grad_dtype=jnp.bfloat16)
+        jitted.lower(state, batch, jax.random.PRNGKey(1)).compile(
+            compiler_options={"xla_dump_to": str(tmp_path),
+                              "xla_dump_hlo_pass_re": "spmd"})
+        dumps = [p for p in tmp_path.iterdir()
+                 if "after_spmd-partitioning" in p.name]
+        assert dumps, sorted(p.name for p in tmp_path.iterdir())[:10]
+        hlo = dumps[0].read_text()
+        ar_lines = [ln for ln in hlo.splitlines()
+                    if " all-reduce(" in ln or " all-reduce-start(" in ln]
+        bf16_grad = [ln for ln in ar_lines if "= bf16[" in ln]
+        # one bf16 reduce per (possibly XLA-combined) gradient leaf group
+        assert len(bf16_grad) >= 1, ar_lines[:6]
+        # and no non-scalar f32 all-reduce on the DATA axis remains: f32
+        # reduces here are the model-axis activation reduces and scalar
+        # loss/metric reduces. Data-axis groups stride by model size (2):
+        # replica_groups like {{0,2,4,6},{1,3,5,7}} / [2,4]<=[4,2]T(1,0).
+        f32_data = [ln for ln in ar_lines
+                    if "= f32[" in ln and "f32[]" not in ln
+                    and ("T(1,0)" in ln or "{0,2,4,6}" in ln)]
+        assert not f32_data, f32_data[:3]
+
+    def test_fp32_wire_matches_gspmd(self):
+        """Same math, explicit vs implicit reduce: with an fp32 wire and a
+        deterministic transport the shard_map path must reproduce the plain
+        GSPMD step to fp32 tolerance."""
+        key = jax.random.PRNGKey(3)
+        j_ref, s_ref, batch = self._build(wrapper=None)
+        j_sm, s_sm, _ = self._build(wrapper=jnp.float32)
+        n_ref, m_ref = j_ref(s_ref, batch, key)
+        n_sm, m_sm = j_sm(s_sm, batch, key)
+        assert abs(float(m_ref["loss"]) - float(m_sm["loss"])) < 1e-5
+        assert abs(float(m_ref["grad_norm"]) - float(m_sm["grad_norm"])) < 1e-4
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6),
+            n_ref.params, n_sm.params)
+
+    def test_bf16_wire_trains(self):
+        """bf16 wire end-to-end: finite loss, params move, grads close to the
+        fp32 wire (bf16 rounding of the reduce only)."""
+        key = jax.random.PRNGKey(4)
+        j16, s16, batch = self._build(wrapper=jnp.bfloat16, grad_dtype=jnp.bfloat16)
+        j32, s32, _ = self._build(wrapper=jnp.float32)
+        # the step donates its input state — snapshot params to host first
+        before = jax.tree.map(np.asarray, s16.params)
+        n16, m16 = j16(s16, batch, key)
+        _, m32 = j32(s32, batch, key)
+        assert int(m16["skipped"]) == 0 and np.isfinite(float(m16["loss"]))
+        assert abs(float(m16["grad_norm"]) - float(m32["grad_norm"])) / (
+            float(m32["grad_norm"]) + 1e-9) < 0.05
+        moved = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(np.asarray(a) - b))),
+                             n16.params, before)
+        assert max(jax.tree.leaves(moved)) > 0
+
+    def test_wire_quantizes_to_reduce_dtype(self):
+        """Value-level proof the wire is bf16: per-shard gradients chosen so
+        bf16 rounding is visible — the reduced gradient must match the
+        round-then-sum value and must NOT match the full-precision sum."""
+        from lumina_t2x_tpu.pipelines.train_lib import make_grad_reduce_wrapper
+
+        mesh = create_mesh(model_parallel_size=2)  # data axis = 4
+        n = mesh.shape["data"]
+
+        def local_grads(params, batch, r1, r2):
+            g = jnp.mean(batch) + params["w"]  # per-shard scalar offset
+            return jnp.mean(batch), {"w": g}
+
+        wrapped = jax.jit(make_grad_reduce_wrapper(
+            mesh, reduce_dtype=jnp.bfloat16)(local_grads))
+        # shard i (2 rows each) has mean 1.0 + (i+1)*1.5e-3 — inside bf16's
+        # rounding step at 1.0 (2^-8 ≈ 3.9e-3), so bf16() floors it to 1.0
+        shard_means = 1.0 + (np.arange(n) + 1) * 1.5e-3
+        batch = jnp.asarray(np.repeat(shard_means, 2)[:, None] *
+                            np.ones((1, 4), np.float32))
+        params = {"w": jnp.zeros((4, 4), jnp.float32)}
+        loss, grads = wrapped(params, batch, jax.random.PRNGKey(0),
+                              jax.random.PRNGKey(1))
+        got = float(np.asarray(grads["w"])[0, 0])
+        unrounded = float(np.mean(shard_means))
+        # the result sits ON the bf16 grid (both the cast and the reduce
+        # accumulation are bf16; exact value depends on reduction order) ...
+        assert got == float(jnp.asarray(got, jnp.bfloat16)), got
+        assert abs(got - unrounded) < 2 * 2 ** -8, (got, unrounded)
+        # ... where the full-precision mean does not: quantization happened
+        assert abs(got - unrounded) > 1e-4, (got, unrounded)
+        # the loss path is full precision (per-shard losses stacked, no cast)
+        assert abs(float(loss) - unrounded) < 1e-6
