@@ -213,8 +213,10 @@ def main(argv=None):
     p.add_argument("--debug", action="store_true")
     args = p.parse_args(argv)
 
+    from ..core import enable_compile_cache
     from ..models import get_model
 
+    enable_compile_cache()
     dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
     model = get_model(args.model, cap_feat_dim=2048, dtype=dtype, qk_norm=True)
     rng = jax.random.PRNGKey(0)

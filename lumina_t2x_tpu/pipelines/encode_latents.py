@@ -38,6 +38,9 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    from ..core import enable_compile_cache
+
+    enable_compile_cache()
     os.makedirs(os.path.join(args.out, "latents"), exist_ok=True)
     os.makedirs(os.path.join(args.out, "captions"), exist_ok=True)
     dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32

@@ -249,8 +249,10 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    from ..core import enable_compile_cache
     from ..models import get_model
 
+    enable_compile_cache()
     dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
     model = get_model(args.model, cap_feat_dim=2048, dtype=dtype, qk_norm=True)
     rng = jax.random.PRNGKey(0)
