@@ -178,7 +178,8 @@ class TestGradReduceWire:
             pred = model_fn(x, t)
             return {"loss": jnp.mean((pred - x) ** 2, axis=(1, 2, 3))}
 
-    def _build(self, wrapper=None, grad_dtype=None, transport=None):
+    def _build(self, wrapper=None, grad_dtype=None, transport=None,
+               micro_batches=1):
         from lumina_t2x_tpu.pipelines.train_lib import make_grad_reduce_wrapper
 
         model = NextDiTImageNet(dim=256, n_layers=2, n_heads=8, multiple_of=64,
@@ -194,7 +195,8 @@ class TestGradReduceWire:
         wrap = (make_grad_reduce_wrapper(mesh, reduce_dtype=wrapper)
                 if wrapper is not None else None)
         step = make_train_step(model, transport, opt, cond, grad_clip=2.0,
-                               grad_dtype=grad_dtype, grad_reduce_wrapper=wrap)
+                               grad_dtype=grad_dtype, grad_reduce_wrapper=wrap,
+                               micro_batches=micro_batches)
         # sdp: params replicated over data (the wrapper's validity condition)
         jitted, _ = make_sharded_train_step(mesh, step, state, fsdp=False)
         return jitted, place_state(mesh, state, fsdp=False), batch
@@ -295,3 +297,20 @@ class TestGradReduceWire:
         assert abs(got - unrounded) > 1e-4, (got, unrounded)
         # the loss path is full precision (per-shard losses stacked, no cast)
         assert abs(float(loss) - unrounded) < 1e-6
+
+    def test_micro_batch_accumulation_inside_wire(self):
+        """no_sync semantics: micro-batch accumulation runs INSIDE the manual
+        region (one reduce per step, `train.py:551-571`). With a
+        deterministic transport, accumulating 2 micro-batches must equal the
+        single-shot step exactly up to fp32 reduction order."""
+        key = jax.random.PRNGKey(5)
+        j1, s1, batch = self._build(wrapper=jnp.float32)
+        j2, s2, _ = self._build(wrapper=jnp.float32, micro_batches=2)
+        n1, m1 = j1(s1, batch, key)
+        n2, m2 = j2(s2, batch, key)
+        assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-5
+        assert abs(float(m1["grad_norm"]) - float(m2["grad_norm"])) < 1e-4
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6),
+            n1.params, n2.params)
