@@ -8,9 +8,15 @@ test:
 	python -m pytest tests/ -q
 
 # everything, incl. sharding/apps/e2e/parity; run EXCLUSIVELY (concurrent
-# collective tests can contend on the 1-core virtual-device host)
+# collective tests can contend on the 1-core virtual-device host). One
+# pytest process PER MODULE: a monolithic 415-test process has segfaulted
+# at exit-adjacent teardown (torch-inductor + jax-CPU extension interaction
+# after ~200 C extensions load); per-module isolation is immune and every
+# module is known-green standalone.
 test-all:
-	python -m pytest tests/ -q -m ''
+	@set -e; for m in tests/test_*.py; do \
+	  echo "== $$m"; python -m pytest $$m -q -m '' || exit 1; \
+	done
 
 test-fast:
 	python -m pytest tests/test_transport.py tests/test_models.py -q
