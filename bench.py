@@ -153,6 +153,10 @@ def main():
             if isinstance(d, dict) and "tput" in d:
                 record = d
         if proc.returncode == 0 and record is not None:
+            # always record the leg's number (not just when it wins) so the
+            # batch-scaling datapoint survives in the bench artifact
+            print(f"# batch-{cand} leg: {record['tput']:.4f} samples/sec",
+                  file=sys.stderr)
             if record["tput"] > tput_best:
                 tput_best, best_batch = record["tput"], record["batch"]
             break  # first candidate that runs is the measurement
