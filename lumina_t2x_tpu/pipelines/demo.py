@@ -143,6 +143,17 @@ class InferenceWorker:
             return ModelFailure(traceback.format_exc())
 
 
+def result_to_image(result: dict) -> np.ndarray:
+    """Worker result -> HWC uint8: decoded RGB when a VAE is attached, else
+    a min-max-scaled 3-channel latent preview. Shared by the gradio submit
+    handler and the HTTP server (`pipelines/serve.py`)."""
+    if "image" in result:
+        return result["image"][0].transpose(1, 2, 0)
+    lat = result["latents"][0, :3]
+    lat = (lat - lat.min()) / (np.ptp(lat) + 1e-6)
+    return (lat.transpose(1, 2, 0) * 255).astype(np.uint8)
+
+
 def make_submit_handler(worker: InferenceWorker, error_cls=RuntimeError):
     """The UI submit round-trip (widget values -> InferenceRequest ->
     worker.infer -> HWC uint8/float image), factored out of the Blocks
@@ -160,13 +171,34 @@ def make_submit_handler(worker: InferenceWorker, error_cls=RuntimeError):
         result = worker.infer(req)
         if isinstance(result, ModelFailure):
             raise error_cls(f"generation failed:\n{result.error}")
-        if "image" in result:
-            return result["image"][0].transpose(1, 2, 0)
-        lat = result["latents"][0, :3]
-        lat = (lat - lat.min()) / (np.ptp(lat) + 1e-6)
-        return (lat.transpose(1, 2, 0) * 255).astype(np.uint8)
+        return result_to_image(result)
 
     return on_submit
+
+
+def build_worker(model_name: str = "NextDiT_2B_patch2", precision: str = "bf16",
+                 ckpt: Optional[str] = None, debug: bool = False) -> InferenceWorker:
+    """Build the demo model + InferenceWorker from CLI-level options (shared
+    startup of the gradio and HTTP front-ends)."""
+    from ..core import enable_compile_cache
+    from ..models import get_model
+
+    enable_compile_cache()
+    dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    model = get_model(model_name, cap_feat_dim=2048, dtype=dtype, qk_norm=True)
+    rng = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((2, 4, 32, 32))
+    cap = jnp.zeros((2, 8, 2048))
+    variables = jax.jit(model.init)(
+        rng, x0, jnp.zeros((2,)), cap, jnp.ones((2, 8), jnp.int32))
+    if ckpt and not debug:
+        import os
+
+        import orbax.checkpoint as ocp
+
+        variables = {"params": ocp.StandardCheckpointer().restore(
+            os.path.join(os.path.abspath(ckpt), "ema"), variables["params"])}
+    return InferenceWorker(model, variables)
 
 
 def build_gradio_ui(worker: InferenceWorker):
@@ -213,25 +245,7 @@ def main(argv=None):
     p.add_argument("--debug", action="store_true")
     args = p.parse_args(argv)
 
-    from ..core import enable_compile_cache
-    from ..models import get_model
-
-    enable_compile_cache()
-    dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
-    model = get_model(args.model, cap_feat_dim=2048, dtype=dtype, qk_norm=True)
-    rng = jax.random.PRNGKey(0)
-    x0 = jnp.zeros((2, 4, 32, 32))
-    cap = jnp.zeros((2, 8, 2048))
-    variables = jax.jit(model.init)(rng, x0, jnp.zeros((2,)), cap, jnp.ones((2, 8), jnp.int32))
-    if args.ckpt and not args.debug:
-        import os
-
-        import orbax.checkpoint as ocp
-
-        variables = {"params": ocp.StandardCheckpointer().restore(
-            os.path.join(os.path.abspath(args.ckpt), "ema"), variables["params"]
-        )}
-    worker = InferenceWorker(model, variables)
+    worker = build_worker(args.model, args.precision, args.ckpt, args.debug)
     try:
         ui = build_gradio_ui(worker)
     except ImportError:

@@ -42,7 +42,7 @@ from typing import Optional
 import numpy as np
 
 from .demo import (RESOLUTION_CHOICES, InferenceRequest, InferenceWorker,
-                   ModelFailure)
+                   ModelFailure, build_worker, result_to_image)
 
 # Field name -> (coercion, default) for the JSON API; unknown fields are
 # rejected loudly rather than silently ignored so client typos don't produce
@@ -62,6 +62,29 @@ _REQUEST_FIELDS = {
 }
 
 
+def _coerce(name: str, kind: type, value):
+    """Strict-but-form-friendly coercion: wrong-typed values are rejected
+    (bool("false") is True, str(None) is "None" — both would silently
+    produce a different image than the client asked for); numeric STRINGS
+    are accepted because HTML form inputs send them."""
+    if kind is bool:
+        if isinstance(value, bool):
+            return value
+        if isinstance(value, str) and value.lower() in ("true", "false"):
+            return value.lower() == "true"
+        raise ValueError(f"field '{name}' must be a boolean")
+    if kind is str:
+        if isinstance(value, str):
+            return value
+        raise ValueError(f"field '{name}' must be a string")
+    if isinstance(value, bool) or value is None:
+        raise ValueError(f"field '{name}' must be {kind.__name__}")
+    try:
+        return kind(value)
+    except (TypeError, ValueError):
+        raise ValueError(f"field '{name}' must be {kind.__name__}")
+
+
 def parse_request(payload: dict) -> InferenceRequest:
     """JSON body -> validated InferenceRequest (raises ValueError with a
     client-actionable message)."""
@@ -73,12 +96,9 @@ def parse_request(payload: dict) -> InferenceRequest:
     if not payload.get("cap"):
         raise ValueError("'cap' (the caption) is required and must be non-empty")
     kwargs = {}
-    for name, (coerce, default) in _REQUEST_FIELDS.items():
+    for name, (kind, default) in _REQUEST_FIELDS.items():
         if name in payload:
-            try:
-                kwargs[name] = coerce(payload[name])
-            except (TypeError, ValueError):
-                raise ValueError(f"field '{name}' must be {coerce.__name__}")
+            kwargs[name] = _coerce(name, kind, payload[name])
         elif default is not None:
             kwargs[name] = default
     req = InferenceRequest(**kwargs)
@@ -97,17 +117,6 @@ def _to_png_bytes(img_hwc: np.ndarray) -> bytes:
     buf = io.BytesIO()
     Image.fromarray(np.ascontiguousarray(img_hwc)).save(buf, format="PNG")
     return buf.getvalue()
-
-
-def result_to_image(result: dict) -> np.ndarray:
-    """Worker result -> HWC uint8. Mirrors `make_submit_handler`'s image
-    fallback: decoded RGB when a VAE is attached, else a min-max-scaled
-    3-channel latent preview."""
-    if "image" in result:
-        return result["image"][0].transpose(1, 2, 0)
-    lat = result["latents"][0, :3]
-    lat = (lat - lat.min()) / (np.ptp(lat) + 1e-6)
-    return (lat.transpose(1, 2, 0) * 255).astype(np.uint8)
 
 
 _PAGE = """<!doctype html>
@@ -214,9 +223,24 @@ def make_server(app: DemoApp, host: str = "127.0.0.1", port: int = 7860) -> Thre
 
     class Handler(BaseHTTPRequestHandler):
         def _dispatch(self, method):
-            length = int(self.headers.get("Content-Length") or 0)
-            body = self.rfile.read(length) if length else None
-            status, ctype, payload = app.handle(method, self.path, body)
+            # every request gets an HTTP response: a malformed header is a
+            # 400, an unexpected server-side error a 500 — never a dropped
+            # connection with a traceback only in the server log
+            try:
+                try:
+                    length = int(self.headers.get("Content-Length") or 0)
+                except ValueError:
+                    status, ctype, payload = (400, "application/json",
+                                              b'{"error": "bad Content-Length"}')
+                else:
+                    body = self.rfile.read(length) if length else None
+                    status, ctype, payload = app.handle(method, self.path, body)
+            except Exception:
+                import traceback
+
+                status, ctype = 500, "application/json"
+                payload = json.dumps(
+                    {"error": f"internal error:\n{traceback.format_exc()}"}).encode()
             self.send_response(status)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(payload)))
@@ -246,28 +270,8 @@ def main(argv=None):
                    help="random weights, no checkpoint required")
     args = p.parse_args(argv)
 
-    import jax
-    import jax.numpy as jnp
-
-    from ..core import enable_compile_cache
-    from ..models import get_model
-
-    enable_compile_cache()
-    dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
-    model = get_model(args.model, cap_feat_dim=2048, dtype=dtype, qk_norm=True)
-    rng = jax.random.PRNGKey(0)
-    x0 = jnp.zeros((2, 4, 32, 32))
-    cap = jnp.zeros((2, 8, 2048))
-    variables = jax.jit(model.init)(
-        rng, x0, jnp.zeros((2,)), cap, jnp.ones((2, 8), jnp.int32))
-    if args.ckpt and not args.debug:
-        import os
-
-        import orbax.checkpoint as ocp
-
-        variables = {"params": ocp.StandardCheckpointer().restore(
-            os.path.join(os.path.abspath(args.ckpt), "ema"), variables["params"])}
-    app = DemoApp(InferenceWorker(model, variables), model_name=args.model)
+    worker = build_worker(args.model, args.precision, args.ckpt, args.debug)
+    app = DemoApp(worker, model_name=args.model)
     server = make_server(app, host=args.host, port=args.port)
     host, port = server.server_address[:2]
     print(f"serving Lumina demo at http://{host}:{port}/ (model={args.model})")

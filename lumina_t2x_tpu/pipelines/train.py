@@ -327,11 +327,14 @@ def main(argv=None):
     micro = (args.global_batch_size // args.micro_batch_size) if args.micro_batch_size else 1
     grad_dtype = {"fp32": None, "fp16": jnp.float16, "bf16": jnp.bfloat16}[args.grad_precision]
     # bandwidth-exact reduce (FSDP reduce_dtype semantics): with sdp params
-    # the data-axis gradient reduce rides the wire in grad_precision; under
-    # fsdp the params/grads are data-sharded and GSPMD's fused fp32
-    # reduce-scatter stays (see make_grad_reduce_wrapper)
+    # the data-axis gradient reduce rides the wire in bf16; under fsdp the
+    # params/grads are data-sharded and GSPMD's fused fp32 reduce-scatter
+    # stays (see make_grad_reduce_wrapper). bf16 ONLY: an fp16 cross-shard
+    # sum overflows past 65504 on early-training grad spikes (no loss
+    # scaling here), and the XLA partial-manual miscompile workaround is
+    # HLO-pinned for bf16 — fp16 still governs accumulation, reduce is fp32.
     reduce_wrapper = None
-    if grad_dtype is not None and args.data_parallel == "sdp" \
+    if grad_dtype == jnp.bfloat16 and args.data_parallel == "sdp" \
             and mesh.shape[AXIS_DATA] > 1:
         from .train_lib import make_grad_reduce_wrapper
 
@@ -397,7 +400,13 @@ def main(argv=None):
             tracing = False
             logger.info(f"profiler: trace written to {exp_dir}/trace")
         if (step + 1) % args.log_every == 0:
-            loss = float(jnp.mean(jnp.stack([r["loss"] for r in running])))
+            # window mean over the FINITE losses only: a single skipped
+            # (NaN/inf) step must not turn the whole window's logged loss
+            # and metrics record into NaN
+            window = jnp.stack([r["loss"] for r in running])
+            finite = jnp.isfinite(window)
+            loss = float(jnp.where(finite, window, 0.0).sum()
+                         / jnp.maximum(finite.sum(), 1))
             gnorm = float(running[-1]["grad_norm"])
             n_skipped = int(sum(int(r["skipped"]) for r in running))
             if n_skipped:

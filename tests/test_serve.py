@@ -41,6 +41,14 @@ class TestParseRequest:
         assert req.num_sampling_steps == 7 and req.seed == 3
         assert req.solver == "midpoint" and req.cfg_scale == 4.0
 
+    def test_bool_accepts_form_strings(self):
+        # HTML checkboxes/JS send real booleans; "true"/"false" strings are
+        # accepted too, but NOT python-truthiness ("false" must mean False)
+        assert parse_request({"cap": "x", "proportional_attn": "false"}
+                             ).proportional_attn is False
+        assert parse_request({"cap": "x", "proportional_attn": True}
+                             ).proportional_attn is True
+
     @pytest.mark.parametrize("bad", [
         None,
         {},                                      # missing cap
@@ -50,6 +58,12 @@ class TestParseRequest:
         {"cap": "x", "solver": "dopri99"},
         {"cap": "x", "cfg_scale": 0.0},
         {"cap": "x", "num_sampling_steps": "many"},
+        {"cap": "x", "neg_cap": None},           # str(None) must not become "None"
+        {"cap": "x", "resolution": None},
+        {"cap": "x", "proportional_attn": "yes"},  # not a boolean literal
+        {"cap": "x", "proportional_attn": 1},
+        {"cap": "x", "seed": None},
+        {"cap": "x", "cfg_scale": True},         # bool is not a number here
     ])
     def test_rejects(self, bad):
         with pytest.raises(ValueError):
