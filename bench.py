@@ -54,9 +54,14 @@ NUM_STEPS = 30
 RES = 1024
 LATENT = RES // 8  # 128
 # candidate larger per-chip batches, tried in order in guarded subprocesses.
-# batch 4 is ~64s of device time per 30-step call through the tunnel and has
-# been observed to die with "TPU device error" there; batch 2 (~32s/call)
-# is the fallback candidate.
+# batch 4 is ~64s of device time per 30-step call through the tunnel and
+# dies there with "TPU device error": bisected (r2) to an execution-TIME
+# limit of the tunnel/relay, not a kernel fault — the same batch-4 program
+# at 8 steps (~18s/call) runs clean, batch 2 at 30 steps (~35s) runs clean.
+# Measured per-sample throughput DROPS with batch anyway (batch 1/2/4 =
+# 0.063 / 0.0565 / ~0.060 est. samples/sec: attention FLOPs dominate and
+# scale linearly, there is no under-utilization to amortize at 4096 tokens),
+# so best_batch=1 is a measurement, not a fallback.
 BEST_BATCH_CANDIDATES = (4, 2)
 BATCH4_TIMEOUT_S = int(os.environ.get("LUMINA_BENCH_BATCH4_TIMEOUT", "480"))
 
