@@ -16,10 +16,14 @@ Notes:
   patchify flattens (C, ph, pw) (`models/layers.py patchify`), the conv
   kernel is (out, C, ph, pw) -> flatten to (out, C*ph*pw) -> transpose.
 - diffusers' qkv biases are kept (our Dense defaults use_bias=True).
-- adaLN chunk ORDER differs: diffusers norm1 emits
+- adaLN chunk ORDER: diffusers' 6-chunk AdaLayerNormZero emits
   (shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp) while our
   block splits (sx1, scx1, gx1, sx2, scx2, gx2) in the same order — direct
-  copy.
+  copy. The 2-chunk AdaLayerNormContinuous heads differ: diffusers chunks
+  (scale, shift) but our final layer / context-pre-only block split
+  (shift, scale), so those two linears get their output halves SWAPPED on
+  import (`_swap_scale_shift` — same fix as diffusers' own
+  convert_sd3_checkpoint swap_scale_shift).
 - cannot be validated against live diffusers in this environment (no
   package); the mapping is exercised by a synthetic round-trip test.
 """
@@ -35,6 +39,18 @@ def _lin(sd, name, bias=True):
     out = {"kernel": np.asarray(sd[f"{name}.weight"], np.float32).T}
     if bias and f"{name}.bias" in sd:
         out["bias"] = np.asarray(sd[f"{name}.bias"], np.float32)
+    return out
+
+
+def _swap_scale_shift(lin: Dict) -> Dict:
+    """diffusers AdaLayerNormContinuous packs (scale, shift) along the output
+    dim; our modules split (shift, scale) — swap the linear's out halves."""
+    k = lin["kernel"]  # (in, out)
+    h = k.shape[-1] // 2
+    out = {"kernel": np.concatenate([k[:, h:], k[:, :h]], axis=-1)}
+    if "bias" in lin:
+        b = lin["bias"]
+        out["bias"] = np.concatenate([b[h:], b[:h]])
     return out
 
 
@@ -56,7 +72,7 @@ def import_sd3_mmdit_weights(sd: Dict[str, np.ndarray], n_layers: int) -> Dict:
     }
     params["pooled_hidden"] = _lin(sd, "time_text_embed.text_embedder.linear_1")
     params["pooled_in"] = _lin(sd, "time_text_embed.text_embedder.linear_2")
-    params["final_adaLN"] = _lin(sd, "norm_out.linear")
+    params["final_adaLN"] = _swap_scale_shift(_lin(sd, "norm_out.linear"))
     params["final_linear"] = _lin(sd, "proj_out")
 
     for i in range(n_layers):
@@ -83,5 +99,10 @@ def import_sd3_mmdit_weights(sd: Dict[str, np.ndarray], n_layers: int) -> Dict:
             blk["c_proj"] = _lin(sd, f"{pre}.attn.to_add_out")
             blk["c_mlp_in"] = _lin(sd, f"{pre}.ff_context.net.0.proj")
             blk["c_mlp_out"] = _lin(sd, f"{pre}.ff_context.net.2")
+        else:
+            # context-pre-only block: norm1_context is AdaLayerNormContinuous
+            # (2-chunk), which needs the same (scale, shift) -> (shift, scale)
+            # half swap as the final layer
+            blk["c_adaLN"] = _swap_scale_shift(blk["c_adaLN"])
         params[f"blocks_{i}"] = blk
     return params

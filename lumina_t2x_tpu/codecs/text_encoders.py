@@ -41,6 +41,11 @@ def apply_empty_prompt_dropout(prompts: Sequence[str], proportion_empty_prompts:
             captions.append(caption)
         elif isinstance(caption, (list, np.ndarray)):
             captions.append(r.choice(list(caption)) if is_train else caption[0])
+        else:
+            # loud failure (`train.py:226-227`): silently dropping the item
+            # would shrink the caption list and misalign text with images
+            raise ValueError(f"Caption column should contain either strings "
+                             f"or lists of strings, got {type(caption)}")
     return captions
 
 

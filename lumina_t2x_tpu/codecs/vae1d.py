@@ -178,8 +178,13 @@ class VectorQuantizer(nn.Module):
     @nn.compact
     def __call__(self, z):
         """z: (B, T, embed_dim) -> (z_q, indices, vq_loss)."""
+        # symmetric U(-1/n, 1/n) matching torch's `uniform_(-1/n, 1/n)`
+        # (flax's nn.initializers.uniform samples [0, scale) — all positive,
+        # which would bias a from-scratch codebook into one orthant)
         codebook = self.param(
-            "embedding", nn.initializers.uniform(scale=2.0 / self.n_embed),
+            "embedding",
+            lambda key, shape, dtype: jax.random.uniform(
+                key, shape, dtype, -1.0 / self.n_embed, 1.0 / self.n_embed),
             (self.n_embed, self.embed_dim), jnp.float32,
         )
         zf = z.astype(jnp.float32)

@@ -69,6 +69,10 @@ def fid_from_feature_batches(real_iter: Iterable[np.ndarray],
                 s += b.sum(axis=0)
                 ss += b.T @ b
             n += b.shape[0]
+        if n < 2:
+            # clear error instead of a TypeError (n=0) or a 0-division nan
+            # covariance (n=1) deep in the statistics
+            raise ValueError(f"FID needs >= 2 feature rows per side, got {n}")
         mu = s / n
         sigma = (ss - n * np.outer(mu, mu)) / (n - 1)
         return mu, sigma

@@ -76,20 +76,29 @@ def extract_into_tensor(a, t, x_shape):
 def ddim_sample(rng, model_fn: Callable, shape, *, num_ddpm_timesteps=1000,
                 num_steps=50, eta=0.0, beta_schedule="linear", cfg_fn=None):
     """Legacy DDIM sampler as a lax.scan (`ddim.py:9-319`); model_fn predicts
-    eps(x, t_int)."""
+    eps(x, t_int). `cfg_fn`, when given, replaces model_fn as the eps
+    predictor — the classifier-free-guided combination the reference builds
+    in `p_sample_ddim` (`ddim.py:230-246`).
+
+    Timesteps keep the reference's deliberate +1 (`util.py:54-55`, "add one
+    to get the final alpha values right"): the model is conditioned at
+    t in {1, c+1, ...} and alphas indexed there, with alphas_prev anchored
+    at alphacums[0] — the final step is a REAL denoise to the data scale
+    (subtracting 1 instead would make the last step an identity update)."""
     betas = make_beta_schedule(beta_schedule, num_ddpm_timesteps)
     alphas_cumprod = np.cumprod(1.0 - betas)
-    ts = make_ddim_timesteps("uniform", num_steps, num_ddpm_timesteps) - 1
+    ts = make_ddim_timesteps("uniform", num_steps, num_ddpm_timesteps)
     sigmas, a_t, a_prev = make_ddim_sampling_parameters(alphas_cumprod, ts, eta)
 
     x = jax.random.normal(rng, shape)
     seq = jnp.asarray(np.stack([ts, a_t, a_prev, sigmas], axis=1)[::-1].copy(), jnp.float32)
+    eps_fn = cfg_fn if cfg_fn is not None else model_fn
 
     def step(carry, row):
         x, key = carry
         t, at, aprev, sigma = row[0], row[1], row[2], row[3]
         b = x.shape[0]
-        eps = model_fn(x, jnp.full((b,), t))
+        eps = eps_fn(x, jnp.full((b,), t))
         pred_x0 = (x - jnp.sqrt(1.0 - at) * eps) / jnp.sqrt(at)
         dir_xt = jnp.sqrt(jnp.maximum(1.0 - aprev - sigma**2, 0.0)) * eps
         key, sub = jax.random.split(key)
@@ -182,11 +191,18 @@ def generate_audio(
     guidance_scale: float = 3.0,
     num_steps: int = 25,
     solver: str = "euler",
+    scale_factor: float = 1.0,
 ):
     """cond/uncond text features -> CFM latent sample -> mel decode -> wav.
 
     denoiser_fn(x, t_int, context) is the FlagDiT-1D apply;
     vae_decode_fn(z) -> mel; vocoder_fn(mel) -> waveform (optional).
+
+    scale_factor is the LDM latent scaling (`ddpm.py:773` decode_first_stage
+    computes z/scale_factor before the VAE; the shipped configs use
+    `scale_by_std: true` so trained checkpoints carry a non-1 value in their
+    `scale_factor` buffer) — pass it or decoded mels come out at the wrong
+    amplitude scale.
     """
     from ..transport.cfm import CFM
 
@@ -195,7 +211,7 @@ def generate_audio(
         rng, denoiser_fn, latent_shape, cond, uncond,
         guidance_scale=guidance_scale, num_steps=num_steps, solver=solver,
     )
-    mel = vae_decode_fn(z)
+    mel = vae_decode_fn(z / scale_factor)
     if vocoder_fn is None:
         return mel, None
     return mel, vocoder_fn(mel)

@@ -52,13 +52,15 @@ class GenSamples:
 
     def __init__(self, denoiser_fn, vae_decode_fn, vocoder_fn=None, *,
                  latent_channels: int = 20, latent_length: int = 256,
-                 guidance_scale: float = 3.0, num_steps: int = 25):
+                 guidance_scale: float = 3.0, num_steps: int = 25,
+                 scale_factor: float = 1.0):
         self.denoiser_fn = denoiser_fn
         self.vae_decode_fn = vae_decode_fn
         self.vocoder_fn = vocoder_fn
         self.latent_shape = (1, latent_channels, latent_length)
         self.guidance_scale = guidance_scale
         self.num_steps = num_steps
+        self.scale_factor = scale_factor
 
     def gen_test_sample(self, rng, cond, uncond):
         from .audio import generate_audio
@@ -67,6 +69,7 @@ class GenSamples:
             rng, self.denoiser_fn, self.vae_decode_fn, self.vocoder_fn,
             cond=cond, uncond=uncond, latent_shape=self.latent_shape,
             guidance_scale=self.guidance_scale, num_steps=self.num_steps,
+            scale_factor=self.scale_factor,
         )
         return np.asarray(mel), (np.asarray(wav) if wav is not None else None)
 
@@ -146,6 +149,11 @@ def main(argv=None):
     p.add_argument("--vocoder_ckpt", type=str, default=None,
                    help="BigVGAN best_netG.pt; loads real weights via "
                         "import_bigvgan_weights")
+    p.add_argument("--latent_scale_factor", type=float, default=1.0,
+                   help="LDM latent scale (the trained checkpoint's "
+                        "scale_factor buffer; configs use scale_by_std so it "
+                        "is not 1) — decode divides latents by it "
+                        "(ddpm.py:773 decode_first_stage)")
     args = p.parse_args(argv)
 
     from ..codecs.vae1d import AutoencoderKL1D
@@ -203,7 +211,8 @@ def main(argv=None):
 
     gen = GenSamples(denoiser_fn, vae_decode, voc.vocode,
                      latent_length=args.latent_length // 2,
-                     guidance_scale=args.guidance_scale, num_steps=args.num_steps)
+                     guidance_scale=args.guidance_scale, num_steps=args.num_steps,
+                     scale_factor=args.latent_scale_factor)
     mel, wav = gen.gen_test_sample(rng, cond, uncond)
     os.makedirs(args.output_dir, exist_ok=True)
     out = os.path.join(args.output_dir, "sample.wav")

@@ -454,7 +454,27 @@ class TestMMDiTImport:
                 lin(f"{pre}.ff_context.net.0.proj", dim, 4 * dim)
                 lin(f"{pre}.ff_context.net.2", 4 * dim, dim)
 
+        # distinct halves so the AdaLayerNormContinuous (scale, shift) ->
+        # (shift, scale) swap is value-pinned, not just shape-checked
+        sd["norm_out.linear.bias"] = np.arange(2 * dim, dtype=np.float32)
+        last_pre = f"transformer_blocks.{n_layers - 1}"
+        sd[f"{last_pre}.norm1_context.linear.bias"] = np.arange(
+            2 * dim, dtype=np.float32) + 100.0
+
         params = import_sd3_mmdit_weights(sd, n_layers=n_layers)
+
+        # diffusers packs (scale, shift); our modules split (shift, scale):
+        # the imported bias must have the halves exchanged
+        np.testing.assert_array_equal(
+            params["final_adaLN"]["bias"],
+            np.concatenate([np.arange(dim, 2 * dim), np.arange(0, dim)]))
+        np.testing.assert_array_equal(
+            params[f"blocks_{n_layers - 1}"]["c_adaLN"]["bias"],
+            np.concatenate([np.arange(dim, 2 * dim), np.arange(0, dim)]) + 100.0)
+        # 6-chunk AdaLayerNormZero blocks copy straight through (no swap)
+        np.testing.assert_array_equal(
+            params["blocks_0"]["c_adaLN"]["bias"],
+            sd["transformer_blocks.0.norm1_context.linear.bias"])
 
         model = MMDiT(patch_size=p, in_channels=cin, dim=dim, n_layers=n_layers,
                       n_heads=heads, context_dim=ctx, pooled_dim=pooled)
