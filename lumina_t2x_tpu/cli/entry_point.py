@@ -52,7 +52,9 @@ def load_settings(config_path):
         with open(config_path) as f:
             loaded = yaml.safe_load(f)
         if isinstance(loaded, list):  # reference stores a single-element list
-            loaded = loaded[0]
+            loaded = loaded[0] if loaded else None
+        if not isinstance(loaded, dict):  # empty / comment-only yaml -> None
+            return DEFAULT_SETTINGS
         out = {k: {**DEFAULT_SETTINGS.get(k, {}), **(loaded.get(k) or {})} for k in
                set(DEFAULT_SETTINGS) | set(loaded)}
         return out
@@ -81,6 +83,12 @@ def infer(text, output_path, config, ckpt, model, debug):
     prompt_file = os.path.join(output_path, "_prompt.txt")
     with open(prompt_file, "w") as f:
         f.write(text + "\n")
+    # scaling_method "None" disables the time-aware watershed switch — the
+    # demo's semantics (`demo.py:439-445`): watershed 1.0 means pure linear
+    # RoPE scaling for the whole trajectory
+    watershed = (infer_cfg["scaling_watershed"]
+                 if infer_cfg.get("scaling_method", "Time-aware") == "Time-aware"
+                 else 1.0)
     argv = [
         "--model", model,
         "--image_save_path", output_path,
@@ -90,8 +98,10 @@ def infer(text, output_path, config, ckpt, model, debug):
         "--solver", str(infer_cfg["solver"]),
         "--cfg_scale", str(infer_cfg["cfg_scale"]),
         "--time_shifting_factor", str(infer_cfg["t_shift"]),
-        "--scaling_watershed", str(infer_cfg["scaling_watershed"]),
+        "--scaling_watershed", str(watershed),
         "--seed", str(infer_cfg["seed"]),
+        "--atol", str(ode_cfg["atol"]),
+        "--rtol", str(ode_cfg["rtol"]),
     ]
     if infer_cfg.get("proportional_attn"):
         argv.append("--proportional_attn")
@@ -125,14 +135,24 @@ def convert(source, dest, n_layers, direction):
         params = import_next_dit_weights(sd, n_layers=n_layers)
         import orbax.checkpoint as ocp
 
+        # save under <dest>/ema: the layout every consumer restores from
+        # (sample.py / demo / trainer --init_from look for the 'ema' subtree
+        # of a checkpoint directory) — so `--ckpt <dest>` works as-is
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(os.path.abspath(dest), params, force=True)
+        ckptr.save(os.path.join(os.path.abspath(dest), "ema"), params, force=True)
         ckptr.wait_until_finished()
-        click.echo(f"imported {len(sd)} tensors -> {dest}")
+        click.echo(f"imported {len(sd)} tensors -> {dest}/ema")
     else:
         import orbax.checkpoint as ocp
 
-        params = ocp.PyTreeCheckpointer().restore(os.path.abspath(source))
+        # accept a checkpoint DIRECTORY (trainer step dir or convert output):
+        # prefer its ema subtree, then model, else treat it as the raw tree
+        src = os.path.abspath(source)
+        for sub in ("ema", "model"):
+            if os.path.isdir(os.path.join(src, sub)):
+                src = os.path.join(src, sub)
+                break
+        params = ocp.PyTreeCheckpointer().restore(src)
         sd = export_next_dit_weights(params)
         save_safetensors({k: np.asarray(v) for k, v in sd.items()}, dest)
         click.echo(f"exported {len(sd)} tensors -> {dest}")

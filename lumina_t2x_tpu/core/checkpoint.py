@@ -463,11 +463,18 @@ def import_flag_dit_1d_weights(state_dict: Dict[str, np.ndarray], depth: int,
     return params
 
 
-def export_next_dit_weights(params: Dict[str, Any], scan_layers: bool = True) -> Dict[str, np.ndarray]:
+def export_next_dit_weights(params: Dict[str, Any], scan_layers: Optional[bool] = None) -> Dict[str, np.ndarray]:
     """Inverse of import_next_dit_weights: our tree -> reference-style
-    state_dict (for the `lumina convert` parity, `entry_point.py:115-156`)."""
+    state_dict (for the `lumina convert` parity, `entry_point.py:115-156`).
+    scan_layers=None auto-detects whether the tree carries a stacked
+    ``layers/`` subtree (scan-compiled) or per-layer ``blocks_<i>/``."""
     flat = traverse_util.flatten_dict(jax.tree.map(np.asarray, params), sep="/")
     out = {}
+    if scan_layers is None:
+        scan_layers = any(k.startswith("layers/") for k in flat)
+        if not scan_layers and not any(k.startswith("blocks_") for k in flat):
+            raise ValueError("no transformer layers found: expected a stacked "
+                             "'layers/' subtree or per-layer 'blocks_<i>/' keys")
 
     def put_linear(torch_name, base):
         out[f"{torch_name}.weight"] = np.asarray(flat[f"{base}/kernel"]).T
@@ -484,27 +491,38 @@ def export_next_dit_weights(params: Dict[str, Any], scan_layers: bool = True) ->
     put_linear("final_layer.linear", "final_layer/linear")
     put_linear("final_layer.adaLN_modulation.1", "final_layer/adaLN_modulation")
 
-    layer_keys = [k for k in flat if k.startswith("layers/")] if scan_layers else None
     if scan_layers:
+        layer_keys = [k for k in flat if k.startswith("layers/")]
         n_layers = flat["layers/adaLN_modulation/kernel"].shape[0]
-        for i in range(n_layers):
-            for k in layer_keys:
-                sub = k[len("layers/"):]
-                arr = flat[k][i]
-                if sub.endswith("kernel"):
-                    name = "layers.%d.%s" % (i, sub[: -len("/kernel")].replace("/", "."))
-                    # reference names adaLN linear as .1 inside Sequential
-                    if name.endswith("adaLN_modulation"):
-                        name += ".1"
-                    out[f"{name}.weight"] = arr.T
-                elif sub.endswith("bias"):
-                    name = "layers.%d.%s" % (i, sub[: -len("/bias")].replace("/", "."))
-                    if name.endswith("adaLN_modulation"):
-                        name += ".1"
-                    out[f"{name}.bias"] = arr
-                else:
-                    name = "layers.%d.%s" % (i, sub.replace("/", "."))
-                    out[name] = arr
+
+        def layer_items(i):
+            return {k[len("layers/"):]: flat[k][i] for k in layer_keys}
+    else:
+        # unscanned tree: per-layer blocks_<i>/ subtrees
+        idxs = sorted({int(k.split("/", 1)[0][len("blocks_"):])
+                       for k in flat if k.startswith("blocks_")})
+        n_layers = len(idxs)
+
+        def layer_items(i):
+            pre = f"blocks_{i}/"
+            return {k[len(pre):]: flat[k] for k in flat if k.startswith(pre)}
+
+    for i in range(n_layers):
+        for sub, arr in layer_items(i).items():
+            if sub.endswith("kernel"):
+                name = "layers.%d.%s" % (i, sub[: -len("/kernel")].replace("/", "."))
+                # reference names adaLN linear as .1 inside Sequential
+                if name.endswith("adaLN_modulation"):
+                    name += ".1"
+                out[f"{name}.weight"] = arr.T
+            elif sub.endswith("bias"):
+                name = "layers.%d.%s" % (i, sub[: -len("/bias")].replace("/", "."))
+                if name.endswith("adaLN_modulation"):
+                    name += ".1"
+                out[f"{name}.bias"] = arr
+            else:
+                name = "layers.%d.%s" % (i, sub.replace("/", "."))
+                out[name] = arr
     return out
 
 

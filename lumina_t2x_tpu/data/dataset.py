@@ -69,9 +69,11 @@ class T2IItemProcessor(ItemProcessor):
     def process_item(self, data_item, training_mode=False):
         from PIL import Image
 
+        from .data_reader import read_general
+
         for key in ("path", "image_url", "image"):
             if key in data_item:
-                image = Image.open(data_item[key]).convert("RGB")
+                image = Image.open(read_general(data_item[key])).convert("RGB")
                 break
         else:
             raise DataBriefReportException(f"no image path in item: {list(data_item)}")
@@ -207,15 +209,26 @@ def _build_disk_cache(cache_dir: str, flat: List[dict], ranges: Dict[str, List[i
         f.write(_READY_SENTINEL)
 
 
-def _open_disk_cache(cache_dir: str, is_lead: bool):
+def _open_disk_cache(cache_dir: str, is_lead: bool,
+                     timeout_s: float = float(os.environ.get(
+                         "LUMINA_DATA_CACHE_TIMEOUT", "1800"))):
     """Open the h5 cache, polling for the lead's sentinel first. The h5 file
     stays open for the dataset's lifetime (annotations are read lazily per
     item — the point of the cache is NOT materializing them in every
-    process)."""
+    process). The poll is BOUNDED: if the lead process crashed during the
+    cache build, followers raise instead of hanging the cluster forever
+    (LUMINA_DATA_CACHE_TIMEOUT seconds, default 30 min)."""
     import h5py
 
+    deadline = time.monotonic() + timeout_s
     while not os.path.exists(os.path.join(cache_dir, _READY_SENTINEL)):
         assert not is_lead, "lead process must have built the cache before opening"
+        if time.monotonic() > deadline:
+            raise RuntimeError(
+                f"data cache {cache_dir!r} not ready after {timeout_s:.0f}s — "
+                "the lead process likely failed during the cache build; check "
+                "its logs (raise LUMINA_DATA_CACHE_TIMEOUT for very large "
+                "annotation sets)")
         time.sleep(1)
     f = h5py.File(os.path.join(cache_dir, "data.h5"), "r")
     return f["ann"], json.loads(f["group_indice_range"].asstr()[()])
@@ -303,6 +316,11 @@ def resumable_sampler_indices(
     skip = start_step * per_rank
     epoch = 0
     epoch_len = dataset_len - dataset_len % global_batch_size  # drop ragged tail
+    if epoch_len == 0:
+        raise ValueError(
+            f"dataset has {dataset_len} items < global_batch_size "
+            f"{global_batch_size}: every epoch would be empty (the sampler "
+            "would spin forever yielding nothing)")
     while True:
         g = np.random.default_rng(seed + epoch)
         perm = g.permutation(dataset_len)[:epoch_len]

@@ -41,6 +41,10 @@ def parse_args(argv=None):
     p.add_argument("--num_sampling_steps", type=int, default=30)
     p.add_argument("--solver", type=str, default="midpoint",
                    choices=["euler", "midpoint", "heun", "rk4", "dopri5", "dopri8"])
+    p.add_argument("--atol", type=float, default=1e-6,
+                   help="adaptive-solver absolute tolerance (dopri5/dopri8)")
+    p.add_argument("--rtol", type=float, default=1e-3,
+                   help="adaptive-solver relative tolerance (dopri5/dopri8)")
     p.add_argument("--cfg_scale", type=float, default=4.0)
     p.add_argument("--time_shifting_factor", type=float, default=1.0)
     p.add_argument("--scaling_watershed", type=float, default=0.3)
@@ -209,6 +213,7 @@ def main(argv=None):
                 time_shifting_factor=args.time_shifting_factor,
                 train_res=args.train_res, scale_watershed=args.scaling_watershed,
                 proportional_attn=args.proportional_attn or do_extrap,
+                atol=args.atol, rtol=args.rtol,
             ))
             t_start = time.time()
             latents = sample_fn(variables, rng, cap_feats, cap_mask)

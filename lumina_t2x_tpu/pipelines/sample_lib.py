@@ -91,18 +91,21 @@ def build_t2i_sample_fn(
     in_channels: int = 4,
     path_type: str = "Linear",
     vae_downsample: int = 8,
+    atol: float = 1e-6,
+    rtol: float = 1e-3,
 ):
     """Text-to-image sampler mirroring `lumina_next_t2i/sample.py:173-240`.
 
     Returns `sample_fn(variables, rng, cap_feats, cap_mask) -> latents`.
     cap_feats must hold conditional rows then unconditional (empty-prompt)
-    rows: (2B, Ly, D).
+    rows: (2B, Ly, D). atol/rtol govern the adaptive solvers
+    (dopri5/dopri8) only.
     """
     transport = create_transport(path_type, "velocity")
     sampler = Sampler(transport)
     ode_fn = sampler.sample_ode(
         sampling_method=solver, num_steps=num_steps,
-        time_shifting_factor=time_shifting_factor,
+        time_shifting_factor=time_shifting_factor, atol=atol, rtol=rtol,
     )
     lh, lw = height // vae_downsample, width // vae_downsample
     do_extrapolation = (width * height) > (train_res * train_res)
