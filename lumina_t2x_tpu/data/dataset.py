@@ -264,6 +264,7 @@ class MetaDataset:
             self.ann, ranges = _load_meta_config(self.config)
         self._groups = [_Group(name, lo, hi) for name, (lo, hi) in ranges.items()]
         self.item_processor = item_processor
+        self._size_cache: Dict[int, Tuple[int, int]] = {}
 
     def __len__(self):
         return len(self.ann)
@@ -273,6 +274,44 @@ class MetaDataset:
         # h5-cached rows are json strings; in-memory rows are shared dicts
         # the processor may mutate, hence the copy.
         return json.loads(raw) if self.cache_on_disk else copy.deepcopy(raw)
+
+    def annotation(self, index: int) -> dict:
+        """Raw annotation dict for `index` (no image decode) — metadata-only
+        consumers (cross-rank bucket assignment) read sizes from here."""
+        return self._decode(index)
+
+    def image_size(self, index: int) -> Tuple[int, int]:
+        """(width, height) for `index` WITHOUT a full decode: annotation
+        width/height-style keys when present, else a lazy PIL header read
+        (PIL parses dimensions from the header only — cheap). Memoized."""
+        cached = self._size_cache.get(index)
+        if cached is not None:
+            return cached
+        ann = self._decode(index)
+        wh = None
+        for wk, hk in (("width", "height"), ("w", "h"),
+                       ("image_width", "image_height")):
+            if wk in ann and hk in ann:
+                wh = (int(ann[wk]), int(ann[hk]))
+                break
+        if wh is None and isinstance(ann.get("resolution"), str) and "x" in ann["resolution"]:
+            a, b = ann["resolution"].lower().split("x")[:2]
+            wh = (int(a), int(b))
+        if wh is None:
+            from PIL import Image
+
+            from .data_reader import read_general
+
+            for key in ("path", "image_url", "image"):
+                if key in ann:
+                    with Image.open(read_general(ann[key])) as im:
+                        wh = im.size
+                    break
+        if wh is None:
+            raise KeyError(f"item {index}: no image path or size metadata in "
+                           f"annotation keys {sorted(ann)}")
+        self._size_cache[index] = wh
+        return wh
 
     def get_item_func(self, index):
         return self.item_processor.process_item(self._decode(index), training_mode=True)

@@ -77,6 +77,19 @@ def match_bucket(width: int, height: int, crop_size_list: List[Tuple[int, int]])
     return max(crop_size_list, key=lambda c: (_aspect_fit(width, height, c), c))
 
 
+def choose_bucket(width: int, height: int, crop_size_list: List[Tuple[int, int]],
+                  *, seed: int, index: int, random_top_k: int = 4) -> Tuple[int, int]:
+    """`var_center_crop`'s random top-k bucket draw, made DETERMINISTIC per
+    dataset item: the draw is seeded by (seed, index) so every data-parallel
+    rank computes the identical bucket for any global item from metadata
+    alone — the cross-rank agreement `bucket_batched_global` requires —
+    while keeping the reference's crop-diversity augmentation (the chosen
+    bucket still varies across items and across seeds)."""
+    ranked = sorted(crop_size_list, key=lambda c: (_aspect_fit(width, height, c), c),
+                    reverse=True)
+    return random.Random((seed << 32) ^ index).choice(ranked[:random_top_k])
+
+
 def generate_crop_size_list(num_patches: int, patch_size: int, max_ratio: float = 4.0):
     """All pixel sizes (w, h) = (wp, hp) * patch_size on the staircase
     boundary of {wp * hp <= num_patches}, aspect capped at max_ratio

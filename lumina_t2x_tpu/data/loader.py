@@ -51,6 +51,12 @@ def bucket_batched(
     Items accumulate per bucket; a batch is emitted when a bucket fills. This
     gives every emitted batch a single static (H, W), so each bucket has its
     own (cached) XLA program.
+
+    SINGLE-PROCESS tool: per-process streams diverge in bucket order across
+    hosts — multi-host training must use `bucket_batched_global`. The
+    max_open_buckets flush can emit a PARTIAL batch (smaller leading dim);
+    callers relying on a fixed batch size should size max_open_buckets above
+    their bucket universe (it exists only to bound decoded-item memory).
     """
     buckets: dict = collections.defaultdict(list)
     for key, item in iterable:
@@ -62,6 +68,60 @@ def bucket_batched(
             fullest = max(buckets, key=lambda k: len(buckets[k]))
             items = buckets.pop(fullest)
             yield fullest, collate(items)
+
+
+def bucket_batched_global(
+    index_iter: Iterator[int],
+    bucket_of: Callable[[int], Tuple[int, int]],
+    global_batch_size: int,
+    *,
+    rank: int = 0,
+    world_size: int = 1,
+    fetch: Callable[[int, Tuple[int, int]], object],
+    collate: Callable,
+    num_workers: int = 8,
+    prefetch_batches: int = 2,
+    skip_batches: int = 0,
+):
+    """Cross-rank-consistent bucket batching for multi-host training.
+
+    Every rank walks the SAME global index stream (`index_iter` must be
+    identical on all ranks — the epoch-seeded permutation, unstrided) and
+    groups INDICES per bucket using `bucket_of`, which must be deterministic
+    and rank-independent (derive the bucket from annotation metadata + a
+    per-index seeded draw, never from decoded pixels or a shared RNG
+    stream). When a bucket accumulates `global_batch_size` indices, that IS
+    the next global batch on every rank: rank r decodes the bucket's
+    `indices[r::world_size]` via `fetch(idx, key)` and yields
+    `(key, collate(items))`. Bucket keys and batch order are therefore
+    bit-identical across ranks — the property `form_global_batch` needs.
+
+    Buckets hold plain ints, so there is no memory flush and no partial
+    batch: every yielded batch has exactly global_batch_size/world_size
+    items. `skip_batches` fast-forwards whole emitted batches without
+    decoding (resume: restores the stream position in O(metadata)).
+    """
+    buckets: dict = collections.defaultdict(list)
+    with futures.ThreadPoolExecutor(num_workers) as pool:
+        pending = collections.deque()  # (key, [futures for this rank's share])
+
+        def drain():
+            key, futs = pending.popleft()
+            return key, collate([f.result() for f in futs])
+
+        for idx in index_iter:
+            key = bucket_of(idx)
+            buckets[key].append(idx)
+            if len(buckets[key]) == global_batch_size:
+                mine = buckets.pop(key)[rank::world_size]
+                if skip_batches > 0:
+                    skip_batches -= 1
+                    continue
+                pending.append((key, [pool.submit(fetch, i, key) for i in mine]))
+                if len(pending) >= prefetch_batches:
+                    yield drain()
+        while pending:
+            yield drain()
 
 
 def list_imagenet_folder(root: str) -> Tuple[List[Tuple[str, int]], List[str]]:

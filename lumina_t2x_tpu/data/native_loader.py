@@ -128,13 +128,37 @@ class NativeImageProcessor:
         if native_available():
             w, h = probe_size(data)
             bucket = self._pick_bucket(w, h)
-            arr = decode_to_tensor(data, bucket)
+            cw, ch = bucket
+            if self.random_crop:
+                # random crop position like `imgproc.center_crop` (the
+                # reference's crop augmentation); mirror the C++'s
+                # scaled-dimension arithmetic (image_loader.cpp:147-149) so
+                # the drawn origin spans exactly the valid range
+                scale = max(cw / w, ch / h)
+                sw = max(int(w * scale + 0.5), cw)
+                sh = max(int(h * scale + 0.5), ch)
+                crop_xy = (random.randint(0, sw - cw), random.randint(0, sh - ch))
+            else:
+                crop_xy = (-1, -1)  # center
+            arr = decode_to_tensor(data, bucket, crop_xy)
             return arr, bucket
         # PIL fallback
+        import io
+
         from PIL import Image
 
-        from .imgproc import to_latent_input, var_center_crop
+        from .imgproc import center_crop, to_latent_input
 
-        img = Image.open(__import__("io").BytesIO(data)).convert("RGB")
-        img = var_center_crop(img, self.crop_size_list, self.random_top_k)
+        img = Image.open(io.BytesIO(data)).convert("RGB")
+        bucket = self._pick_bucket(*img.size)
+        if self.random_crop:
+            img = center_crop(img, bucket)  # random position (augmentation)
+        else:
+            cw, ch = bucket
+            scale = max(cw / img.size[0], ch / img.size[1])
+            img = img.resize((round(img.size[0] * scale), round(img.size[1] * scale)),
+                             resample=Image.BICUBIC)
+            left = (img.size[0] - cw) // 2
+            top = (img.size[1] - ch) // 2
+            img = img.crop((left, top, left + cw, top + ch))
         return to_latent_input(img), img.size

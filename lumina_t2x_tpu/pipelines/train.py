@@ -120,7 +120,7 @@ def synthetic_batches(args, latent_hw: int, class_cond: bool = True,
         yield batch
 
 
-def imagenet_batches(args) -> Iterator[Dict]:
+def imagenet_batches(args, start_step: int = 0) -> Iterator[Dict]:
     from ..data.imgproc import center_crop_arr, to_latent_input
     from ..data.loader import collate_image_label, list_imagenet_folder, threaded_prefetch
     from ..data.dataset import resumable_sampler_indices
@@ -138,6 +138,7 @@ def imagenet_batches(args) -> Iterator[Dict]:
     indices = resumable_sampler_indices(
         len(samples), args.global_batch_size, rank=jax.process_index(),
         world_size=jax.process_count(), seed=args.global_seed,
+        start_step=start_step,
     )
     # each process loads its 1/process_count share of the global batch; the
     # shards assemble into a global array via form_global_batch
@@ -152,34 +153,50 @@ def imagenet_batches(args) -> Iterator[Dict]:
                 buf = []
 
 
-def t2i_batches(args, text_encoder=None):
+def t2i_batches(args, text_encoder=None, start_step: int = 0):
     """YAML meta-dataset pipeline: bucketed (image, caption) batches
     (`lumina_next_t2i/train.py:478-520`). Every yielded batch shares one
     static (H, W) bucket; caption features come from the frozen LM (or
-    deterministic hashed pseudo-features when no encoder is available)."""
+    deterministic hashed pseudo-features when no encoder is available).
+
+    Bucketing is CROSS-RANK CONSISTENT (`bucket_batched_global`): every rank
+    walks the same global index stream and derives each item's bucket from
+    metadata (annotation size keys or a PIL header read) with a per-index
+    seeded top-4 draw — so multi-host ranks agree on every step's (H, W)
+    and `form_global_batch` receives matching local shards. The crop
+    POSITION stays randomly drawn at decode time (the reference's
+    augmentation); only the bucket choice is derandomized per item.
+    `start_step` fast-forwards that many emitted batches without decoding
+    (resume)."""
     from ..data.dataset import MetaDataset, T2IItemProcessor, resumable_sampler_indices
-    from ..data.imgproc import generate_crop_size_list, to_latent_input, var_center_crop
-    from ..data.loader import bucket_batched, threaded_prefetch
+    from ..data.imgproc import (center_crop, choose_bucket,
+                                generate_crop_size_list, to_latent_input)
+    from ..data.loader import bucket_batched_global
 
     num_patches = (args.image_size // 16) ** 2
     crop_size_list = generate_crop_size_list(num_patches, 16)
 
-    def transform(img):
-        return var_center_crop(img, crop_size_list)
-
-    dataset = MetaDataset(args.data_path, T2IItemProcessor(transform),
+    dataset = MetaDataset(args.data_path, T2IItemProcessor(None),
                           cache_on_disk=args.cache_data_on_disk, rank=jax.process_index())
+    # the FULL global permutation, identical on every rank (per-bucket rank
+    # striding happens inside bucket_batched_global)
     indices = resumable_sampler_indices(
-        len(dataset), args.global_batch_size, rank=jax.process_index(),
-        world_size=jax.process_count(), seed=args.global_seed,
+        len(dataset), args.global_batch_size, rank=0, world_size=1,
+        seed=args.global_seed,
     )
 
-    def fetch(idx):
-        img, caption = dataset[idx]
-        arr = to_latent_input(img)
-        return (arr.shape[2], arr.shape[1]), (arr, caption)
+    def bucket_of(idx):
+        try:
+            w, h = dataset.image_size(idx)
+        except Exception:
+            # unreadable item: every rank sees the same file, so the same
+            # fallback bucket — decode-time error retry handles the item
+            w = h = args.image_size
+        return choose_bucket(w, h, crop_size_list, seed=args.global_seed, index=idx)
 
-    stream = threaded_prefetch(indices, fetch, num_workers=args.num_workers)
+    def fetch(idx, key):
+        img, caption = dataset[idx]
+        return to_latent_input(center_crop(img, key)), caption
 
     def collate(items):
         xs = np.stack([a for a, _ in items])
@@ -199,8 +216,13 @@ def t2i_batches(args, text_encoder=None):
             cap_mask = np.ones((len(captions), ly), np.int32)
         return {"x": xs, "cap_feats": cap_feats, "cap_mask": cap_mask}
 
-    per_process = args.global_batch_size // jax.process_count()
-    for _, batch in bucket_batched(stream, per_process, collate):
+    gen = bucket_batched_global(
+        indices, bucket_of, args.global_batch_size,
+        rank=jax.process_index(), world_size=jax.process_count(),
+        fetch=fetch, collate=collate, num_workers=args.num_workers,
+        skip_batches=start_step,
+    )
+    for _, batch in gen:
         yield batch
 
 
@@ -250,13 +272,24 @@ def main(argv=None):
     latent_hw = args.image_size // 8
 
     # -- data ----------------------------------------------------------------
+    # peek the resume step BEFORE building the data stream so the sampler
+    # fast-forwards (`train.py:91-104,533` semantics) — the full state
+    # restore below reads the same directory
+    resume_dir = args.resume or (find_auto_resume(exp_dir) if args.auto_resume else None)
+    resume_step = 0
+    if resume_dir:
+        rs_path = os.path.join(resume_dir, "resume_step.txt")
+        if os.path.exists(rs_path):
+            with open(rs_path) as f:
+                resume_step = int(f.read().strip())
+
     if args.data_path.startswith("synthetic://"):
         hw = args.data_path[len("synthetic://"):]
         latent_hw = int(hw.split("x")[0]) if hw else latent_hw
         batches = synthetic_batches(args, latent_hw, class_cond=is_class_cond)
         encode_images = False
     elif os.path.isdir(args.data_path):
-        batches = imagenet_batches(args)
+        batches = imagenet_batches(args, start_step=resume_step)
         encode_images = True
     else:  # yaml meta-dataset -> t2i training
         text_encoder = None
@@ -267,7 +300,7 @@ def main(argv=None):
                 args.text_encoder, dtype=dtype, max_length=args.max_caption_len
             )
             args.cap_feat_dim = text_encoder.hidden_size
-        batches = t2i_batches(args, text_encoder)
+        batches = t2i_batches(args, text_encoder, start_step=resume_step)
         encode_images = True
 
     # -- model (after data: the text encoder may set cap_feat_dim) -----------
@@ -316,8 +349,7 @@ def main(argv=None):
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state.params))
     logger.info(f"model={args.model} params={n_params/1e6:.1f}M")
 
-    resume_dir = args.resume or (find_auto_resume(exp_dir) if args.auto_resume else None)
-    if resume_dir:
+    if resume_dir:  # computed above, before the data stream
         state = load_checkpoint(resume_dir, state)
         logger.info(f"resumed from {resume_dir} at step {int(state.step)}")
     elif args.init_from:

@@ -238,3 +238,95 @@ class TestTokenizedT2IItemProcessor:
         _, ids, mask = proc.process_item({"path": str(img_path), "prompt": "hello"},
                                          training_mode=True)
         assert mask.sum() == 2  # bos + eos only
+
+
+class TestBucketBatchedGlobal:
+    """Cross-rank-consistent bucketing (`loader.bucket_batched_global`):
+    identical bucket-key sequences on every rank, per-bucket index striping,
+    full batches only, and decode-free resume skip."""
+
+    @staticmethod
+    def _run_rank(rank, world, *, skip=0, n_items=96, gbs=8, seed=0):
+        from lumina_t2x_tpu.data.loader import bucket_batched_global
+
+        fetched = []
+
+        def bucket_of(idx):
+            return ("A", "B", "C")[idx % 3]
+
+        def fetch(idx, key):
+            fetched.append(idx)
+            return (idx, key)
+
+        def collate(items):
+            return items
+
+        gen = bucket_batched_global(
+            iter(range(n_items)), bucket_of, gbs, rank=rank, world_size=world,
+            fetch=fetch, collate=collate, num_workers=2, skip_batches=skip)
+        return list(gen), fetched
+
+    def test_ranks_agree_on_keys_and_stripe_indices(self):
+        world = 2
+        out0, _ = self._run_rank(0, world)
+        out1, _ = self._run_rank(1, world)
+        assert [k for k, _ in out0] == [k for k, _ in out1]
+        assert len(out0) == 96 // 8
+        for (k0, b0), (k1, b1) in zip(out0, out1):
+            ids = sorted(i for i, _ in b0 + b1)
+            # together the two ranks hold the full global batch, disjointly
+            assert len(ids) == 8 and len(set(ids)) == 8
+            assert all(key == k0 for _, key in b0 + b1)
+            # every item in the batch maps to the batch's bucket
+            assert all(("A", "B", "C")[i % 3] == k0 for i in ids)
+            # each rank holds exactly its stride share
+            assert len(b0) == len(b1) == 4
+
+    def test_full_batches_only(self):
+        out, _ = self._run_rank(0, 1, n_items=100, gbs=8)
+        # 100 items over 3 buckets: only FULL global batches emerge; the
+        # ragged per-bucket tails are never emitted as partial batches
+        assert all(len(b) == 8 for _, b in out)
+
+    def test_skip_batches_is_decode_free(self):
+        full, fetched_full = self._run_rank(0, 1, skip=0)
+        skipped, fetched_skip = self._run_rank(0, 1, skip=3)
+        assert skipped == full[3:]
+        # the skipped batches' items were never fetched
+        assert len(fetched_skip) == len(fetched_full) - 3 * 8
+
+    def test_choose_bucket_rank_invariant_and_diverse(self):
+        from lumina_t2x_tpu.data.imgproc import choose_bucket, generate_crop_size_list
+
+        crops = generate_crop_size_list(16, 16)
+        picks = [choose_bucket(640, 480, crops, seed=0, index=i) for i in range(64)]
+        again = [choose_bucket(640, 480, crops, seed=0, index=i) for i in range(64)]
+        assert picks == again  # deterministic per (seed, index) on any rank
+        assert len(set(picks)) > 1  # still an augmentation across items
+        other_seed = [choose_bucket(640, 480, crops, seed=1, index=i) for i in range(64)]
+        assert other_seed != picks
+
+    def test_meta_dataset_image_size(self, tmp_path):
+        import json
+
+        import yaml
+        from PIL import Image
+
+        from lumina_t2x_tpu.data.dataset import MetaDataset, T2IItemProcessor
+
+        img_path = tmp_path / "img.png"
+        Image.new("RGB", (37, 23)).save(img_path)
+        ann = [
+            {"path": str(img_path), "prompt": "a"},            # header probe
+            {"path": str(img_path), "width": 640, "height": 480, "prompt": "b"},
+            {"path": str(img_path), "resolution": "800x600", "prompt": "c"},
+        ]
+        ann_path = tmp_path / "ann.json"
+        ann_path.write_text(json.dumps(ann))
+        cfg = tmp_path / "meta.yaml"
+        cfg.write_text(yaml.safe_dump({"META": [{"path": str(ann_path)}]}))
+        ds = MetaDataset(str(cfg), T2IItemProcessor(None))
+        assert ds.image_size(0) == (37, 23)
+        assert ds.image_size(1) == (640, 480)
+        assert ds.image_size(2) == (800, 600)
+        assert ds.image_size(0) == (37, 23)  # memoized path
