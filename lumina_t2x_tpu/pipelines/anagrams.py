@@ -185,7 +185,12 @@ class SquareHingeView(BaseView):
 
 
 def gaussian_blur(x, sigma: float, kernel_size: int):
-    """Separable 2-D gaussian blur over (..., H, W), reflect padding."""
+    """Separable 2-D gaussian blur over (..., H, W), reflect padding.
+    kernel_size must be odd: an even kernel with symmetric (half, half)
+    padding makes the 'valid' convolution emit n+1 samples — a shape
+    mismatch that would only surface deep inside jit."""
+    if kernel_size % 2 == 0:
+        raise ValueError(f"gaussian_blur kernel_size must be odd, got {kernel_size}")
     half = kernel_size // 2
     t = np.arange(kernel_size) - half
     k = np.exp(-(t**2) / (2.0 * sigma**2))
@@ -345,7 +350,11 @@ class WhiteBalanceViewFailure(BaseView):
         self.factor = factor
 
     def view(self, x):
-        return x * self.factor
+        # scale only the first 3 channels, mirroring inverse_view: the
+        # reference operates on 3-channel pixels where "all" == ":3"; on a
+        # 4-channel latent an asymmetric pair would integrate channel 3
+        # along an inconsistent trajectory (view without inverse)
+        return x.at[:3].set(self.factor * x[:3])
 
     def inverse_view(self, x):
         return x.at[:3].set(x[:3] / self.factor)

@@ -50,7 +50,14 @@ def parse_args(argv=None):
     p.add_argument("--proportional_attn", action="store_true")
     p.add_argument("--scaling_watershed", type=float, default=0.3)
     p.add_argument("--vae_ckpt", type=str, default=None,
-                   help="diffusers VAE weights for the phase-2 pixel-space upsample")
+                   help="diffusers VAE weights: decodes the saved outputs to "
+                        "pixels and enables the phase-2 pixel-space upsample")
+    p.add_argument("--text_encoder", type=str, default=None,
+                   help="HF path of the caption LM (as in sample.py); without "
+                        "it caption features are deterministic pseudo-features")
+    p.add_argument("--train_res", type=int, default=1024,
+                   help="the checkpoint's training resolution (RoPE scaling "
+                        "reference for the phase-2 extrapolation)")
     p.add_argument("--kv_merge_ratio", type=int, default=1,
                    help="AvgPool K/V over the token grid in the upscale phase "
                         "(the fork's kv_merge trick; 1 = off, as upstream)")
@@ -65,7 +72,7 @@ def generate_anagram(model, variables, cap_feats_list, cap_mask_list, views, *,
                      vae_encode_fn=None, vae_decode_fn=None,
                      proportional_attn: bool = False, base_seqlen: Optional[int] = None,
                      scale_factor: float = 1.0, scale_watershed: float = 1.0,
-                     kv_merge_ratio: int = 1):
+                     kv_merge_ratio: int = 1, train_res: int = 1024):
     """Two-phase illusion generation (`generate.py:357-498`). Returns
     (phase-1 latents, phase-2 latents or None)."""
     rng = jax.random.PRNGKey(seed)
@@ -118,23 +125,43 @@ def generate_anagram(model, variables, cap_feats_list, cap_mask_list, views, *,
         scale_watershed=scale_watershed, proportional_attn=proportional_attn,
         attn_scale_variant="anagram", kv_merge_ratio=kv_merge_ratio,
     )
-    model_fns_hi = [make_fn(cf, cm, **extra) for cf, cm in zip(cap_feats_list, cap_mask_list)]
+    # phase 2 runs at its own resolution: when it exceeds the TRAINING
+    # resolution, apply the time-aware RoPE scaling every other sampling
+    # path uses (`sample_lib.py` resolution_scale_factor) — phase 1's
+    # sub-train-res settings must not leak into the hi-res loop
+    from .sample_lib import resolution_scale_factor
+
+    do_extrap = (h * w) > (train_res * train_res)
+    extra_hi = dict(
+        extra,
+        scale_factor=resolution_scale_factor(w, h, train_res) if do_extrap else 1.0,
+        scale_watershed=scale_watershed if do_extrap else 1.0,
+        proportional_attn=proportional_attn and do_extrap,
+        base_seqlen=(train_res // 16) ** 2,
+    )
+    model_fns_hi = [make_fn(cf, cm, **extra_hi) for cf, cm in zip(cap_feats_list, cap_mask_list)]
     z2 = jax.random.normal(jax.random.fold_in(rng, 1), (1, 4, upscale_latent, upscale_latent))
     z2 = jnp.concatenate([z2, z2], axis=0)
     phase2 = anagram_upscale_phase(model_fns_hi, views, z2, guidance, ts)
     return phase1[:1], phase2[:1]
 
 
-def save_illusion(latents_or_img, views, sample_dir: str, tag: str = ""):
+def save_illusion(latents_or_img, views, sample_dir: str, tag: str = "",
+                  pixel: bool = False):
     """Save the base image plus every viewed variant (`generate.py` /
-    `utils.py:8-156`); latents are saved as channel previews when no VAE."""
+    `utils.py:8-156`). pixel=True: input is decoded RGB in [-1, 1] (exact
+    mapping); pixel=False: latents, saved as min-max channel previews (the
+    no-VAE fallback)."""
     os.makedirs(sample_dir, exist_ok=True)
     arr = np.asarray(latents_or_img, np.float32)
     from PIL import Image
 
     def to_img(a):
         a = a[:3]
-        a = (a - a.min()) / (a.max() - a.min() + 1e-6)
+        if pixel:
+            a = np.clip((a + 1.0) / 2.0, 0.0, 1.0)
+        else:
+            a = (a - a.min()) / (a.max() - a.min() + 1e-6)
         return Image.fromarray((a.transpose(1, 2, 0) * 255).astype(np.uint8))
 
     paths = []
@@ -184,16 +211,33 @@ def main(argv=None):
 
     base_latent = args.base_res // 8
     x0 = jnp.zeros((2, 4, base_latent, base_latent))
-    ly = 32
     cap_feats_list, cap_mask_list = [], []
-    for p in args.prompts:
-        text = f"{args.style} {p}".strip()
-        feats = jnp.stack([
-            jax.random.normal(jax.random.fold_in(rng, abs(hash(t)) % (2**31)), (ly, 2048))
-            for t in (text, NEGATIVE_CAP)
-        ])
-        cap_feats_list.append(feats)
-        cap_mask_list.append(jnp.ones((2, ly), jnp.int32))
+    if args.text_encoder:
+        from ..codecs.text_encoders import DecoderTextEncoder
+
+        enc = DecoderTextEncoder.from_pretrained(args.text_encoder, dtype=dtype)
+        for p in args.prompts:
+            text = f"{args.style} {p}".strip()
+            feats, mask = enc.encode([text, NEGATIVE_CAP])
+            cap_feats_list.append(jnp.asarray(feats))
+            cap_mask_list.append(jnp.asarray(mask))
+    else:
+        # deterministic pseudo-features: crc32 (stable across processes —
+        # python's str hash() is salted per interpreter, which would make
+        # identical --seed runs produce different conditioning)
+        import zlib
+
+        ly = 32
+        for p in args.prompts:
+            text = f"{args.style} {p}".strip()
+            feats = jnp.stack([
+                jax.random.normal(
+                    jax.random.fold_in(rng, zlib.crc32(t.encode()) & 0x7FFFFFFF),
+                    (ly, 2048))
+                for t in (text, NEGATIVE_CAP)
+            ])
+            cap_feats_list.append(feats)
+            cap_mask_list.append(jnp.ones((2, ly), jnp.int32))
 
     variables = jax.jit(model.init)(rng, x0, jnp.zeros((2,)),
                                     cap_feats_list[0], cap_mask_list[0])
@@ -210,15 +254,16 @@ def main(argv=None):
     # encode) exercise the identical flow without weights.
     upscale_latent = args.resolution // 8 if args.resolution > args.base_res else None
     vae_encode_fn = vae_decode_fn = None
-    if upscale_latent:
-        if args.vae_ckpt:
-            from ..codecs.vae import decode_from_latent, encode_to_latent, load_vae
+    real_vae = bool(args.vae_ckpt)
+    if args.vae_ckpt:
+        from ..codecs.vae import decode_from_latent, encode_to_latent, load_vae
 
-            vae, vv = load_vae(args.vae_ckpt)
-            vae_decode_fn = jax.jit(lambda z: decode_from_latent(vae, vv, z))
-            vae_encode_fn = jax.jit(lambda x: encode_to_latent(
-                vae, vv, x, jax.random.PRNGKey(0)))
-        elif args.debug:
+        vae, vv = load_vae(args.vae_ckpt)
+        vae_decode_fn = jax.jit(lambda z: decode_from_latent(vae, vv, z))
+        vae_encode_fn = jax.jit(lambda x: encode_to_latent(
+            vae, vv, x, jax.random.PRNGKey(0)))
+    if upscale_latent and not args.vae_ckpt:
+        if args.debug:
             # latent stand-ins: exercise the identical phase-2 flow
             # (decode -> upsample -> tiled re-encode) without VAE weights
             def vae_decode_fn(z):
@@ -248,11 +293,21 @@ def main(argv=None):
         kv_merge_ratio=args.kv_merge_ratio,
         upscale_latent=upscale_latent,
         vae_encode_fn=vae_encode_fn, vae_decode_fn=vae_decode_fn,
+        train_res=args.train_res,
     )
     sample_dir = os.path.join(args.save_dir, args.name, f"{args.seed:04d}")
-    paths = save_illusion(phase1, views, sample_dir)
+    if real_vae:
+        # decode to pixels before saving — latent channel previews are only
+        # the no-VAE fallback (phase 2 may exceed the VAE's comfortable
+        # window: tile it)
+        from .anagrams import tiled_decode
+
+        phase1 = vae_decode_fn(phase1)
+        if phase2 is not None:
+            phase2 = tiled_decode(vae_decode_fn, phase2)
+    paths = save_illusion(phase1, views, sample_dir, pixel=real_vae)
     if phase2 is not None:
-        paths += save_illusion(phase2, views, sample_dir, tag="_hires")
+        paths += save_illusion(phase2, views, sample_dir, tag="_hires", pixel=real_vae)
     print(f"saved {len(paths)} views to {sample_dir}")
     return paths
 

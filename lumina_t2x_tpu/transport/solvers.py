@@ -203,6 +203,24 @@ def _error_ratio(err, x0, x1, atol, rtol):
     return jnp.sqrt(total / n)
 
 
+def _is_descending(ts) -> bool:
+    """True for a reverse-time save grid. ts must be concrete (it always is:
+    the grids come from `make_time_grid` on python floats at trace time)."""
+    return bool(np.asarray(ts)[1] < np.asarray(ts)[0])
+
+
+def _solve_reflected(solver, drift_fn, x0, ts, **kw):
+    """Integrate a DESCENDING grid by time reflection: y(s) = x(-s) solves
+    dy/ds = -f(y, -s) on the ascending grid -ts. (The adaptive while-loops
+    assume forward time; without this they would exit immediately and
+    silently return x0 for reverse-time sampling.)"""
+
+    def neg_drift(x, s):
+        return jax.tree.map(lambda v: -v, drift_fn(x, -s))
+
+    return solver(neg_drift, x0, -np.asarray(ts), **kw)
+
+
 def odeint_adaptive(
     drift_fn: Callable,
     x0,
@@ -220,13 +238,19 @@ def odeint_adaptive(
     DPS_C_MID, `torchdiffeq/_impl/dopri5.py`). The trajectory is therefore
     identical whether 2 or 200 save points are requested.
     """
+    if _is_descending(ts):
+        return _solve_reflected(odeint_adaptive, drift_fn, x0, ts, atol=atol,
+                                rtol=rtol, max_steps=max_steps, return_all=return_all)
     n_stages = 7
     safety, min_factor, max_factor = 0.9, 0.2, 10.0
     order = 5.0
 
-    def rk_step(x, t, dt):
-        ks = []
-        for i in range(n_stages):
+    def rk_step(x, t, dt, k0):
+        # FSAL: stage 0 is drift(x, t) — the previous accepted step already
+        # produced it as its stage 6 (torchdiffeq reuses it the same way),
+        # so it arrives via `k0`: 6 fresh model evaluations per step, not 7
+        ks = [k0]
+        for i in range(1, n_stages):
             xi = x
             for j, aij in enumerate(_DOPRI5_A[i]):
                 xi = jax.tree.map(lambda xx, kk: xx + dt * aij * kk, xi, ks[j])
@@ -247,41 +271,45 @@ def odeint_adaptive(
     def advance_past(carry, t_end):
         """Step adaptively until t >= t_end; the step that crosses t_end
         leaves its interpolant in the carry."""
-        x, t, dt, coefs, ct0, cdt = carry
+        x, t, dt, f0, coefs, ct0, cdt = carry
 
         def cond(state):
-            _, t, _, _, _, _, nsteps = state
+            _, t, _, _, _, _, _, nsteps = state
             return jnp.logical_and(t < t_end - 1e-12, nsteps < max_steps)
 
         def body(state):
-            x, t, dt, coefs, ct0, cdt, nsteps = state
-            x_prop, err, y_mid, f0, f1 = rk_step(x, t, dt)
+            x, t, dt, f0, coefs, ct0, cdt, nsteps = state
+            x_prop, err, y_mid, k0, f1 = rk_step(x, t, dt, f0)
             ratio = _error_ratio(err, x, x_prop, atol, rtol)
             accept = ratio <= 1.0
-            new_coefs = _interp_fit(x, x_prop, y_mid, f0, f1, dt)
+            new_coefs = _interp_fit(x, x_prop, y_mid, k0, f1, dt)
             coefs = jax.tree.map(lambda n, o: jnp.where(accept, n, o), new_coefs, coefs)
             ct0 = jnp.where(accept, t, ct0)
             cdt = jnp.where(accept, dt, cdt)
             x = _tree_where(accept, x_prop, x)
             t = jnp.where(accept, t + dt, t)
+            # on accept the next step starts at x_next, whose drift is f1
+            # (FSAL); on reject x/t are unchanged and f0 remains valid
+            f0 = _tree_where(accept, f1, f0)
             factor = jnp.clip(
                 safety * jnp.power(jnp.maximum(ratio, 1e-10), -1.0 / order),
                 min_factor,
                 max_factor,
             )
-            return x, t, dt * factor, coefs, ct0, cdt, nsteps + 1
+            return x, t, dt * factor, f0, coefs, ct0, cdt, nsteps + 1
 
-        x, t, dt, coefs, ct0, cdt = jax.lax.while_loop(
-            cond, body, (x, t, dt, coefs, ct0, cdt, jnp.array(0, jnp.int32))
-        )[:6]
+        x, t, dt, f0, coefs, ct0, cdt = jax.lax.while_loop(
+            cond, body, (x, t, dt, f0, coefs, ct0, cdt, jnp.array(0, jnp.int32))
+        )[:7]
         x_save = _interp_eval(coefs, (t_end - ct0) / cdt)
-        return (x, t, dt, coefs, ct0, cdt), x_save
+        return (x, t, dt, f0, coefs, ct0, cdt), x_save
 
     dt_init = (ts[-1] - ts[0]) / 100.0
     # degenerate initial interpolant: constant x0 (covers t_end == ts[0])
     zero = jax.tree.map(jnp.zeros_like, x0)
     coefs0 = (zero, zero, zero, zero, x0)
-    carry0 = (x0, ts[0], dt_init, coefs0, ts[0], jnp.array(1.0, jnp.float32))
+    f0_init = drift_fn(x0, ts[0])
+    carry0 = (x0, ts[0], dt_init, f0_init, coefs0, ts[0], jnp.array(1.0, jnp.float32))
 
     def save_body(carry, t_end):
         carry, x_save = advance_past(carry, t_end)
@@ -291,7 +319,7 @@ def odeint_adaptive(
         carry, ys = jax.lax.scan(save_body, carry0, ts[1:])
         return jax.tree.map(lambda first, rest: jnp.concatenate([first[None], rest], axis=0), x0, ys)
     carry, _ = jax.lax.scan(save_body, carry0, ts[1:])
-    return _interp_eval(carry[3], (ts[-1] - carry[4]) / carry[5])
+    return _interp_eval(carry[4], (ts[-1] - carry[5]) / carry[6])
 
 
 # ---------------------------------------------------------------------------
@@ -315,6 +343,9 @@ def odeint_dopri8(
     tables; the combined 5th/3rd-order error estimator follows Hairer's
     algorithm (as in torchdiffeq/scipy).
     """
+    if _is_descending(ts):
+        return _solve_reflected(odeint_dopri8, drift_fn, x0, ts, atol=atol,
+                                rtol=rtol, max_steps=max_steps, return_all=return_all)
     from scipy.integrate._ivp import dop853_coefficients as _dc
 
     n_stages = int(_dc.N_STAGES)  # 12
@@ -327,9 +358,12 @@ def odeint_dopri8(
 
     n_el = sum(np.prod(a.shape) for a in jax.tree.leaves(x0))
 
-    def rk_step(x, t, dt):
-        ks = []
-        for i in range(n_stages):
+    def rk_step(x, t, dt, k0):
+        # FSAL: DOP853's k13 = drift(x_next, t+dt) is the next step's first
+        # stage (C[0] == 0) — it arrives via `k0`, saving one of the 13
+        # model evaluations per step
+        ks = [k0]
+        for i in range(1, n_stages):
             xi = x
             for j in range(i):
                 if A[i, j] != 0.0:
@@ -376,37 +410,48 @@ def odeint_dopri8(
     # steps would lose accuracy at save points. Clipping keeps save-point
     # values at full solver accuracy. dopri5 (the default adaptive path)
     # matches torchdiffeq dense output exactly.
-    def advance_to(x, t_start, t_end, dt0):
+    def advance_to(x, t_start, t_end, dt0, f0):
         def cond(state):
-            _, t, dt, nsteps = state
+            _, t, _, _, nsteps = state
             return jnp.logical_and(t < t_end - 1e-12, nsteps < max_steps)
 
         def body(state):
-            x, t, dt, nsteps = state
-            dt = jnp.minimum(dt, t_end - t)
-            x_prop, err5, err3, _, _ = rk_step(x, t, dt)
-            ratio = error_norm(x, x_prop, err5, err3, dt)
+            x, t, dt, f0, nsteps = state
+            # dt is the CONTROLLER'S preferred step; clip only the executed
+            # step at the save boundary, and do not let a boundary sliver
+            # poison the preference carried into the next segment
+            dt_step = jnp.minimum(dt, t_end - t)
+            clipped = dt_step < dt
+            x_prop, err5, err3, _, f1 = rk_step(x, t, dt_step, f0)
+            ratio = error_norm(x, x_prop, err5, err3, dt_step)
             accept = ratio <= 1.0
             x_new = _tree_where(accept, x_prop, x)
-            t_new = jnp.where(accept, t + dt, t)
+            t_new = jnp.where(accept, t + dt_step, t)
+            f0 = _tree_where(accept, f1, f0)
             factor = jnp.clip(
                 safety * jnp.power(jnp.maximum(ratio, 1e-10), -1.0 / order),
                 min_factor, max_factor,
             )
-            return x_new, t_new, dt * factor, nsteps + 1
+            # accepted boundary-clipped step: keep the old preference (its
+            # small error says nothing about the full-size step); otherwise
+            # the usual controller update from the executed step
+            dt_new = jnp.where(accept & clipped, dt, dt_step * factor)
+            return x_new, t_new, dt_new, f0, nsteps + 1
 
-        x, _, dt, _ = jax.lax.while_loop(cond, body, (x, t_start, dt0, jnp.array(0, jnp.int32)))
-        return x, dt
+        x, _, dt, f0, _ = jax.lax.while_loop(
+            cond, body, (x, t_start, dt0, f0, jnp.array(0, jnp.int32)))
+        return x, dt, f0
 
     dt_init = (ts[-1] - ts[0]) / 50.0
     t_pairs = jnp.stack([ts[:-1], ts[1:]], axis=1)
+    f0_init = drift_fn(x0, ts[0])
 
     def save_body(carry, t_pair):
-        x, dt = carry
-        x, dt = advance_to(x, t_pair[0], t_pair[1], dt)
-        return (x, dt), (x if return_all else None)
+        x, dt, f0 = carry
+        x, dt, f0 = advance_to(x, t_pair[0], t_pair[1], dt, f0)
+        return (x, dt, f0), (x if return_all else None)
 
-    (x_final, _), ys = jax.lax.scan(save_body, (x0, dt_init), t_pairs)
+    (x_final, _, _), ys = jax.lax.scan(save_body, (x0, dt_init, f0_init), t_pairs)
     if return_all:
         return jax.tree.map(lambda first, rest: jnp.concatenate([first[None], rest], axis=0), x0, ys)
     return x_final

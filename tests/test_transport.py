@@ -402,3 +402,38 @@ class TestDopri8:
                             atol=1e-8, rtol=1e-8)
         np.testing.assert_allclose(float(out[0]), np.exp(-1.0), rtol=1e-5)
         np.testing.assert_allclose(float(out[1]), 1.0, rtol=1e-5)
+
+
+class TestAdaptiveReverseTime:
+    """Descending save grids (reverse=True sampling): the adaptive solvers
+    integrate by time reflection instead of silently returning x0 (the
+    while-loop condition was immediately false for t_end < t0)."""
+
+    def test_dopri5_descending(self):
+        f = lambda x, t: -x  # backward from t=1 to 0: x(0) = e * x(1)
+        ts = jnp.linspace(1.0, 0.0, 5)
+        out = odeint_adaptive(f, jnp.ones((2,)), ts, atol=1e-8, rtol=1e-8)
+        np.testing.assert_allclose(np.asarray(out), np.e, rtol=1e-6)
+
+    def test_dopri8_descending(self):
+        from lumina_t2x_tpu.transport.solvers import odeint_dopri8
+
+        f = lambda x, t: -x
+        ts = jnp.linspace(1.0, 0.0, 5)
+        out = odeint_dopri8(f, jnp.ones((2,)), ts, atol=1e-8, rtol=1e-8)
+        np.testing.assert_allclose(np.asarray(out), np.e, rtol=1e-6)
+
+    def test_descending_time_dependent_drift(self):
+        # x' = 2t -> backward solve from x(1)=1: x(0) = 1 - 1 = 0
+        f = lambda x, t: 2.0 * jnp.ones_like(x) * t
+        ts = jnp.linspace(1.0, 0.0, 3)
+        out = odeint_adaptive(f, jnp.ones(()), ts, atol=1e-9, rtol=1e-9)
+        np.testing.assert_allclose(float(out), 0.0, atol=1e-6)
+
+    def test_descending_return_all(self):
+        f = lambda x, t: -x
+        ts = jnp.linspace(1.0, 0.0, 4)
+        traj = odeint_adaptive(f, jnp.ones(()), ts, atol=1e-8, rtol=1e-8,
+                               return_all=True)
+        np.testing.assert_allclose(
+            np.asarray(traj), np.exp(1.0 - np.asarray(ts)), rtol=1e-6)
