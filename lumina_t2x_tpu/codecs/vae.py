@@ -167,6 +167,9 @@ class AutoencoderKL(nn.Module):
     num_res_blocks: int = 2
     z_channels: int = 4
     out_channels: int = 3
+    # SD/SDXL VAEs wrap the latents in 1x1 quant convs; SD3's does not
+    # (diffusers use_quant_conv=False / use_post_quant_conv=False)
+    use_quant_conv: bool = True
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -174,20 +177,23 @@ class AutoencoderKL(nn.Module):
                                self.z_channels, True, self.dtype)
         self.decoder = Decoder(self.ch, self.ch_mult, self.num_res_blocks,
                                self.z_channels, self.out_channels, self.dtype)
-        self.quant_conv = nn.Conv(2 * self.z_channels, (1, 1), dtype=self.dtype,
-                                  name="quant_conv")
-        self.post_quant_conv = nn.Conv(self.z_channels, (1, 1), dtype=self.dtype,
-                                       name="post_quant_conv")
+        if self.use_quant_conv:
+            self.quant_conv = nn.Conv(2 * self.z_channels, (1, 1), dtype=self.dtype,
+                                      name="quant_conv")
+            self.post_quant_conv = nn.Conv(self.z_channels, (1, 1), dtype=self.dtype,
+                                           name="post_quant_conv")
 
     def encode_moments(self, x):
         """x: (B, 3, H, W) in [-1, 1] -> moments (B, 2z, H/8, W/8)."""
         h = self.encoder(x.transpose(0, 2, 3, 1))
-        moments = self.quant_conv(h)
+        moments = self.quant_conv(h) if self.use_quant_conv else h
         return moments.transpose(0, 3, 1, 2)
 
     def decode(self, z):
         """z: (B, z, h, w) -> (B, 3, H, W)."""
-        h = self.post_quant_conv(z.transpose(0, 2, 3, 1))
+        h = z.transpose(0, 2, 3, 1)
+        if self.use_quant_conv:
+            h = self.post_quant_conv(h)
         return self.decoder(h).transpose(0, 3, 1, 2)
 
     def __call__(self, x, rng):
@@ -300,8 +306,10 @@ def import_autoencoder_kl_weights(sd, ch_mult: Sequence[int] = (1, 2, 4, 4),
     return {
         "encoder": enc,
         "decoder": dec,
-        "quant_conv": _conv(sd, "quant_conv"),
-        "post_quant_conv": _conv(sd, "post_quant_conv"),
+        # absent on SD3-family VAEs (use_quant_conv=False)
+        **({"quant_conv": _conv(sd, "quant_conv"),
+            "post_quant_conv": _conv(sd, "post_quant_conv")}
+           if "quant_conv.weight" in sd else {}),
     }
 
 

@@ -54,9 +54,12 @@ def kaiser_sinc_filter1d(cutoff: float, half_width: float, kernel_size: int) -> 
 
 
 def _depthwise_fir(x, fir: np.ndarray, stride: int = 1, pad: int = 0):
-    """x: (B, T, C); depthwise 1-D convolution with a shared FIR."""
+    """x: (B, T, C); depthwise 1-D convolution with a shared FIR. The kernel
+    follows x's dtype — lax conv requires matching lhs/rhs dtypes, so a
+    float32 kernel would reject bf16 activations (dtype=bf16 inference)."""
     c = x.shape[-1]
-    kernel = jnp.asarray(fir)[:, None, None] * jnp.ones((1, 1, c))  # (K, 1, C)
+    kernel = (jnp.asarray(fir, x.dtype)[:, None, None]
+              * jnp.ones((1, 1, c), x.dtype))  # (K, 1, C)
     return jax.lax.conv_general_dilated(
         x, kernel, window_strides=(stride,), padding=[(pad, pad)],
         dimension_numbers=("NTC", "TIO", "NTC"), feature_group_count=c,

@@ -98,7 +98,9 @@ def build_audio_gradio_ui(gen: "GenSamples", *, task: str = "music",
         if text_encode_fn is not None:
             return text_encode_fn([prompt]), text_encode_fn([""])
         ly = 16
-        cond = np.random.default_rng(abs(hash(prompt)) % 2**31).standard_normal(
+        from ..utils import stable_text_seed
+
+        cond = np.random.default_rng(stable_text_seed(prompt)).standard_normal(
             (1, ly, ctx_dim)).astype(np.float32)
         return jnp.asarray(cond), jnp.zeros((1, ly, ctx_dim))
 
@@ -205,7 +207,9 @@ def main(argv=None):
     # deterministic pseudo text features offline (T5/CLAP wrappers available
     # in codecs.text_encoders when weights are present)
     ly = 16
-    cond = jnp.asarray(np.random.default_rng(abs(hash(prompt)) % 2**31)
+    from ..utils import stable_text_seed
+
+    cond = jnp.asarray(np.random.default_rng(stable_text_seed(prompt))
                        .standard_normal((1, ly, ctx_dim)).astype(np.float32))
     uncond = jnp.zeros((1, ly, ctx_dim))
 

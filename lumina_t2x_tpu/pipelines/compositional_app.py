@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils import stable_text_seed
+
 from ..models.compositional import NextDiT_2B_patch2_Compositional, forward_with_cfg
 from ..transport import Sampler, create_transport
 
@@ -79,12 +81,12 @@ def main(argv=None):
     ly = 32
     all_caps = args.region_prompts + [NEGATIVE_CAP]
     cap_feats = jnp.stack([
-        jax.random.normal(jax.random.fold_in(rng, abs(hash(c)) % (2**31)), (ly, 2048))
+        jax.random.normal(jax.random.fold_in(rng, stable_text_seed(c)), (ly, 2048))
         for c in all_caps
     ])
     cap_mask = jnp.ones((len(all_caps), ly), jnp.int32)
     gfeats = jnp.stack([
-        jax.random.normal(jax.random.fold_in(rng, abs(hash(c)) % (2**31)), (ly, 2048))
+        jax.random.normal(jax.random.fold_in(rng, stable_text_seed(c)), (ly, 2048))
         for c in (args.global_prompt, NEGATIVE_CAP)
     ])
     gmask = jnp.ones((2, ly), jnp.int32)

@@ -33,6 +33,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils import stable_text_seed
+
 
 class ModelFailure:
     """Failure sentinel (`demo.py:23`)."""
@@ -115,7 +117,7 @@ class InferenceWorker:
         # headless fallback: deterministic hashed pseudo-features
         ly = 32
         feats = np.stack([
-            np.random.default_rng(abs(hash(c)) % (2**31)).standard_normal(
+            np.random.default_rng(stable_text_seed(c)).standard_normal(
                 (ly, self.cap_feat_dim)).astype(np.float32)
             for c in (cap, neg_cap or "")
         ])

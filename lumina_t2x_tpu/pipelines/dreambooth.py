@@ -25,7 +25,6 @@ import numpy as np
 from ..core.checkpoint import save_checkpoint
 from ..core.logging import create_logger
 from ..models import get_model
-from ..parallel import create_mesh
 from ..transport.mini import training_losses_mini
 from .train_lib import TrainState, create_optimizer, create_train_state
 
@@ -45,6 +44,12 @@ def parse_args(argv=None):
     p.add_argument("--train_batch_size", type=int, default=1)
     p.add_argument("--max_train_steps", type=int, default=500)
     p.add_argument("--learning_rate", type=float, default=1e-5)
+    p.add_argument("--max_grad_norm", type=float, default=1.0,
+                   help="global-norm gradient clip (the reference's "
+                        "accelerate clip_grad_norm_)")
+    p.add_argument("--ema_decay", type=float, default=0.0,
+                   help="EMA decay for the saved 'ema' stream; 0 = the ema "
+                        "stream exactly tracks the fine-tuned weights")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cap_feat_dim", type=int, default=2048)
     p.add_argument("--text_encoder", type=str, default=None)
@@ -78,7 +83,9 @@ def _caption_features(prompt: str, n: int, cap_feat_dim: int, text_encoder=None)
         feats, mask = text_encoder.encode([prompt] * n)
         return np.asarray(feats), np.asarray(mask)
     ly = 32
-    r = np.random.default_rng(abs(hash(prompt)) % 2**31)
+    from ..utils import stable_text_seed
+
+    r = np.random.default_rng(stable_text_seed(prompt))
     feats = np.repeat(r.standard_normal((1, ly, cap_feat_dim)).astype(np.float32), n, 0)
     return feats, np.ones((n, ly), np.int32)
 
@@ -90,11 +97,19 @@ def dreambooth_batches(args, text_encoder=None, vae=None, vae_variables=None) ->
         for f in os.listdir(args.instance_data_dir) if f.lower().endswith(exts)
     )
     cls_paths = []
-    if args.with_prior_preservation and args.class_data_dir:
+    if args.with_prior_preservation:
+        # the reference script errors on this combination too: without class
+        # images the step would split instance rows in half and mislabel (or
+        # NaN at batch size 1)
+        if not args.class_data_dir:
+            raise ValueError("--with_prior_preservation requires --class_data_dir")
         cls_paths = sorted(
             os.path.join(args.class_data_dir, f)
             for f in os.listdir(args.class_data_dir) if f.lower().endswith(exts)
         )
+        if not cls_paths:
+            raise ValueError(f"--class_data_dir {args.class_data_dir!r} "
+                             "contains no images")
     rng = np.random.default_rng(args.seed)
     b = args.train_batch_size
     while True:
@@ -120,9 +135,14 @@ def dreambooth_batches(args, text_encoder=None, vae=None, vae_variables=None) ->
 
 
 def make_dreambooth_step(model, optimizer, prior_loss_weight: float,
-                         with_prior: bool, ema_decay: float = 0.0):
+                         with_prior: bool, ema_decay: float = 0.0,
+                         grad_clip: float = 1.0):
     """Prior-preservation train step: split the batch into (instance, class)
-    halves and weight the class loss (`train_dreambooth_sd3.py` loss block)."""
+    halves and weight the class loss (`train_dreambooth_sd3.py` loss block).
+    Clips at `grad_clip` global norm (the reference's accelerate
+    clip_grad_norm_) and maintains the `ema` stream — with ema_decay=0 it
+    exactly tracks the fine-tuned params, so the checkpoint's 'ema' subtree
+    (what every sampler restores) always holds usable weights."""
     import optax
 
     def step(state: TrainState, batch, rng):
@@ -145,9 +165,15 @@ def make_dreambooth_step(model, optimizer, prior_loss_weight: float,
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         gnorm = optax.global_norm(grads)
+        if grad_clip and grad_clip > 0:
+            scale = jnp.minimum(1.0, grad_clip / (gnorm + 1e-6))
+            grads = jax.tree.map(lambda g: g * scale, grads)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        new_state = state.replace(step=state.step + 1, params=params, opt_state=opt_state)
+        ema = jax.tree.map(lambda e, q: e * ema_decay + (1.0 - ema_decay) * q,
+                           state.ema_params, params)
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  opt_state=opt_state, ema_params=ema)
         return new_state, {"loss": loss, "grad_norm": gnorm, **aux}
 
     return step
@@ -182,11 +208,16 @@ def main(argv=None):
     if args.pretrained_ckpt:
         from ..core.checkpoint import init_from
 
-        state = state.replace(params=init_from(args.pretrained_ckpt, state.params))
+        loaded = init_from(args.pretrained_ckpt, state.params)
+        # seed the EMA stream too: it is what the samplers restore
+        state = state.replace(params=loaded,
+                              ema_params=jax.tree.map(jnp.array, loaded))
         logger.info(f"loaded pretrained weights from {args.pretrained_ckpt}")
 
     step = jax.jit(make_dreambooth_step(model, optimizer, args.prior_loss_weight,
-                                        args.with_prior_preservation))
+                                        args.with_prior_preservation,
+                                        ema_decay=args.ema_decay,
+                                        grad_clip=args.max_grad_norm))
     rng = jax.random.PRNGKey(args.seed)
     batch = first
     for i in range(args.max_train_steps):

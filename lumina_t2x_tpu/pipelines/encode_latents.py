@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils import stable_text_seed
+
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="pre-encode latents + caption features")
@@ -85,7 +87,7 @@ def main(argv=None):
             feats, mask = text_encoder.encode([caption])
             feats = np.asarray(feats[0], np.float32)[: int(np.asarray(mask[0]).sum())]
         else:
-            feats = np.random.default_rng(abs(hash(caption)) % 2**31).standard_normal(
+            feats = np.random.default_rng(stable_text_seed(caption)).standard_normal(
                 (32, 2048)).astype(np.float32)
         np.save(os.path.join(args.out, "captions", f"{i}.npy"), feats)
         index[str(i)] = {"caption": caption, "latent_shape": list(z.shape)}

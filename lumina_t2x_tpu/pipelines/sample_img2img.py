@@ -105,8 +105,20 @@ def main(argv=None):
     out = sample_fn(variables, jax.random.fold_in(rng, 2), x1, cap_feats, cap_mask)
     jax.block_until_ready(out)
 
-    out_path = os.path.join(args.image_save_path, "img2img.npy")
-    np.save(out_path, np.asarray(out))
+    if args.vae_ckpt:
+        # decode to pixels (the raw output is a scaled LATENT — useless to a
+        # viewer); same contract as sample.py/sample_sd3.py PNG outputs
+        from PIL import Image
+
+        from ..codecs.vae import decode_from_latent
+
+        img = np.asarray(decode_from_latent(vae, vv, out))
+        img = np.clip((img + 1.0) / 2.0, 0.0, 1.0)
+        out_path = os.path.join(args.image_save_path, "img2img.png")
+        Image.fromarray((img[0].transpose(1, 2, 0) * 255).astype(np.uint8)).save(out_path)
+    else:
+        out_path = os.path.join(args.image_save_path, "img2img.npy")
+        np.save(out_path, np.asarray(out))
     with open(os.path.join(args.image_save_path, "data.json"), "w") as f:
         json.dump({"args": vars(args), "output": out_path}, f, indent=2, default=str)
     print(f"saved {out_path}")

@@ -72,7 +72,9 @@ def encode_prompt_debug(caption: str, negative: str = ""):
     (shape contract of `pipe.encode_prompt`, `sample_sd3.py:95-100`)."""
 
     def feats(text, key):
-        k = jax.random.fold_in(jax.random.PRNGKey(key), abs(hash(text)) % (2 ** 31))
+        from ..utils import stable_text_seed
+
+        k = jax.random.fold_in(jax.random.PRNGKey(key), stable_text_seed(text))
         return (jax.random.normal(k, (1, 77, 4096)),
                 jax.random.normal(jax.random.fold_in(k, 1), (1, 2048)))
 
@@ -105,8 +107,18 @@ def main(argv=None):
     if args.vae_ckpt and not args.debug:
         from ..codecs.vae import load_vae
 
-        vae, vv = load_vae(args.vae_ckpt, in_channels=3, latent_channels=16)
+        # SD3's 16-channel VAE has no quant convs (use_quant_conv=False)
+        vae, vv = load_vae(args.vae_ckpt, z_channels=16, use_quant_conv=False)
         vae_decode = jax.jit(lambda z: vae.apply(vv, z, method=vae.decode))
+
+    if args.ckpt and not args.debug:
+        # no CLIP/T5 towers in this environment: conditioning falls back to
+        # the deterministic pseudo-features — loud, because with real
+        # transformer weights the outputs are then prompt-UNRELATED
+        print("warning: no text-encoder path available; prompts are encoded "
+              "as deterministic pseudo-features (images will not follow the "
+              "captions). Mount CLIP/T5 weights and wire encode_prompt to "
+              "sample real SD3 outputs.")
 
     ode = MiniODE(args.num_sampling_steps, args.solver, args.time_shifting_factor,
                   use_sd3=True)
@@ -118,7 +130,9 @@ def main(argv=None):
             sid = f"{idx}_{wh}"
             if sid in collected:
                 continue
-            rng = jax.random.PRNGKey(args.seed if args.seed else idx)
+            # per-caption noise derived from the explicit seed: distinct
+            # compositions per prompt AND reproducible runs (seed 0 included)
+            rng = jax.random.fold_in(jax.random.PRNGKey(args.seed), idx)
             z = jax.random.normal(rng, (1, 16, h // 8, w // 8), jnp.float32)
             z = jnp.concatenate([z, z], axis=0)
             context, pooled = encode_prompt_debug(caption)

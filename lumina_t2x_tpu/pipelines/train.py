@@ -209,7 +209,9 @@ def t2i_batches(args, text_encoder=None, start_step: int = 0):
         else:
             # deterministic hashed pseudo-features: smoke/perf mode
             ly = 32
-            rngs = [np.random.default_rng(abs(hash(c)) % (2**31)) for c in captions]
+            from ..utils import stable_text_seed
+
+            rngs = [np.random.default_rng(stable_text_seed(c)) for c in captions]
             cap_feats = np.stack(
                 [r.standard_normal((ly, args.cap_feat_dim)).astype(np.float32) for r in rngs]
             )

@@ -168,6 +168,13 @@ def main(argv=None):
     meter.start()
     batch = first
     for step in range(int(state.step), args.max_steps):
+        if jax.process_count() > 1:
+            # assemble per-process local batches into the global sharded
+            # array (same as train.py; a raw numpy batch would be treated
+            # as a full replicated global value — silently wrong data)
+            from ..parallel.mesh import form_global_batch
+
+            batch = form_global_batch(mesh, batch)
         state, m = jitted(state, batch, rng)
         if (step + 1) % args.log_every == 0:
             tp = meter.step(args.log_every * args.global_batch_size, sync_array=m["loss"])

@@ -18,4 +18,15 @@ __all__ = [
     "save_safetensors",
     "create_logger", "MetricsWriter", "Throughput", "ProfilerSession",
     "scrape_log", "read_metrics_jsonl", "compare_runs",
+    "stable_text_seed",
 ]
+
+
+def stable_text_seed(text: str) -> int:
+    """Deterministic 31-bit seed for a string — python's builtin ``hash`` is
+    SALTED per interpreter (PYTHONHASHSEED), so pseudo-feature conditioning
+    keyed on it differs between runs of the same command; crc32 is stable
+    across processes, platforms, and versions."""
+    import zlib
+
+    return zlib.crc32(text.encode("utf-8")) & 0x7FFFFFFF

@@ -116,3 +116,26 @@ class TestDreamBooth:
         ])
         assert int(state.step) == 3
         assert (tmp_path / "out" / "checkpoints" / "0000003").exists()
+        # the 'ema' stream (what every sampler restores) must carry the
+        # fine-tuned weights: with the default ema_decay=0 it tracks params
+        # exactly — never the random init
+        import jax as _jax
+        import numpy as _np
+
+        _jax.tree.map(
+            lambda e, q: _np.testing.assert_array_equal(_np.asarray(e), _np.asarray(q)),
+            state.ema_params, state.params)
+
+    def test_prior_flag_requires_class_data(self, tmp_path):
+        inst = tmp_path / "inst2"
+        inst.mkdir()
+        Image.new("RGB", (64, 64)).save(inst / "0.png")
+        from lumina_t2x_tpu.pipelines.dreambooth import main
+
+        with pytest.raises(ValueError, match="class_data_dir"):
+            main(["--instance_data_dir", str(inst),
+                  "--instance_prompt", "a photo of sks dog",
+                  "--with_prior_preservation",
+                  "--resolution", "64", "--max_train_steps", "1",
+                  "--cap_feat_dim", "16", "--precision", "fp32",
+                  "--output_dir", str(tmp_path / "out2")])
