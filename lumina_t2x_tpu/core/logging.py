@@ -80,17 +80,14 @@ class Throughput:
     """secs/step + items/sec meter with device sync (`train.py:589-606`)."""
 
     def __init__(self):
-        self._t0 = None
-        self._items = 0
+        self._t0 = time.perf_counter()
 
     def start(self):
         self._t0 = time.perf_counter()
-        self._items = 0
 
     def step(self, n_items: int, sync_array=None) -> Dict[str, float]:
         if sync_array is not None:
             jax.block_until_ready(sync_array)
-        self._items += n_items
         dt = time.perf_counter() - self._t0
         out = {"secs_per_step": dt, "items_per_sec": n_items / dt if dt > 0 else 0.0}
         self._t0 = time.perf_counter()

@@ -166,6 +166,18 @@ def pooled_caption(cap_feats, cap_mask):
     return pooled.astype(cap_feats.dtype)
 
 
+def ffn_hidden_size(hidden_dim: int, multiple_of: int,
+                    ffn_dim_multiplier=None) -> int:
+    """LLaMA SwiGLU width: 2/3 of the nominal hidden, optional multiplier,
+    rounded UP to multiple_of (`model.py:314-320`). Checkpoint-shape-
+    determining — the dense FeedForward and the MoE experts must share it.
+    """
+    hidden = int(2 * hidden_dim / 3)
+    if ffn_dim_multiplier is not None:
+        hidden = int(ffn_dim_multiplier * hidden)
+    return multiple_of * ((hidden + multiple_of - 1) // multiple_of)
+
+
 class FeedForward(nn.Module):
     """SwiGLU MLP: w2(silu(w1 x) * w3 x) (`model.py:441-502`)."""
 
@@ -178,10 +190,8 @@ class FeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        hidden = int(2 * self.hidden_dim / 3)
-        if self.ffn_dim_multiplier is not None:
-            hidden = int(self.ffn_dim_multiplier * hidden)
-        hidden = self.multiple_of * ((hidden + self.multiple_of - 1) // self.multiple_of)
+        hidden = ffn_hidden_size(self.hidden_dim, self.multiple_of,
+                                 self.ffn_dim_multiplier)
         init = nn.initializers.xavier_uniform()
         x1 = nn.Dense(hidden, use_bias=False, kernel_init=init, dtype=self.dtype, param_dtype=self.param_dtype, name="w1")(x)
         x3 = nn.Dense(hidden, use_bias=False, kernel_init=init, dtype=self.dtype, param_dtype=self.param_dtype, name="w3")(x)

@@ -32,6 +32,7 @@ from flax import linen as nn
 from ..ops.attention import default_attn_scale
 from ..ops.rope import rope_angles_2d
 from .layers import (
+    ffn_hidden_size,
     maybe_remat,
     Attention,
     FeedForward,
@@ -46,10 +47,9 @@ from .layers import (
 
 
 def _ffn_hidden(dim: int, multiple_of: int, ffn_dim_multiplier: Optional[float]) -> int:
-    hidden = int(2 * (4 * dim) / 3)
-    if ffn_dim_multiplier is not None:
-        hidden = int(ffn_dim_multiplier * hidden)
-    return multiple_of * ((hidden + multiple_of - 1) // multiple_of)
+    # the dense FeedForward's formula, shared so expert shapes can never
+    # silently diverge from the importable checkpoint shapes
+    return ffn_hidden_size(4 * dim, multiple_of, ffn_dim_multiplier)
 
 
 class TimeMoEFFN(nn.Module):
@@ -60,13 +60,14 @@ class TimeMoEFFN(nn.Module):
     ffn_dim_multiplier: Optional[float] = None
     num_experts: int = 8
     num_experts_per_tok: int = 2
-    cond_dim: int = 1024
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, cond):
-        """x: (B, S, d); cond: (B, cond_dim) — the timestep embedding."""
+        """x: (B, S, d); cond: (B, C) — the timestep embedding (the gate
+        Dense infers C; there is deliberately no width field to get stale).
+        """
         e, k = self.num_experts, self.num_experts_per_tok
         hidden = _ffn_hidden(self.dim, self.multiple_of, self.ffn_dim_multiplier)
         init = nn.initializers.xavier_uniform()

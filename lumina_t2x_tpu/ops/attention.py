@@ -109,9 +109,12 @@ def sdpa(
 
 
 def resolve_impl(impl: str) -> str:
-    """'auto' -> flash on TPU backends, xla elsewhere."""
+    """'auto' -> flash on TPU backends, xla elsewhere. The check is an
+    allowlist: the Pallas kernel lowers through Mosaic-TPU, so a GPU (or any
+    other) backend must take the sdpa path rather than fail at compile."""
     if impl == "auto":
-        return "flash" if jax.default_backend() not in ("cpu",) else "xla"
+        return "flash" if jax.default_backend().startswith("tpu") or \
+            jax.default_backend() == "axon" else "xla"
     return impl
 
 

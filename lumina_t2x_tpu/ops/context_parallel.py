@@ -57,8 +57,9 @@ def allgather_context_attention(q, k, v, mesh: Mesh, axis: str = "data",
 def _block_attention_stats(q, k, v, mask, scale):
     """Unnormalized local attention: returns (m, l, acc) in fp32.
 
-    m: (B, Sq, Hkv, rep) row max; l: row denominator; acc: (B, Sq, H, D)
-    unnormalized numerator.
+    m: (B, Hkv, rep, Sq) row max; l: (B, Hkv, rep, Sq) row denominator;
+    acc: (B, Hkv, rep, Sq, D) unnormalized numerator — the ring combine
+    broadcasts over these axes.
     """
     b, sq, hq, d = q.shape
     _, sk, hkv, _ = k.shape
@@ -92,6 +93,12 @@ def ring_context_attention(q, k, v, mesh: Mesh, axis: str = "data",
 
         def step(carry, _):
             k_cur, v_cur, mask_cur, m_run, l_run, acc_run = carry
+            # rotate FIRST: the local block is folded before the loop, so a
+            # ring of n devices pays exactly n-1 K/V/mask rotations (the old
+            # rotate-last form permuted blocks the final iteration discarded)
+            k_cur = jax.lax.ppermute(k_cur, axis, perm)
+            v_cur = jax.lax.ppermute(v_cur, axis, perm)
+            mask_cur = jax.lax.ppermute(mask_cur, axis, perm)
             m_blk, l_blk, acc_blk = _block_attention_stats(
                 q_loc, k_cur, v_cur, mask_cur, scale
             )
@@ -100,18 +107,12 @@ def ring_context_attention(q, k, v, mesh: Mesh, axis: str = "data",
             a2 = jnp.exp(m_blk - m_new)
             l_new = l_run * a1 + l_blk * a2
             acc_new = acc_run * a1[..., None] + acc_blk * a2[..., None]
-            k_nxt = jax.lax.ppermute(k_cur, axis, perm)
-            v_nxt = jax.lax.ppermute(v_cur, axis, perm)
-            mask_nxt = jax.lax.ppermute(mask_cur, axis, perm)
-            return (k_nxt, v_nxt, mask_nxt, m_new, l_new, acc_new), None
+            return (k_cur, v_cur, mask_cur, m_new, l_new, acc_new), None
 
-        # mark the init carries as varying over the mesh axis so the scan
-        # carry type matches the (axis-varying) outputs
-        m0 = jax.lax.pvary(jnp.full((b, hkv, rep, sq), _NEG_BIG, jnp.float32), axis)
-        l0 = jax.lax.pvary(jnp.zeros((b, hkv, rep, sq), jnp.float32), axis)
-        acc0 = jax.lax.pvary(jnp.zeros((b, hkv, rep, sq, d), jnp.float32), axis)
+        # fold the resident block, then rotate through the other n-1
+        m0, l0, acc0 = _block_attention_stats(q_loc, k_loc, v_loc, mask_loc, scale)
         (k_f, v_f, mask_f, m, l, acc), _ = jax.lax.scan(
-            step, (k_loc, v_loc, mask_loc, m0, l0, acc0), None, length=n
+            step, (k_loc, v_loc, mask_loc, m0, l0, acc0), None, length=n - 1
         )
         out = acc / jnp.maximum(l[..., None], 1e-30)
         out = jnp.moveaxis(out, 3, 1).reshape(b, sq, hq, d)  # (b,hkv,rep,sq,d)->(b,sq,h,d)

@@ -972,6 +972,7 @@ def flash_attention_rope(q, k, v, angles, kv_mask=None, scale: Optional[float] =
     rotate_k=False (cross-attention) only q is rotated and k/v keep their
     own (caption) length.
     """
+    _check_gqa_heads(q.shape[2], k.shape[2])
     if scale is None:
         scale = default_attn_scale(q.shape[-1])
     if kv_mask is None:
@@ -990,12 +991,23 @@ def _fold_traced_scale(q, scale):
     return q * jnp.asarray(scale, q.dtype), 1.0
 
 
+def _check_gqa_heads(hq: int, hkv: int):
+    """Fail fast on a non-divisible GQA config: the kernels' kv-head block
+    index is hi // (hq // hkv); with floor-divided rep an out-of-range index
+    would be CLAMPED by Pallas and the last q heads would silently attend
+    the wrong kv head (sdpa asserts the same invariant)."""
+    if hq % hkv != 0:
+        raise ValueError(f"GQA requires n_q_heads ({hq}) divisible by "
+                         f"n_kv_heads ({hkv})")
+
+
 def flash_attention(q, k, v, kv_mask=None, scale: Optional[float] = None):
     """Flash attention entry point; see module docstring.
 
     Args:
       q: (B, Sq, Hq, D); k, v: (B, Sk, Hkv, D); kv_mask: optional (B, Sk).
     """
+    _check_gqa_heads(q.shape[2], k.shape[2])
     if scale is None:
         scale = default_attn_scale(q.shape[-1])
     if kv_mask is None:
