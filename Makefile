@@ -13,9 +13,14 @@ test:
 # at exit-adjacent teardown (torch-inductor + jax-CPU extension interaction
 # after ~200 C extensions load); per-module isolation is immune and every
 # module is known-green standalone.
+# one retry per module: XLA-CPU's in-process runtime can abort a whole
+# pytest process nondeterministically (observed in test_e2e after 4 green
+# tests; the same module passes standalone) — a real failure still fails
+# twice and stops the run
 test-all:
 	@set -e; for m in tests/test_*.py; do \
-	  echo "== $$m"; python -m pytest $$m -q -m '' || exit 1; \
+	  echo "== $$m"; python -m pytest $$m -q -m '' || \
+	  { echo "== retry $$m"; python -m pytest $$m -q -m ''; } || exit 1; \
 	done
 
 test-fast:
