@@ -102,7 +102,13 @@ def load_checkpoint(path: str, state, free_placeholder: bool = True):
 
 
 def load_model_args(path: str) -> Dict:
-    with open(os.path.join(path, "model_args.json")) as f:
+    """Recorded model args of a checkpoint dir, or {} when absent (converted
+    release checkpoints — `lumina convert` writes only the ema subtree; the
+    reference's `model_args.pth` is likewise trainer-only)."""
+    args_path = os.path.join(path, "model_args.json")
+    if not os.path.exists(args_path):
+        return {}
+    with open(args_path) as f:
         return json.load(f)
 
 

@@ -65,10 +65,24 @@ class InferenceRequest:
 
 
 class InferenceWorker:
-    """Loads the model once; compiles one sampler per static-knob bucket."""
+    """Loads the model once; compiles one sampler per static-knob bucket.
+
+    `infer` serializes on an internal lock: one generation owns the chip at
+    a time, and the sampler-cache fill + static-max calibration (a
+    process-global env-var handshake read at trace time) must not interleave
+    across concurrent front-end requests (gradio threads or the HTTP
+    server's pool). The compiled-sampler cache is a small LRU: its keys
+    include CONTINUOUS knobs (cfg/t-shift/watershed are baked into the
+    traced program), so an unbounded dict would grow one multi-minute XLA
+    compile per distinct value a client ever sent.
+    """
+
+    MAX_CACHED_SAMPLERS = 8
 
     def __init__(self, model, variables, *, text_encode_fn=None, vae_decode_fn=None,
                  train_res: int = 1024, cap_feat_dim: int = 2048):
+        import threading
+
         self.model = model
         self.variables = variables
         self.text_encode_fn = text_encode_fn
@@ -76,6 +90,7 @@ class InferenceWorker:
         self.train_res = train_res
         self.cap_feat_dim = cap_feat_dim
         self._sampler_cache: Dict[Tuple, callable] = {}
+        self._lock = threading.Lock()
 
     def _resolution(self, s: str) -> Tuple[int, int]:
         s = s.split(")")[-1].strip()
@@ -107,8 +122,17 @@ class InferenceWorker:
                 time_shifting_factor=req.t_shift, train_res=self.train_res,
                 scale_watershed=req.scaling_watershed if do_timeaware else 1.0,
                 proportional_attn=req.proportional_attn,
+                # 'None' means NO RoPE scaling (reference sample.py:227-232
+                # sets scale_factor=1 AND watershed=1), not all-linear
+                time_aware_scaling=do_timeaware,
             )
+            if len(self._sampler_cache) >= self.MAX_CACHED_SAMPLERS:
+                evicted = next(iter(self._sampler_cache))
+                del self._sampler_cache[evicted]
             self._sampler_cache[key] = jax.jit(fn)
+        else:
+            # LRU refresh
+            self._sampler_cache[key] = self._sampler_cache.pop(key)
         return self._sampler_cache[key]
 
     def _encode_captions(self, cap: str, neg_cap: str):
@@ -124,7 +148,12 @@ class InferenceWorker:
         return jnp.asarray(feats), jnp.ones((2, ly), jnp.int32)
 
     def infer(self, req: InferenceRequest):
-        """Returns dict(latents=..., image=..., metadata=...) or ModelFailure."""
+        """Returns dict(latents=..., image=..., metadata=...) or ModelFailure.
+        Thread-safe: serialized on the worker lock (see class docstring)."""
+        with self._lock:
+            return self._infer_locked(req)
+
+    def _infer_locked(self, req: InferenceRequest):
         try:
             t0 = time.time()
             cap_feats, cap_mask = self._encode_captions(req.cap, req.neg_cap)
@@ -181,16 +210,28 @@ def make_submit_handler(worker: InferenceWorker, error_cls=RuntimeError):
 def build_worker(model_name: str = "NextDiT_2B_patch2", precision: str = "bf16",
                  ckpt: Optional[str] = None, debug: bool = False) -> InferenceWorker:
     """Build the demo model + InferenceWorker from CLI-level options (shared
-    startup of the gradio and HTTP front-ends)."""
+    startup of the gradio and HTTP front-ends). A checkpoint's recorded
+    model_args (model name, qk_norm, cap_feat_dim) override the CLI default
+    — the same model-reconstruction contract as sample.py / the reference's
+    `model_args.pth` (`sample.py:99,125-128`); hardcoding would crash the
+    restore on any checkpoint trained with different settings."""
     from ..core import enable_compile_cache
+    from ..core.checkpoint import load_model_args
     from ..models import get_model
 
     enable_compile_cache()
     dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
-    model = get_model(model_name, cap_feat_dim=2048, dtype=dtype, qk_norm=True)
+    qk_norm, cap_feat_dim = True, 2048
+    if ckpt and not debug:
+        train_args = load_model_args(ckpt)
+        model_name = train_args.get("model", model_name)
+        qk_norm = bool(train_args.get("qk_norm", qk_norm))
+        cap_feat_dim = int(train_args.get("cap_feat_dim", cap_feat_dim))
+    model = get_model(model_name, cap_feat_dim=cap_feat_dim, dtype=dtype,
+                      qk_norm=qk_norm)
     rng = jax.random.PRNGKey(0)
     x0 = jnp.zeros((2, 4, 32, 32))
-    cap = jnp.zeros((2, 8, 2048))
+    cap = jnp.zeros((2, 8, cap_feat_dim))
     variables = jax.jit(model.init)(
         rng, x0, jnp.zeros((2,)), cap, jnp.ones((2, 8), jnp.int32))
     if ckpt and not debug:
@@ -200,7 +241,7 @@ def build_worker(model_name: str = "NextDiT_2B_patch2", precision: str = "bf16",
 
         variables = {"params": ocp.StandardCheckpointer().restore(
             os.path.join(os.path.abspath(ckpt), "ema"), variables["params"])}
-    return InferenceWorker(model, variables)
+    return InferenceWorker(model, variables, cap_feat_dim=cap_feat_dim)
 
 
 def build_gradio_ui(worker: InferenceWorker):

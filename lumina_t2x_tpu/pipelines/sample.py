@@ -107,9 +107,18 @@ def main(argv=None):
     dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
     rng = jax.random.PRNGKey(args.seed)
 
+    # -- model + weights -----------------------------------------------------
+    # resolve the EFFECTIVE model name first: a checkpoint's recorded
+    # model_args override args.model, and everything downstream
+    # (class-cond branch choice, cap_feat_dim defaulting) must key on the
+    # resolved name, not the CLI default
+    train_args = {}
+    if args.ckpt and not args.debug:
+        train_args = load_model_args(args.ckpt)
+        args.model = train_args.get("model", args.model)
+
     is_class_cond = args.labels is not None or "ImageNet" in args.model or "MoE" in args.model
 
-    # -- model + weights -----------------------------------------------------
     model_kwargs = dict(qk_norm=args.qk_norm, dtype=dtype)
     if args.bf16_params:
         # store params in bf16 (release-checkpoint layout): halves param HBM,
@@ -118,15 +127,14 @@ def main(argv=None):
     if not is_class_cond:
         if args.cap_feat_dim is not None:
             model_kwargs["cap_feat_dim"] = args.cap_feat_dim
+        elif train_args.get("cap_feat_dim"):
+            model_kwargs["cap_feat_dim"] = int(train_args["cap_feat_dim"])
         elif "FlagDiT" not in args.model:
             # Gemma-2B width, the lumina_next default; FlagDiT configs keep
             # their own registry default (4096, LLaMA-2-7B features).
             model_kwargs["cap_feat_dim"] = 2048
-    if args.ckpt and not args.debug:
-        train_args = load_model_args(args.ckpt)
-        args.model = train_args.get("model", args.model)
-        if train_args.get("qk_norm"):
-            model_kwargs["qk_norm"] = True
+    if train_args.get("qk_norm"):
+        model_kwargs["qk_norm"] = True
     model = get_model(args.model, **model_kwargs)
 
     manifest = {"args": vars(args), "items": []}
@@ -187,7 +195,14 @@ def main(argv=None):
 
         for res in args.resolution:
             cat, w, h = parse_resolution(res)
-            do_extrap = cat > 1 or (w * h > args.train_res**2)
+            # extrapolation mechanisms (scale_factor, proportional attn)
+            # engage iff the AREA exceeds train_res^2 — the same derivation
+            # build_t2i_sample_fn makes internally, and numerically what the
+            # reference does too (its category flag only gates quantities
+            # that are neutral at train-res area: sqrt(area/train^2)=1,
+            # log_base(base_seqlen)=1). The category prefix is carried for
+            # manifest/naming parity only.
+            do_extrap = (w * h > args.train_res**2)
             x_init = jnp.zeros((2, 4, h // 8, w // 8))
             t0 = jnp.zeros((2,))
             variables = jax.jit(model.init)(rng, x_init, t0, cap_feats[:2], cap_mask[:2])

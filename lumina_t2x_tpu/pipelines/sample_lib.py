@@ -93,13 +93,17 @@ def build_t2i_sample_fn(
     vae_downsample: int = 8,
     atol: float = 1e-6,
     rtol: float = 1e-3,
+    time_aware_scaling: bool = True,
 ):
     """Text-to-image sampler mirroring `lumina_next_t2i/sample.py:173-240`.
 
     Returns `sample_fn(variables, rng, cap_feats, cap_mask) -> latents`.
     cap_feats must hold conditional rows then unconditional (empty-prompt)
     rows: (2B, Ly, D). atol/rtol govern the adaptive solvers
-    (dopri5/dopri8) only.
+    (dopri5/dopri8) only. time_aware_scaling=False is the reference's
+    scaling_method='None' branch (`sample.py:227-232`): scale_factor AND
+    watershed both force 1.0 — no RoPE scaling at all, not merely
+    all-linear scaling.
     """
     transport = create_transport(path_type, "velocity")
     sampler = Sampler(transport)
@@ -109,7 +113,11 @@ def build_t2i_sample_fn(
     )
     lh, lw = height // vae_downsample, width // vae_downsample
     do_extrapolation = (width * height) > (train_res * train_res)
-    scale_factor = resolution_scale_factor(width, height, train_res) if do_extrapolation else 1.0
+    if not time_aware_scaling:
+        scale_factor, scale_watershed = 1.0, 1.0
+    else:
+        scale_factor = (resolution_scale_factor(width, height, train_res)
+                        if do_extrapolation else 1.0)
     base_seqlen = (train_res // vae_downsample // model.patch_size) ** 2
     # Flag-DiT (lumina_t2i family): 1-D RoPE with the demo's NTK-factor
     # extrapolation ntk = seqlen/base_seqlen ((w/16 * h/16)/base,
@@ -311,6 +319,12 @@ def build_img2img_sample_fn(
     """
     from ..transport.solvers import odeint_fixed, time_shift
 
+    if not 0.0 < strength <= 1.0:
+        raise ValueError(f"strength must be in (0, 1], got {strength} "
+                         "(0 would leave a degenerate single-point schedule)")
+    if num_steps < 2:
+        raise ValueError(f"num_steps must be >= 2, got {num_steps} "
+                         "(the truncated grid renormalization needs a span)")
     t0 = 1.0 - strength
     ts = jnp.linspace(t0, 1.0, num_steps)
     ts = time_shift(ts, time_shifting_factor) if time_shifting_factor else ts

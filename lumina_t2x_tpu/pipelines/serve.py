@@ -108,6 +108,23 @@ def parse_request(payload: dict) -> InferenceRequest:
         raise ValueError("solver must be one of euler/midpoint/rk4")
     if not 1.0 <= req.cfg_scale <= 20.0:
         raise ValueError("cfg_scale must be in [1, 20]")
+    # the gradio UI's ranges, enforced (`demo.py:361-552`): t_shift 0 makes
+    # the time grid 0/0 = NaN (garbage image with HTTP 200), and an
+    # arbitrary resolution is an unbounded compile/HBM request against the
+    # serving process
+    if not 1.0 <= req.t_shift <= 20.0:
+        raise ValueError("t_shift must be in [1, 20]")
+    if not 0.0 < req.scaling_watershed <= 1.0:
+        raise ValueError("scaling_watershed must be in (0, 1]")
+    if req.scaling_method not in ("Time-aware", "None"):
+        raise ValueError("scaling_method must be 'Time-aware' or 'None'")
+    try:
+        wh = req.resolution.split(")")[-1].strip().lower().split("x")
+        w, h = int(wh[0]), int(wh[1])
+    except (ValueError, IndexError):
+        raise ValueError("resolution must look like '1024x1024'")
+    if w % 16 or h % 16 or not 64 <= w <= 2048 or not 64 <= h <= 2048:
+        raise ValueError("resolution sides must be multiples of 16 in [64, 2048]")
     return req
 
 

@@ -355,8 +355,13 @@ def main(argv=None):
         state = load_checkpoint(resume_dir, state)
         logger.info(f"resumed from {resume_dir} at step {int(state.step)}")
     elif args.init_from:
-        state = state.replace(params=init_from_ckpt(args.init_from, state.params))
-        logger.info(f"initialized weights from {args.init_from}")
+        loaded = init_from_ckpt(args.init_from, state.params)
+        # seed the EMA stream too (the reference deep-copies the loaded
+        # model into EMA): a random-init EMA would poison every early
+        # checkpoint's 'ema' subtree — the stream samplers restore
+        state = state.replace(params=loaded,
+                              ema_params=jax.tree.map(jnp.array, loaded))
+        logger.info(f"initialized weights (and EMA) from {args.init_from}")
 
     micro = (args.global_batch_size // args.micro_batch_size) if args.micro_batch_size else 1
     grad_dtype = {"fp32": None, "fp16": jnp.float16, "bf16": jnp.bfloat16}[args.grad_precision]
@@ -446,7 +451,9 @@ def main(argv=None):
             if n_skipped:
                 logger.warning(f"non-finite loss/grad: skipped {n_skipped} of "
                                f"the last {len(running)} updates")
-            tp = meter.step(args.log_every * args.global_batch_size, sync_array=m["loss"])
+            # count the steps that actually ran in this window (the first
+            # window after a resume can be shorter than log_every)
+            tp = meter.step(len(running) * args.global_batch_size, sync_array=m["loss"])
             logger.info(
                 f"(step={step + 1:07d}) Train Loss: {loss:.4f}, "
                 f"Train Grad Norm: {gnorm:.4f}, "

@@ -110,12 +110,25 @@ class TestDemoApp:
         status, _, _ = app.handle("POST", "/api/generate", b"not json")
         assert status == 400
 
-    def test_worker_failure_is_500(self, app):
-        bad = dict(_REQ, resolution="not-a-res")
+    def test_worker_failure_is_500(self, app, monkeypatch):
+        from lumina_t2x_tpu.pipelines.demo import ModelFailure
+
+        monkeypatch.setattr(app.worker, "infer",
+                            lambda req: ModelFailure("boom traceback"))
         status, _, body = app.handle("POST", "/api/generate",
-                                     json.dumps(bad).encode())
+                                     json.dumps(_REQ).encode())
         assert status == 500
         assert "generation failed" in json.loads(body)["error"]
+
+    def test_invalid_knobs_are_400(self, app):
+        for bad in (dict(_REQ, resolution="not-a-res"),
+                    dict(_REQ, resolution="8192x8192"),
+                    dict(_REQ, t_shift=0),
+                    dict(_REQ, scaling_watershed=0.0),
+                    dict(_REQ, scaling_method="wild")):
+            status, _, _ = app.handle("POST", "/api/generate",
+                                      json.dumps(bad).encode())
+            assert status == 400, bad
 
     def test_unknown_path_404(self, app):
         assert app.handle("GET", "/nope", None)[0] == 404
