@@ -94,8 +94,8 @@ def measure(model, variables, batch: int, rng, runs: int = 3):
     cap = jax.random.normal(jax.random.fold_in(rng, 1), (2 * batch, cap_len, 2048))
     mask = jnp.ones((2 * batch, cap_len), jnp.int32)
     # derive the qk-norm static-max flash bound (drops the online max-reduce;
-    # ~6% per step at 2B/1024^2) before the sampler traces; the batch-4
-    # subprocess inherits the bound through the environment
+    # ~6% per step at 2B/1024^2) before the sampler traces; the batch-N
+    # subprocess legs re-derive their own bound through this same call
     bound = autocalibrate_flash_static_max(
         model, variables, cap, mask, width=RES, height=RES,
         cfg_scale=4.0, time_shifting_factor=4.0)

@@ -54,9 +54,35 @@ def _swap_scale_shift(lin: Dict) -> Dict:
     return out
 
 
-def import_sd3_mmdit_weights(sd: Dict[str, np.ndarray], n_layers: int) -> Dict:
-    """diffusers SD3Transformer2DModel state dict -> MMDiT flax params."""
+def import_sd3_mmdit_weights(sd: Dict[str, np.ndarray], n_layers: int,
+                             pos_embed_max_size: int = 192,
+                             pos_embed_base_size: int = 64) -> Dict:
+    """diffusers SD3Transformer2DModel state dict -> MMDiT flax params.
+
+    SD3 checkpoints carry the sincos positional table as a persistent buffer
+    (`pos_embed.pos_embed`, (1, max^2, D)). Our MMDiT recomputes it (it is a
+    deterministic function of the grid geometry); when the buffer is present
+    we VERIFY the recomputation matches it, so a convention drift (h/w half
+    order, position scaling, crop origin) fails loudly at import instead of
+    silently degrading samples.
+    """
     params: Dict = {}
+
+    if "pos_embed.pos_embed" in sd:
+        from ..models.mmdit import sincos_pos_embed_2d
+
+        buf = np.asarray(sd["pos_embed.pos_embed"], np.float32).reshape(
+            pos_embed_max_size * pos_embed_max_size, -1)
+        ours = np.asarray(sincos_pos_embed_2d(
+            buf.shape[-1], pos_embed_max_size, pos_embed_max_size,
+            max_size=pos_embed_max_size, base_size=pos_embed_base_size))
+        err = float(np.abs(buf - ours).max())
+        if err > 1e-4:
+            raise ValueError(
+                f"checkpoint pos_embed buffer deviates from the computed sincos "
+                f"table (max abs err {err:.2e}) — positional-embedding convention "
+                f"mismatch; check pos_embed_max_size/base_size "
+                f"({pos_embed_max_size}/{pos_embed_base_size})")
 
     # patch embed conv (O, C, p, p) -> dense (C*p*p, O)
     w = np.asarray(sd["pos_embed.proj.weight"], np.float32)

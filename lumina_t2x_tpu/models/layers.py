@@ -289,7 +289,7 @@ class Attention(nn.Module):
             if impl == "flash" and os.environ.get("LUMINA_FLASH_CALIBRATE", "0") == "1":
                 # Static-max calibration probe (sampling pipelines run one
                 # short trajectory under LUMINA_FLASH_CALIBRATE=1, read the
-                # sown lse ranges, then set LUMINA_FLASH_STATIC_MAX — see
+                # sown lse ranges, then call set_flash_static_max — see
                 # `pipelines/sample_lib.autocalibrate_flash_static_max`).
                 # Only the streaming kernel honors the static bound, so only
                 # those call sites contribute.

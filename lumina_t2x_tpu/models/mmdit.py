@@ -36,19 +36,48 @@ from ..ops.norms import rms_norm
 from .layers import LayerNorm, TimestepEmbedder, modulate, patchify, unpatchify
 
 
-def sincos_pos_embed_2d(dim: int, gh: int, gw: int):
-    """Standard 2-D sin-cos positional embedding (dim/2 per axis)."""
-    def one_axis(n, d):
-        omega = np.arange(d // 2, dtype=np.float64) / (d / 2.0)
-        omega = 1.0 / 10000**omega
-        pos = np.arange(n, dtype=np.float64)
+def sincos_pos_embed_2d(dim: int, gh: int, gw: int,
+                        max_size: Optional[int] = None,
+                        base_size: Optional[int] = None):
+    """2-D sin-cos positional embedding, diffusers-convention.
+
+    Matches diffusers' `PatchEmbed`/`get_2d_sincos_pos_embed` exactly (the
+    values real SD3 checkpoints' trained `x_embedder` expects; the table is a
+    persistent `pos_embed.pos_embed` buffer there, but it is a deterministic
+    function of (dim, grid), so recomputing it is equivalent — the importer
+    cross-checks when the buffer is present):
+
+    - the FIRST dim/2 channels encode the COLUMN (w) coordinate and the
+      second half the row — diffusers builds `np.meshgrid(grid_w, grid_h)`
+      and feeds `grid[0]` (the meshed w coordinates) to the half it calls
+      `emb_h`;
+    - with `max_size` (SD3: `pos_embed_max_size=192`) positions come from a
+      (max_size, max_size) grid scaled by `base_size/max_size` (SD3:
+      `base_size = sample_size//patch = 64`) and the (gh, gw) window is
+      CENTER-cropped out (`PatchEmbed.cropped_pos_embed`);
+    - without `max_size`, positions are `arange * base_size/g` (diffusers'
+      non-cropped branch has `base_size == grid_size`, i.e. plain arange).
+    """
+    if max_size is None:
+        ph = np.arange(gh, dtype=np.float64) * ((base_size / gh) if base_size else 1.0)
+        pw = np.arange(gw, dtype=np.float64) * ((base_size / gw) if base_size else 1.0)
+    else:
+        if gh > max_size or gw > max_size:
+            raise ValueError(f"grid ({gh},{gw}) exceeds pos_embed_max_size {max_size}")
+        scale = (base_size or max_size) / max_size
+        top, left = (max_size - gh) // 2, (max_size - gw) // 2
+        ph = (top + np.arange(gh, dtype=np.float64)) * scale
+        pw = (left + np.arange(gw, dtype=np.float64)) * scale
+
+    def one_axis(pos, d):
+        omega = 1.0 / 10000 ** (np.arange(d // 2, dtype=np.float64) / (d / 2.0))
         out = np.einsum("p,f->pf", pos, omega)
         return np.concatenate([np.sin(out), np.cos(out)], axis=1)  # (n, d)
 
-    eh = one_axis(gh, dim // 2)  # (gh, dim/2)
-    ew = one_axis(gw, dim // 2)
+    ew = one_axis(pw, dim // 2)  # (gw, dim/2) — w coordinate, first half
+    eh = one_axis(ph, dim // 2)
     grid = np.concatenate(
-        [np.repeat(eh[:, None, :], gw, 1), np.repeat(ew[None, :, :], gh, 0)], axis=-1
+        [np.repeat(ew[None, :, :], gh, 0), np.repeat(eh[:, None, :], gw, 1)], axis=-1
     )
     return jnp.asarray(grid.reshape(gh * gw, dim), jnp.float32)
 
@@ -89,8 +118,10 @@ class MMDiTBlock(nn.Module):
                                 jnp.float32)
                 wk = self.param(f"{prefix}_k_norm", nn.initializers.ones, (head_dim,),
                                 jnp.float32)
-                q = rms_norm(q, wq)
-                k = rms_norm(k, wk)
+                # eps=1e-6: diffusers' JointTransformerBlock builds its
+                # Attention with eps=1e-6, which flows into norm_q/norm_k
+                q = rms_norm(q, wq, eps=1e-6)
+                k = rms_norm(k, wk, eps=1e-6)
             return q, k, v.reshape(b, s, self.n_heads, head_dim)
 
         x_in = modulate(LayerNorm(eps=1e-6, use_affine=False, name="x_norm1")(x), scx1, sx1)
@@ -148,6 +179,12 @@ class MMDiT(nn.Module):
     pooled_dim: int = 2048
     out_channels: Optional[int] = None
     qk_norm: bool = True
+    # SD3 positional-embedding geometry: the released checkpoints' x_embedder
+    # is trained against a 192x192 table with positions scaled by 64/192
+    # (sample_size 128 / patch 2), center-cropped per resolution. None = plain
+    # arange positions over the actual grid (from-scratch trainings).
+    pos_embed_max_size: Optional[int] = None
+    pos_embed_base_size: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -162,7 +199,10 @@ class MMDiT(nn.Module):
 
         tokens = patchify(x.astype(self.dtype), p)
         tokens = nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name="x_embedder")(tokens)
-        tokens = tokens + sincos_pos_embed_2d(self.dim, gh, gw)[None].astype(tokens.dtype)
+        tokens = tokens + sincos_pos_embed_2d(
+            self.dim, gh, gw, max_size=self.pos_embed_max_size,
+            base_size=self.pos_embed_base_size,
+        )[None].astype(tokens.dtype)
 
         c = nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name="context_embedder")(
             context.astype(self.dtype)
@@ -194,4 +234,6 @@ class MMDiT(nn.Module):
 
 def MMDiT_SD3_Medium(**kwargs):
     """SD3-medium-shaped config (24 layers, dim 1536, 16 latent channels)."""
+    kwargs.setdefault("pos_embed_max_size", 192)
+    kwargs.setdefault("pos_embed_base_size", 64)
     return MMDiT(patch_size=2, in_channels=16, dim=1536, n_layers=24, n_heads=24, **kwargs)

@@ -16,10 +16,11 @@ Kernel structure (one compiled program per shape bucket):
 - Sk <= 1024 dispatches to a single-pass whole-KV kernel with no online
   state (`_flash_small_kv_kernel`) — caption cross-attention and the
   1-D audio models live here;
-- `LUMINA_FLASH_STATIC_MAX=<bound>` (opt-in, read per call outside the jit
-  boundary and part of the cache key, like LUMINA_FLASH_BQ/BK) replaces
-  the running max with a fixed bound (`_flash_kernel_static_max`) for
-  bounded-logit (qk-norm) models;
+- `set_flash_static_max(bound)` (first-class per-model calibration, installed
+  by `pipelines/sample_lib.autocalibrate_flash_static_max`; read at trace
+  time and part of the cache key) replaces the running max with a fixed bound
+  (`_flash_kernel_static_max`) for bounded-logit (qk-norm) models; the
+  `LUMINA_FLASH_STATIC_MAX=<bound>` env var remains as an operator override;
 - GQA handled in the K/V BlockSpec index maps (q head h reads kv head
   h // rep) — the KV-head repeat at `model.py:423-426` never materializes;
 - proportional-attention scale (`model.py:373-376`) is a kernel parameter.
@@ -92,11 +93,31 @@ def _flash_kernel_static_max(mask_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, *,
         o_ref[0, 0] = (acc_ref[:, :d] / denom).astype(o_ref.dtype)
 
 
+# First-class install point for the static-max softmax bound (per-model
+# calibration, `pipelines/sample_lib.autocalibrate_flash_static_max`). The
+# LUMINA_FLASH_STATIC_MAX env var remains ONLY as an operator override pin;
+# pipelines communicate the calibrated bound through this module state.
+_flash_static_max: Optional[float] = None
+
+
+def set_flash_static_max(bound: Optional[float]) -> None:
+    """Install (or clear, with None) the fixed softmax bound used by the
+    streaming flash kernel. Read at trace time — callers must set it before
+    the first trace of the program that should use it."""
+    global _flash_static_max
+    _flash_static_max = float(bound) if bound is not None else None
+
+
+def get_flash_static_max() -> Optional[float]:
+    """The bound the next trace will use (env pin wins over the setting)."""
+    return _static_max_bound()
+
+
 def _static_max_bound() -> Optional[float]:
     import os
 
     v = os.environ.get("LUMINA_FLASH_STATIC_MAX", "")
-    return float(v) if v else None
+    return float(v) if v else _flash_static_max
 
 
 def streams_kv(sk: int) -> bool:

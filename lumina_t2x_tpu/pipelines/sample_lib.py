@@ -159,10 +159,6 @@ class _NoStreamingSites(Exception):
     """Calibration probe found no streaming-kernel attention sites."""
 
 
-# repr() of the last bound THIS process installed: distinguishes a user-pinned
-# LUMINA_FLASH_STATIC_MAX (always respected) from our own previous calibration
-# (re-calibrated when the pipeline moves to a new resolution/model).
-_installed_static_max: Optional[str] = None
 
 
 def autocalibrate_flash_static_max(
@@ -202,30 +198,27 @@ def autocalibrate_flash_static_max(
     the coarse probe trajectory and the real solver's; the kernel's exp clamp
     turns any residual excess into bounded accuracy loss, never NaN.
 
-    Installs the bound in the environment (read by `_flash_attention` at
-    trace time, part of the jit cache key) and returns it. Returns None —
-    leaving the online-max kernel in place — when: the env already pins a
-    bound, `LUMINA_FLASH_STATIC_MAX_AUTO=0`, the model has no qk-norm, the
-    backend's flash path is not active, the self-attention sequence is short
-    enough for the single-pass kernel (which computes its max for free), or
-    the measured row-max spread exceeds `spread_limit` (a single global bound
-    would underflow the low rows).
+    Installs the bound via `ops.flash_attention.set_flash_static_max` (read
+    by `_flash_attention` at trace time, part of the jit cache key) and
+    returns it. Returns None — leaving the online-max kernel in place — when:
+    the LUMINA_FLASH_STATIC_MAX env var pins an operator override,
+    `LUMINA_FLASH_STATIC_MAX_AUTO=0`, the model has no qk-norm, the backend's
+    flash path is not active, the self-attention sequence is short enough for
+    the single-pass kernel (which computes its max for free), or the measured
+    row-max spread exceeds `spread_limit` (a single global bound would
+    underflow the low rows).
     """
     from ..ops.attention import resolve_impl
-    from ..ops.flash_attention import streams_kv
+    from ..ops.flash_attention import set_flash_static_max, streams_kv
     from ..transport.solvers import time_shift
 
-    global _installed_static_max
-    env_bound = os.environ.get("LUMINA_FLASH_STATIC_MAX", "")
-    if env_bound and env_bound != _installed_static_max:
-        return None  # user-pinned bound always wins
+    if os.environ.get("LUMINA_FLASH_STATIC_MAX", ""):
+        return None  # operator-pinned bound always wins
     if os.environ.get("LUMINA_FLASH_STATIC_MAX_AUTO", "1") == "0":
         return None
-    if env_bound:
-        # our own previous bound: drop it so the probe forward (and, if any
-        # guard below bails, subsequent sampling) runs with the online max
-        os.environ.pop("LUMINA_FLASH_STATIC_MAX", None)
-        _installed_static_max = None
+    # drop any previous calibration so the probe forward (and, if any guard
+    # below bails, subsequent sampling) runs with the online max
+    set_flash_static_max(None)
     if not getattr(model, "qk_norm", False):
         return None
     if resolve_impl(getattr(model, "attn_impl", "auto")) != "flash":
@@ -296,8 +289,7 @@ def autocalibrate_flash_static_max(
     if not math.isfinite(gmax) or not math.isfinite(gmin) or gmax - gmin > spread_limit:
         return None
     bound = gmax + margin
-    os.environ["LUMINA_FLASH_STATIC_MAX"] = repr(bound)
-    _installed_static_max = repr(bound)
+    set_flash_static_max(bound)
     return bound
 
 

@@ -79,9 +79,11 @@ class TestAutocalibrate:
         monkeypatch.delenv("LUMINA_FLASH_STATIC_MAX", raising=False)
         monkeypatch.delenv("LUMINA_FLASH_STATIC_MAX_AUTO", raising=False)
         monkeypatch.delenv("LUMINA_FLASH_CALIBRATE", raising=False)
+        fa.set_flash_static_max(None)
         yield
         os.environ.pop("LUMINA_FLASH_STATIC_MAX", None)
         os.environ.pop("LUMINA_FLASH_CALIBRATE", None)
+        fa.set_flash_static_max(None)
 
     def test_calibrated_sampling_matches_online(self, monkeypatch):
         from lumina_t2x_tpu.pipelines.sample_lib import (
@@ -98,11 +100,13 @@ class TestAutocalibrate:
             model, variables, cap, cap_mask, width=64, height=64,
             num_probe_steps=2)
         assert bound is not None and np.isfinite(bound)
-        assert os.environ["LUMINA_FLASH_STATIC_MAX"] == repr(bound)
+        # first-class install: module setting, NOT the env var
+        assert fa.get_flash_static_max() == bound
+        assert "LUMINA_FLASH_STATIC_MAX" not in os.environ
         # calibration must not leak the probe flag
         assert "LUMINA_FLASH_CALIBRATE" not in os.environ
 
-        # fresh trace reads the env at trace time (part of the cache key)
+        # fresh trace reads the setting at trace time (part of the cache key)
         fn2 = jax.jit(build_t2i_sample_fn(model, width=64, height=64, num_steps=4))
         got = fn2(variables, jax.random.PRNGKey(7), cap, cap_mask)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
@@ -138,3 +142,4 @@ class TestAutocalibrate:
             model_nq, variables_nq, cap2, cap_mask2, width=64, height=64) is None
 
         assert "LUMINA_FLASH_STATIC_MAX" not in os.environ
+        assert fa.get_flash_static_max() is None
