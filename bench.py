@@ -117,10 +117,66 @@ def measure(model, variables, batch: int, rng, runs: int = 3):
     return batch / dt, dt
 
 
+TRAIN_LEG_TIMEOUT_S = int(os.environ.get("LUMINA_BENCH_TRAIN_TIMEOUT", "480"))
+
+# Training-throughput legs (VERDICT r2 #2), run via exps/train_bench_t2i.py in
+# guarded subprocesses. The full 2B train state (params+mu+nu+EMA >= 18 GB
+# even all-bf16) cannot fit one 16 GB v5e — the reference also needs >=32
+# GPUs for 2B training — so the 2B leg measures the fwd+bwd+grad-norm step
+# (the d=2304 MFU question; measured r3: 40% MFU vs 25-33% at 600M, so the
+# 600M "shape limit" is confirmed beaten at d=2304) and the 600M leg is the
+# FULL reference-semantics step (loss+bwd+clip+AdamW+EMA, one jit program).
+# The relay compile helper bounds what compiles: 2B fwd+bwd tops out at 4096
+# total tokens (256px B=16 / 512px B=4); 600M full step at B=8.
+TRAIN_LEGS = (
+    dict(model="NextDiT_2B_patch2", image_size=256, batch=16, mode="grad",
+         param_dtype="bf16", remat="dots_slim"),
+    # the reference's 600M recipe shape (class-cond ImageNet 256px,
+    # `Next-DiT-ImageNet/exps/600M_bs256_lr5e-4_bf16_qknorm_lognorm.sh`);
+    # B=16 is the best per-chip micro-batch that compiles through the relay
+    dict(model="NextDiT_ImageNet_600M_patch2", image_size=256, batch=16,
+         mode="full", param_dtype="fp32", remat="dots_slim"),
+)
+
+
+def run_train_legs():
+    """Run the training legs; returns a list of their JSON records."""
+    records = []
+    here = os.path.dirname(os.path.abspath(__file__))
+    for leg in TRAIN_LEGS:
+        cmd = [sys.executable, os.path.join(here, "exps", "train_bench_t2i.py"),
+               "--model", leg["model"], "--image_size", str(leg["image_size"]),
+               "--batch", str(leg["batch"]), "--mode", leg["mode"],
+               "--param_dtype", leg["param_dtype"],
+               "--remat_policy", leg["remat"], "--opt", "fused", "--steps", "4"]
+        try:
+            proc = subprocess.run(cmd, capture_output=True, text=True,
+                                  timeout=TRAIN_LEG_TIMEOUT_S, cwd=here)
+        except subprocess.TimeoutExpired:
+            print(f"# train leg {leg['model']} timed out", file=sys.stderr)
+            continue
+        for line in proc.stdout.strip().splitlines():
+            try:
+                d = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if isinstance(d, dict) and "imgs_per_sec" in d:
+                records.append(d)
+                print(f"# train leg {d['model']} B{d['batch']} {d['mode']}: "
+                      f"{d['imgs_per_sec']} imgs/s, MFU {d['mfu_vs_197tf']}",
+                      file=sys.stderr)
+            elif isinstance(d, dict) and "error" in d:
+                print(f"# train leg {leg['model']} failed: {d['error'][:120]}",
+                      file=sys.stderr)
+    return records
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=0,
                    help="internal: measure this batch size only and print raw json")
+    p.add_argument("--skip_train", action="store_true",
+                   help="skip the training-throughput legs")
     args = p.parse_args()
 
     model, variables, rng = build_model_and_params()
@@ -169,21 +225,33 @@ def main():
               f"stderr_tail={proc.stderr.strip().splitlines()[-1:]}",
               file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "samples/sec/chip at 1024^2 (2B NextDiT, 30-step midpoint ODE, CFG)",
-                "value": round(tput_best, 4),
-                "unit": "samples/sec",
-                "vs_baseline": round(tput_best / A100_REFERENCE_SAMPLES_PER_SEC, 3),
-                "vs_baseline_ceiling_v5e": V5E_CEILING_VS_BASELINE,
-                "best_batch": best_batch,
-                "batch1_samples_per_sec": round(tput1, 4),
-                "per_step_latency_ms": round(dt1 / NUM_STEPS * 1000, 2),
-                "backend": jax.default_backend(),
-            }
-        )
-    )
+    record = {
+        "metric": "samples/sec/chip at 1024^2 (2B NextDiT, 30-step midpoint ODE, CFG)",
+        "value": round(tput_best, 4),
+        "unit": "samples/sec",
+        "vs_baseline": round(tput_best / A100_REFERENCE_SAMPLES_PER_SEC, 3),
+        "vs_baseline_ceiling_v5e": V5E_CEILING_VS_BASELINE,
+        "best_batch": best_batch,
+        "batch1_samples_per_sec": round(tput1, 4),
+        "per_step_latency_ms": round(dt1 / NUM_STEPS * 1000, 2),
+        "backend": jax.default_backend(),
+    }
+
+    if not args.skip_train and jax.default_backend() != "cpu":
+        for d in run_train_legs():
+            # second metric record line + merged fields on the headline record
+            print(json.dumps({
+                "metric": f"train imgs/sec/chip ({d['model']} {d['image_size']}px "
+                          f"B{d['batch']} {d['mode']}{'+adamw+ema' if d['mode'] == 'full' else ''})",
+                "value": d["imgs_per_sec"], "unit": "imgs/sec",
+                "tflops_per_sec": d["tflops_per_sec"], "mfu": d["mfu_vs_197tf"],
+                "ms_per_step": d["ms_per_step"],
+            }))
+            key = "train_2b_fwdbwd" if "2B" in d["model"] else "train_600m_full"
+            record[f"{key}_imgs_per_sec"] = d["imgs_per_sec"]
+            record[f"{key}_mfu"] = d["mfu_vs_197tf"]
+
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

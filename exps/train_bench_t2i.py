@@ -42,7 +42,8 @@ V5E_PEAK_TFLOPS = 197.0
 
 
 def t2i_train_flops_per_image(model, image_size: int, cap_len: int) -> float:
-    """Analytic matmul FLOPs for ONE training step image (fwd + 2x bwd)."""
+    """Analytic matmul FLOPs for ONE training step image (fwd + 2x bwd).
+    Class-conditional (ImageNet) models have no caption branch: cap_len=0."""
     from lumina_t2x_tpu.models.layers import ffn_hidden_size
 
     d, L = model.dim, model.n_layers
@@ -51,7 +52,7 @@ def t2i_train_flops_per_image(model, image_size: int, cap_len: int) -> float:
     hidden = ffn_hidden_size(4 * d, model.multiple_of, model.ffn_dim_multiplier)
     S = (image_size // 8 // model.patch_size) ** 2
     Sc = cap_len
-    ydim = model.cap_feat_dim
+    ydim = getattr(model, "cap_feat_dim", 0) if cap_len else 0
     cond = min(d, 1024)
 
     per_block = (
@@ -75,19 +76,24 @@ def build(model_name: str, image_size: int, batch: int, cap_len: int,
         FusedAdamWEMA, create_optimizer, create_train_state, make_train_step)
     from lumina_t2x_tpu.transport import create_transport
 
-    model = get_model(model_name, qk_norm=True, dtype=jnp.bfloat16,
-                      attn_impl="flash" if jax.default_backend() != "cpu" else "xla",
-                      remat=True, remat_policy=remat_policy,
-                      cap_feat_dim=2048, param_dtype=param_dtype)
+    class_cond = "ImageNet" in model_name or "MoE" in model_name
+    kwargs = dict(qk_norm=True, dtype=jnp.bfloat16,
+                  attn_impl="flash" if jax.default_backend() != "cpu" else "xla",
+                  remat=True, remat_policy=remat_policy, param_dtype=param_dtype)
+    if not class_cond:
+        kwargs["cap_feat_dim"] = 2048
+    model = get_model(model_name, **kwargs)
     latent = image_size // 8
     rng = jax.random.PRNGKey(0)
-    batch_data = {
-        "x": jax.random.normal(rng, (batch, 4, latent, latent), jnp.float32),
-        "cap_feats": jax.random.normal(jax.random.fold_in(rng, 1),
-                                       (batch, cap_len, 2048), jnp.float32),
-        "cap_mask": jnp.ones((batch, cap_len), jnp.int32),
-    }
-    cond = lambda b: {"cap_feats": b["cap_feats"], "cap_mask": b["cap_mask"]}
+    batch_data = {"x": jax.random.normal(rng, (batch, 4, latent, latent), jnp.float32)}
+    if class_cond:
+        batch_data["y"] = jnp.zeros((batch,), jnp.int32)
+        cond = lambda b: {"y": b["y"]}
+    else:
+        batch_data["cap_feats"] = jax.random.normal(
+            jax.random.fold_in(rng, 1), (batch, cap_len, 2048), jnp.float32)
+        batch_data["cap_mask"] = jnp.ones((batch, cap_len), jnp.int32)
+        cond = lambda b: {"cap_feats": b["cap_feats"], "cap_mask": b["cap_mask"]}
     transport = create_transport("Linear", "velocity", snr_type="lognorm")
     opt = FusedAdamWEMA(5e-4) if opt_kind == "fused" else create_optimizer(5e-4)
     return model, batch_data, cond, transport, opt
@@ -182,7 +188,9 @@ def main():
             print(json.dumps({"model": args.model, "batch": b, "mode": args.mode,
                               "error": str(e)[:200]}))
             continue
-        flops = t2i_train_flops_per_image(model, args.image_size, args.cap_len) * b
+        class_cond = "ImageNet" in args.model or "MoE" in args.model
+        flops = t2i_train_flops_per_image(
+            model, args.image_size, 0 if class_cond else args.cap_len) * b
         tf = flops / dt / 1e12
         print(json.dumps({
             "model": args.model, "image_size": args.image_size, "batch": b,

@@ -138,11 +138,21 @@ def init_from(path: str, params, stream: str = "ema"):
 # ---------------------------------------------------------------------------
 
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
-    """Load a reference checkpoint (.pth or .safetensors) to numpy."""
-    if path.endswith(".safetensors"):
-        from safetensors.numpy import load_file
+    """Load a reference checkpoint (.pth or .safetensors) to numpy.
 
-        return load_file(path)
+    bf16 safetensors (a common release precision) have no numpy dtype, so
+    those fall back to the torch loader and upcast to fp32 — the importers
+    hand fp32 to flax, and the model's param_dtype decides storage."""
+    if path.endswith(".safetensors"):
+        try:
+            from safetensors.numpy import load_file
+
+            return load_file(path)
+        except (TypeError, ValueError):
+            import torch
+            from safetensors.torch import load_file as load_torch
+
+            return {k: v.float().numpy() for k, v in load_torch(path).items()}
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
@@ -221,6 +231,71 @@ def import_next_dit_weights(state_dict: Dict[str, np.ndarray], n_layers: int,
         for i, p in enumerate(per_layer):
             params[f"layers_{i}"] = p
     return params
+
+
+def next_dit_reference_state_shapes(dim: int = 2304, n_layers: int = 24,
+                                    n_heads: int = 32, n_kv_heads: Optional[int] = None,
+                                    in_channels: int = 4, patch_size: int = 2,
+                                    cap_feat_dim: int = 2048, qk_norm: bool = True,
+                                    learn_sigma: bool = True, multiple_of: int = 256,
+                                    ffn_dim_multiplier: Optional[float] = None) -> Dict[str, tuple]:
+    """EXACT key names and shapes of a reference NextDiT release checkpoint
+    (`consolidated*.safetensors`, `lumina_next_t2i/demo.py:127-133`; modules
+    `lumina_next_t2i/models/model.py:665-999` at model_parallel_size 1 —
+    `freqs_cis` is a plain attribute, not a buffer, so it is absent).
+
+    Defaults are the released 2B flagship (`NextDiT_2B_patch2` + Gemma-2B
+    features + qk-norm). Pinned against the reference's own torch module in
+    `tests/test_checkpoint_contract_2b.py`; `exps/rehearse_2b_contract.py`
+    uses it to rehearse the full-size load contract without real weights."""
+    from ..models.layers import ffn_hidden_size
+
+    kv_dim = (n_kv_heads or n_heads) * (dim // n_heads)
+    cond = min(dim, 1024)
+    hidden = ffn_hidden_size(4 * dim, multiple_of, ffn_dim_multiplier)
+    out_dim = patch_size * patch_size * (in_channels * 2 if learn_sigma else in_channels)
+    s: Dict[str, tuple] = {
+        "x_embedder.weight": (dim, patch_size * patch_size * in_channels),
+        "x_embedder.bias": (dim,),
+        "pad_token": (dim,),
+        "t_embedder.mlp.0.weight": (cond, 256),
+        "t_embedder.mlp.0.bias": (cond,),
+        "t_embedder.mlp.2.weight": (cond, cond),
+        "t_embedder.mlp.2.bias": (cond,),
+        "cap_embedder.0.weight": (cap_feat_dim,),
+        "cap_embedder.0.bias": (cap_feat_dim,),
+        "cap_embedder.1.weight": (cond, cap_feat_dim),
+        "cap_embedder.1.bias": (cond,),
+        "final_layer.linear.weight": (out_dim, dim),
+        "final_layer.linear.bias": (out_dim,),
+        "final_layer.adaLN_modulation.1.weight": (dim, cond),
+        "final_layer.adaLN_modulation.1.bias": (dim,),
+    }
+    for i in range(n_layers):
+        pre = f"layers.{i}"
+        s[f"{pre}.attention.wq.weight"] = (dim, dim)
+        s[f"{pre}.attention.wk.weight"] = (kv_dim, dim)
+        s[f"{pre}.attention.wv.weight"] = (kv_dim, dim)
+        s[f"{pre}.attention.wo.weight"] = (dim, dim)
+        s[f"{pre}.attention.wk_y.weight"] = (kv_dim, cap_feat_dim)
+        s[f"{pre}.attention.wv_y.weight"] = (kv_dim, cap_feat_dim)
+        s[f"{pre}.attention.gate"] = (n_heads,)
+        if qk_norm:
+            s[f"{pre}.attention.q_norm.weight"] = (dim,)
+            s[f"{pre}.attention.q_norm.bias"] = (dim,)
+            s[f"{pre}.attention.k_norm.weight"] = (kv_dim,)
+            s[f"{pre}.attention.k_norm.bias"] = (kv_dim,)
+            s[f"{pre}.attention.ky_norm.weight"] = (kv_dim,)
+            s[f"{pre}.attention.ky_norm.bias"] = (kv_dim,)
+        s[f"{pre}.feed_forward.w1.weight"] = (hidden, dim)
+        s[f"{pre}.feed_forward.w2.weight"] = (dim, hidden)
+        s[f"{pre}.feed_forward.w3.weight"] = (hidden, dim)
+        for nm in ("attention_norm1", "attention_norm2", "ffn_norm1", "ffn_norm2"):
+            s[f"{pre}.{nm}.weight"] = (dim,)
+        s[f"{pre}.attention_y_norm.weight"] = (cap_feat_dim,)
+        s[f"{pre}.adaLN_modulation.1.weight"] = (4 * dim, cond)
+        s[f"{pre}.adaLN_modulation.1.bias"] = (4 * dim,)
+    return s
 
 
 def import_flag_dit_weights(state_dict: Dict[str, np.ndarray], n_layers: int,
