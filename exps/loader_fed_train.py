@@ -1,0 +1,167 @@
+"""Prove the input pipeline sustains the train step (VERDICT r2 #8).
+
+Feeds REAL JPEG decode — `MetaDataset.raw_image_item` bytes -> native C++
+decode (probe + scale-to-cover + random-crop + normalize, GIL-free) ->
+cross-rank bucketing -> threaded prefetch, i.e. the exact
+`pipelines/train.t2i_batches` path (ref: `lumina_next_t2i/data/dataset.py:111-155`,
+`train.py:496-520`) — into the full 600M t2i train step (VAE encode +
+loss+bwd+clip+fused AdamW+EMA) on the TPU, and compares steps/sec against
+the SAME jitted step fed a host-cached batch. The gap is the data pipeline's
+cost; done = within ~5%.
+
+Buckets are pinned to a single (256, 256) crop so the relay compiles ONE
+program (the multi-bucket compile cache is a separate, already-tested
+concern); decode work is unaffected by the pin.
+
+Drive: python exps/loader_fed_train.py [--steps 20] [--batch 8] [--n_images 512]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+import types
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+os.makedirs("/tmp/lumina_jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/lumina_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def make_dataset(root: str, n: int) -> str:
+    """n random JPEGs at mixed sizes + jsonl annotations + yaml meta."""
+    import yaml
+    from PIL import Image
+
+    img_dir = os.path.join(root, "imgs")
+    os.makedirs(img_dir, exist_ok=True)
+    rng = np.random.RandomState(0)
+    items = []
+    for i in range(n):
+        w = int(rng.choice([256, 320, 384, 448, 512]))
+        h = int(rng.choice([256, 320, 384, 448, 512]))
+        arr = rng.randint(0, 255, (h, w, 3), np.uint8)
+        path = os.path.join(img_dir, f"{i:05d}.jpg")
+        Image.fromarray(arr).save(path, quality=90)
+        items.append({"path": path, "width": w, "height": h,
+                      "prompt": f"synthetic image number {i}"})
+    ann = os.path.join(root, "ann.jsonl")
+    with open(ann, "w") as f:
+        for it in items:
+            f.write(json.dumps(it) + "\n")
+    cfg = os.path.join(root, "meta.yaml")
+    with open(cfg, "w") as f:
+        yaml.safe_dump({"META": [{"path": ann, "type": "jsonl"}]}, f)
+    return cfg
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--n_images", type=int, default=512)
+    p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--root", default="/tmp/loader_fed_ds")
+    args = p.parse_args()
+
+    from lumina_t2x_tpu.codecs.vae import AutoencoderKL, encode_to_latent
+    from lumina_t2x_tpu.data import imgproc, native_loader
+    from lumina_t2x_tpu.models import get_model
+    from lumina_t2x_tpu.pipelines import train as train_mod
+    from lumina_t2x_tpu.pipelines.train_lib import (
+        FusedAdamWEMA, create_train_state, make_train_step)
+    from lumina_t2x_tpu.transport import create_transport
+
+    print(f"# native decode available: {native_loader.native_available()}")
+    cfg = make_dataset(args.root, args.n_images)
+
+    # pin the bucket list to one square crop: one compiled program
+    orig_gcsl = imgproc.generate_crop_size_list
+    imgproc.generate_crop_size_list = lambda n, p, max_ratio=4.0: [(256, 256)]
+
+    targs = types.SimpleNamespace(
+        data_path=cfg, image_size=256, global_batch_size=args.batch,
+        num_workers=args.num_workers, caption_dropout_prob=0.0,
+        cap_feat_dim=2048, global_seed=0, cache_data_on_disk=False,
+    )
+    stream = train_mod.t2i_batches(targs, None)
+
+    model = get_model("NextDiT_600M_patch2", qk_norm=True, dtype=jnp.bfloat16,
+                      attn_impl="flash" if jax.default_backend() != "cpu" else "xla",
+                      remat=True, remat_policy="dots_slim", cap_feat_dim=2048)
+    vae = AutoencoderKL(dtype=jnp.bfloat16)
+    vae_vars = jax.jit(vae.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 3, 256, 256)), jax.random.PRNGKey(1))
+
+    @jax.jit
+    def encode_batch(vv, x, rng):
+        return encode_to_latent(vae, vv, x, rng, "ema")
+
+    first = next(stream)
+    cond = lambda b: {"cap_feats": b["cap_feats"], "cap_mask": b["cap_mask"]}
+    opt = FusedAdamWEMA(5e-4)
+    enc_rng = jax.random.PRNGKey(3)
+    ex = dict(first)
+    ex["x"] = encode_batch(vae_vars, jnp.asarray(first["x"]), enc_rng)
+    state = create_train_state(jax.random.PRNGKey(1), model, ex, opt, cond)
+    step = jax.jit(make_train_step(model, transport := create_transport(
+        "Linear", "velocity", snr_type="lognorm"), opt, cond, grad_clip=2.0),
+        donate_argnums=(0,))
+
+    def run_one(state, batch, i):
+        b = dict(batch)
+        b["x"] = encode_batch(vae_vars, jnp.asarray(batch["x"]),
+                              jax.random.fold_in(enc_rng, i))
+        state, m = step(state, b, jax.random.fold_in(jax.random.PRNGKey(2), i))
+        float(m["loss"])  # real device->host readback through the tunnel
+        return state
+
+    state = run_one(state, first, 0)  # compile both programs
+
+    # steady-state gc regime, same as pipelines/train.py's loop
+    import gc
+
+    gc.collect(); gc.freeze(); gc.set_threshold(20_000, 50, 50)
+
+    def cached_arm(base):
+        # cached batch; host work ~0 — the device-only floor. Values vary
+        # per step so the relay cannot memoize executions.
+        nonlocal state
+        t0 = time.perf_counter()
+        for i in range(args.steps):
+            b = dict(first)
+            b["x"] = first["x"] + np.float32(1e-4 * (i + 1))
+            state = run_one(state, b, base + i)
+        return (time.perf_counter() - t0) / args.steps
+
+    # interleave B, A, B: the tunnel's run-to-run drift is larger than the
+    # effect under test, so the floor is the best of two cached legs
+    cached_1 = cached_arm(100)
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        state = run_one(state, next(stream), 200 + i)
+    fed_dt = (time.perf_counter() - t0) / args.steps
+    cached_2 = cached_arm(300)
+    cached_dt = min(cached_1, cached_2)
+
+    imgproc.generate_crop_size_list = orig_gcsl
+    print(json.dumps({
+        "batch": args.batch, "steps": args.steps,
+        "native_decode": native_loader.native_available(),
+        "cached_legs_ms": [round(cached_1 * 1e3, 1), round(cached_2 * 1e3, 1)],
+        "cached_ms_per_step": round(cached_dt * 1e3, 1),
+        "loader_fed_ms_per_step": round(fed_dt * 1e3, 1),
+        "overhead_pct": round((fed_dt / cached_dt - 1) * 100, 1),
+        "loader_fed_imgs_per_sec": round(args.batch / fed_dt, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -316,6 +316,35 @@ class MetaDataset:
     def get_item_func(self, index):
         return self.item_processor.process_item(self._decode(index), training_mode=True)
 
+    def raw_image_item(self, index) -> Tuple[bytes, str]:
+        """(raw image bytes, caption) WITHOUT decoding — the native C++
+        decode path consumes bytes directly
+        (`data/native_loader.decode_to_tensor`). Caption keys mirror
+        `T2IItemProcessor.process_item`; error retry mirrors `__getitem__`
+        (substitute a neighbor within the same meta group)."""
+        try:
+            ann = self._decode(index)
+            from .data_reader import read_general
+
+            for key in ("path", "image_url", "image"):
+                if key in ann:
+                    data = read_general(ann[key]).getvalue()
+                    break
+            else:
+                raise DataBriefReportException(
+                    f"no image path in item: {sorted(ann)}")
+            if "conversations" in ann:
+                caption = ann["conversations"][-1]["value"]
+            else:
+                caption = ann.get("prompt", ann.get("caption", ""))
+            return data, caption
+        except DataBriefReportException as e:
+            logger.info(str(e))
+        except Exception:
+            logger.info(f"Item {index} raw read errored, annotation:\n"
+                        f"{self.ann[index]}\nError:\n{traceback.format_exc()}")
+        return self.raw_image_item(self._fallback_index(index))
+
     def _fallback_index(self, index: int) -> int:
         """Replacement for a failed item: the previous index, staying inside
         the same meta group (wrap to the group's last item at the group

@@ -100,28 +100,80 @@ def bucket_batched_global(
     batch: every yielded batch has exactly global_batch_size/world_size
     items. `skip_batches` fast-forwards whole emitted batches without
     decoding (resume: restores the stream position in O(metadata)).
+
+    Pipelining: a FEEDER thread walks the index stream, submits decode work,
+    and chains a collate task per batch, so decode + collate happen while
+    the consumer is inside its train step. (An earlier in-generator design
+    only submitted work during `next()` — decode then overlapped *collate*
+    on the consumer thread instead of the step, measured as a 28% step-time
+    tax on a 1-core host; the feeder form is within noise.) Up to
+    `prefetch_batches` collated batches + one in assembly are in flight;
+    the bounded queue gives backpressure. Worker/feeder exceptions
+    propagate to the consumer at the matching `next()`.
     """
-    buckets: dict = collections.defaultdict(list)
-    with futures.ThreadPoolExecutor(num_workers) as pool:
-        pending = collections.deque()  # (key, [futures for this rank's share])
+    import queue
+    import threading
 
-        def drain():
-            key, futs = pending.popleft()
-            return key, collate([f.result() for f in futs])
+    stop = threading.Event()
+    ready: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch_batches))
+    _END = object()
 
-        for idx in index_iter:
-            key = bucket_of(idx)
-            buckets[key].append(idx)
-            if len(buckets[key]) == global_batch_size:
-                mine = buckets.pop(key)[rank::world_size]
-                if skip_batches > 0:
-                    skip_batches -= 1
-                    continue
-                pending.append((key, [pool.submit(fetch, i, key) for i in mine]))
-                if len(pending) >= prefetch_batches:
-                    yield drain()
-        while pending:
-            yield drain()
+    pool = futures.ThreadPoolExecutor(num_workers, thread_name_prefix="lumina-decode")
+    collator = futures.ThreadPoolExecutor(1, thread_name_prefix="lumina-collate")
+
+    def _assemble(key, futs):
+        return key, collate([f.result() for f in futs])
+
+    def _put(item) -> bool:
+        """Blocking put that aborts when the consumer has closed."""
+        while not stop.is_set():
+            try:
+                ready.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def _feeder():
+        try:
+            skip = skip_batches
+            buckets: dict = collections.defaultdict(list)
+            for idx in index_iter:
+                if stop.is_set():
+                    return
+                key = bucket_of(idx)
+                buckets[key].append(idx)
+                if len(buckets[key]) == global_batch_size:
+                    mine = buckets.pop(key)[rank::world_size]
+                    if skip > 0:
+                        skip -= 1
+                        continue
+                    futs = [pool.submit(fetch, i, key) for i in mine]
+                    if not _put(collator.submit(_assemble, key, futs)):
+                        return
+            _put(_END)
+        except BaseException as exc:  # surface in the consumer
+            _put(exc)
+
+    feeder = threading.Thread(target=_feeder, daemon=True, name="lumina-feeder")
+    feeder.start()
+    try:
+        while True:
+            item = ready.get()
+            if item is _END:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item.result()
+    finally:
+        stop.set()
+        while True:  # unblock a feeder stuck on a full queue
+            try:
+                ready.get_nowait()
+            except queue.Empty:
+                break
+        pool.shutdown(wait=False, cancel_futures=True)
+        collator.shutdown(wait=False, cancel_futures=True)
 
 
 def list_imagenet_folder(root: str) -> Tuple[List[Tuple[str, int]], List[str]]:

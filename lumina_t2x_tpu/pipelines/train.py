@@ -25,6 +25,7 @@ import argparse
 import functools
 import json
 import os
+import random
 import socket
 from typing import Dict, Iterator
 
@@ -194,7 +195,29 @@ def t2i_batches(args, text_encoder=None, start_step: int = 0):
             w = h = args.image_size
         return choose_bucket(w, h, crop_size_list, seed=args.global_seed, index=idx)
 
+    # decode path: native C++ (libjpeg/libpng decode + scale-to-cover +
+    # random-crop + normalize in one GIL-free pass — the role the reference
+    # fills with torch DataLoader worker processes) when the toolchain is
+    # available, else PIL. Both produce the same (3, ch, cw) [-1, 1] tensor.
+    from ..data import native_loader as nl
+
+    use_native = nl.native_available()
+
     def fetch(idx, key):
+        if use_native:
+            try:
+                data, caption = dataset.raw_image_item(idx)
+                cw, ch = key
+                w, h = nl.probe_size(data)
+                # random crop origin over the scaled-to-cover image, matching
+                # imgproc.center_crop and the C++ scaling arithmetic
+                scale = max(cw / w, ch / h)
+                sw = max(int(w * scale + 0.5), cw)
+                sh = max(int(h * scale + 0.5), ch)
+                crop_xy = (random.randint(0, sw - cw), random.randint(0, sh - ch))
+                return nl.decode_to_tensor(data, key, crop_xy), caption
+            except Exception:
+                pass  # unsupported container/codec: PIL fallback below
         img, caption = dataset[idx]
         return to_latent_input(center_crop(img, key)), caption
 
@@ -396,6 +419,18 @@ def main(argv=None):
             return encode_to_latent(vae, vv, x, rng, args.vae)
 
     # -- loop ----------------------------------------------------------------
+    # GC tuning for the steady-state loop: everything allocated so far
+    # (model/optimizer graphs, jit caches, dataset metadata) is long-lived —
+    # freeze it out of collection, and raise gen0 so the per-step host-array
+    # churn (batch stack + features, ~10^3 objects/step) doesn't trigger a
+    # full scan of jax's object graph every few steps. Measured on a 1-core
+    # host feeding the 600M t2i step: 39 ms/step of gc pauses without this
+    # (exps/loader_fed_train.py decomposition, round 3).
+    import gc
+
+    gc.collect()
+    gc.freeze()
+    gc.set_threshold(20_000, 50, 50)
     rng = jax.random.PRNGKey(args.global_seed)
     meter = Throughput()
     meter.start()

@@ -330,3 +330,58 @@ class TestBucketBatchedGlobal:
         assert ds.image_size(1) == (640, 480)
         assert ds.image_size(2) == (800, 600)
         assert ds.image_size(0) == (37, 23)  # memoized path
+
+
+class TestRawImageItem:
+    """`MetaDataset.raw_image_item` — the byte-level accessor the native
+    C++ decode path in `pipelines/train.t2i_batches` consumes."""
+
+    def _ds(self, tmp_path):
+        import json
+
+        import yaml
+        from PIL import Image
+
+        from lumina_t2x_tpu.data.dataset import MetaDataset, T2IItemProcessor
+
+        good = tmp_path / "img.jpg"
+        Image.new("RGB", (64, 48), (200, 30, 30)).save(good, quality=90)
+        ann = [
+            {"path": str(good), "prompt": "a red image"},
+            {"path": str(tmp_path / "missing.jpg"), "prompt": "broken"},
+            {"image": str(good),
+             "conversations": [{"value": "q"}, {"value": "the answer caption"}]},
+        ]
+        ann_path = tmp_path / "ann.json"
+        ann_path.write_text(json.dumps(ann))
+        cfg = tmp_path / "meta.yaml"
+        cfg.write_text(yaml.safe_dump({"META": [{"path": str(ann_path)}]}))
+        return MetaDataset(str(cfg), T2IItemProcessor(None)), good
+
+    def test_bytes_and_caption(self, tmp_path):
+        ds, good = self._ds(tmp_path)
+        data, caption = ds.raw_image_item(0)
+        assert data == good.read_bytes()
+        assert caption == "a red image"
+        # conversations caption key (the reference's chat-format datasets)
+        _, cap2 = ds.raw_image_item(2)
+        assert cap2 == "the answer caption"
+
+    def test_failed_item_falls_back_to_neighbor(self, tmp_path):
+        ds, good = self._ds(tmp_path)
+        data, caption = ds.raw_image_item(1)  # missing file -> index 0
+        assert data == good.read_bytes() and caption == "a red image"
+
+    def test_native_decode_matches_bucket_shape(self, tmp_path):
+        from lumina_t2x_tpu.data import native_loader as nl
+
+        if not nl.native_available():
+            import pytest
+
+            pytest.skip("native toolchain unavailable")
+        ds, _ = self._ds(tmp_path)
+        data, _ = ds.raw_image_item(0)
+        assert nl.probe_size(data) == (64, 48)
+        arr = nl.decode_to_tensor(data, (32, 16), (0, 0))
+        assert arr.shape == (3, 16, 32)
+        assert float(arr.min()) >= -1.0 and float(arr.max()) <= 1.0
