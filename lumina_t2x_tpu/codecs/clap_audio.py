@@ -1,0 +1,328 @@
+"""CLAP audio tower (Cnn14) — waveform -> joint-embedding audio features.
+
+Completes the repo's CLAP coverage: `text_encoders.CLAPTextEncoder` carries
+the caption branch; this module is the AUDIO branch
+(`lumina_audio/models/encoders/CLAP/audio.py:118-203`,
+`clap.py:27-53`, preprocessing + scoring semantics from
+`CLAPWrapper.py:113-199`), enabling CLAP-score evaluation of generated
+audio/music against its prompt.
+
+TPU-first design notes:
+- The whole tower is a single jittable function over an explicit frozen
+  params pytree (eval-mode batch norm folded to affine form at import
+  time) — no mutable batch-stats collections for a network that is only
+  ever a frozen judge.
+- Log-mel front end is rfft + one (T, n_freq) @ (n_freq, n_mels) matmul
+  (MXU) rather than the reference's conv1d-DFT (torchlibrosa implements
+  the DFT as two length-1024 convolutions; an explicit rfft is both exact
+  and what XLA lowers to its native FFT).
+- Rational-ratio resampling (`resample_waveform`) is the vocoder's
+  kaiser-windowed sinc (`vocoder.kaiser_sinc_filter1d`) driven through one
+  `lax.conv_general_dilated` with `lhs_dilation=p` / `stride=q` — the
+  polyphase structure XLA already knows how to fuse, replacing
+  torchaudio.transforms.Resample (`CLAPWrapper.py:120-122`).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .text_encoders import clap_projection
+
+# ---------------------------------------------------------------------------
+# mel front end (torchlibrosa semantics: Spectrogram + LogmelFilterBank,
+# `CLAP/audio.py:130-152` — hann/center/reflect, power 2, ref=1, amin=1e-10,
+# top_db=None; filterbank = librosa.filters.mel defaults: htk=False,
+# norm='slaney')
+# ---------------------------------------------------------------------------
+
+
+def _hz_to_mel(f):
+    """librosa htk=False (Slaney) scale: linear below 1 kHz, log above."""
+    f = np.asarray(f, np.float64)
+    mel = f / (200.0 / 3.0)
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / (200.0 / 3.0)
+    logstep = math.log(6.4) / 27.0
+    return np.where(f >= min_log_hz,
+                    min_log_mel + np.log(np.maximum(f, 1e-12) / min_log_hz) / logstep,
+                    mel)
+
+
+def _mel_to_hz(m):
+    m = np.asarray(m, np.float64)
+    f = m * (200.0 / 3.0)
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / (200.0 / 3.0)
+    logstep = math.log(6.4) / 27.0
+    return np.where(m >= min_log_mel,
+                    min_log_hz * np.exp(logstep * (m - min_log_mel)), f)
+
+
+def mel_filterbank(sr: int, n_fft: int, n_mels: int, fmin: float,
+                   fmax: Optional[float] = None) -> np.ndarray:
+    """(n_freq, n_mels) Slaney-normalized triangular filterbank — the
+    transpose of librosa.filters.mel, laid out for a right-matmul."""
+    fmax = sr / 2.0 if fmax is None else fmax
+    fftfreqs = np.linspace(0.0, sr / 2.0, n_fft // 2 + 1)
+    mel_pts = _mel_to_hz(np.linspace(_hz_to_mel(fmin), _hz_to_mel(fmax), n_mels + 2))
+    fdiff = np.diff(mel_pts)
+    ramps = mel_pts[:, None] - fftfreqs[None, :]
+    lower = -ramps[:-2] / fdiff[:-1, None]
+    upper = ramps[2:] / fdiff[1:, None]
+    weights = np.maximum(0.0, np.minimum(lower, upper))
+    # Slaney: each filter integrates to ~constant energy per mel band
+    enorm = 2.0 / (mel_pts[2:] - mel_pts[:-2])
+    return (weights * enorm[:, None]).T.astype(np.float32)
+
+
+def hann_window(n: int) -> np.ndarray:
+    """Periodic (fftbins=True) hann — torch.hann_window default."""
+    return (0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n) / n)).astype(np.float32)
+
+
+def stft_power(x, n_fft: int, hop: int, window: Optional[jnp.ndarray] = None):
+    """|STFT|^2, center=True + reflect pad (`CLAP/audio.py:123-139`).
+
+    x: (B, L) -> (B, T, n_fft//2 + 1), T = L // hop + 1.
+    Framing is a static gather (static shapes -> one compiled program per
+    length bucket); the DFT is jnp.fft.rfft.
+    """
+    if window is None:
+        window = jnp.asarray(hann_window(n_fft))
+    pad = n_fft // 2
+    xp = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+    n_frames = 1 + (xp.shape[-1] - n_fft) // hop
+    idx = hop * jnp.arange(n_frames)[:, None] + jnp.arange(n_fft)[None, :]
+    frames = xp[:, idx] * window  # (B, T, n_fft)
+    spec = jnp.fft.rfft(frames.astype(jnp.float32), axis=-1)
+    return jnp.abs(spec) ** 2
+
+
+def logmel(x, sr: int = 44100, n_fft: int = 1024, hop: int = 320,
+           n_mels: int = 64, fmin: float = 50.0, fmax: float = 14000.0,
+           amin: float = 1e-10):
+    """(B, L) waveform -> (B, T, n_mels) log-mel, 10*log10(clip(mel, amin))
+    (torchlibrosa power_to_db with ref=1.0, top_db=None)."""
+    power = stft_power(x, n_fft, hop)
+    mel = power @ jnp.asarray(mel_filterbank(sr, n_fft, n_mels, fmin, fmax))
+    return 10.0 * jnp.log10(jnp.maximum(mel, amin))
+
+
+# ---------------------------------------------------------------------------
+# Cnn14 (eval mode; `CLAP/audio.py:118-203`) over an explicit params pytree
+# ---------------------------------------------------------------------------
+
+_CNN14_CHANNELS = (64, 128, 256, 512, 1024, 2048)
+
+
+def _affine_bn(x, p):
+    """Eval-mode batch norm folded to scale/shift over the channel axis."""
+    return x * p["scale"] + p["shift"]
+
+
+def _conv(x, w):
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _avg_pool2(x):
+    return jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID") * 0.25
+
+
+def cnn14_embedding(params: Dict, mel_db) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(B, T, n_mels) log-mel -> (embedding (B, out_emb), clipwise (B, classes)).
+
+    Mirrors Cnn14.forward eval path (`CLAP/audio.py:167-203`): bn0 over the
+    mel axis, 6 ConvBlocks (3x3 conv-bn-relu x2 + 2x2 avg pool; block 6
+    unpooled), mean over mel, max+mean over time, fc1+relu, sigmoid head.
+    Dropout layers are identity in eval mode.
+    """
+    x = mel_db[..., None]  # NHWC, C=1
+    # bn0 normalizes per-mel-bin (the reference transposes mel into the
+    # channel slot, applies BatchNorm2d(64), transposes back)
+    x = x * params["bn0"]["scale"][None, None, :, None] \
+        + params["bn0"]["shift"][None, None, :, None]
+    for i in range(6):
+        blk = params[f"conv_block{i + 1}"]
+        x = jax.nn.relu(_affine_bn(_conv(x, blk["conv1"]), blk["bn1"]))
+        x = jax.nn.relu(_affine_bn(_conv(x, blk["conv2"]), blk["bn2"]))
+        if i < 5:  # block 6 pools (1, 1) == identity
+            x = _avg_pool2(x)
+    x = x.mean(axis=2)  # over mel -> (B, T', 2048)
+    x = x.max(axis=1) + x.mean(axis=1)  # over time -> (B, 2048)
+    x = jax.nn.relu(x @ params["fc1"]["kernel"] + params["fc1"]["bias"])
+    clipwise = jax.nn.sigmoid(x @ params["fc_audioset"]["kernel"]
+                              + params["fc_audioset"]["bias"])
+    return x, clipwise
+
+
+def clap_audio_embed(params: Dict, waveform, sr: int = 44100) -> jnp.ndarray:
+    """waveform (B, L) at `sr` -> L2-normalized CLAP audio embedding (B, d_proj)
+    (`clap.py:49-53` + `CLAPWrapper.py:184-191` normalization)."""
+    fe = params["frontend"]
+    mel = logmel(waveform, sr=sr, n_fft=fe["n_fft"], hop=fe["hop"],
+                 n_mels=fe["n_mels"], fmin=fe["fmin"], fmax=fe["fmax"])
+    emb, _ = cnn14_embedding(params["cnn14"], mel)
+    proj = clap_projection(emb, params["projection"])
+    return proj / jnp.linalg.norm(proj, axis=-1, keepdims=True)
+
+
+def clap_similarity(text_emb, audio_emb, logit_scale: float = 1.0 / 0.07):
+    """(audio, text) similarity logits, `CLAPWrapper.compute_similarity`
+    (`CLAPWrapper.py:193-197`): scale * (text @ audio^T), transposed to
+    (n_audio, n_text). Both inputs L2-normalized."""
+    return (logit_scale * text_emb @ audio_emb.T).T
+
+
+def clap_score(text_emb, audio_emb) -> jnp.ndarray:
+    """Per-pair CLAP score: cosine similarity of matched rows (the standard
+    generation-eval metric; no logit scale)."""
+    return jnp.sum(text_emb * audio_emb, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# preprocessing (`CLAPWrapper.load_audio_into_tensor`, lines 113-138)
+# ---------------------------------------------------------------------------
+
+
+def tile_or_crop(wave: np.ndarray, duration_samples: int,
+                 start: Optional[int] = None) -> np.ndarray:
+    """Repeat short clips / crop long ones to exactly `duration_samples`
+    (ref lines 125-137; `start=None` keeps the reference's random crop —
+    pass an int for determinism)."""
+    wave = np.asarray(wave).reshape(-1)
+    if duration_samples >= wave.shape[0]:
+        reps = int(np.ceil(duration_samples / wave.shape[0]))
+        return np.tile(wave, reps)[:duration_samples]
+    lo = np.random.randint(0, wave.shape[0] - duration_samples) if start is None else start
+    return wave[lo:lo + duration_samples]
+
+
+def resample_waveform(x, sr_in: int, sr_out: int, zeros: int = 24):
+    """Polyphase kaiser-sinc resample (B, L) -> (B, ~L*sr_out/sr_in).
+
+    One `conv_general_dilated` with lhs_dilation=p (zero-stuff) and
+    window stride q, kernel = vocoder.kaiser_sinc_filter1d at cutoff
+    0.5/max(p,q) scaled by p — the torchaudio.transforms.Resample role
+    (`CLAPWrapper.py:120-122`) in XLA-native form.
+    """
+    if sr_in == sr_out:
+        return jnp.asarray(x)
+    from .vocoder import kaiser_sinc_filter1d
+
+    g = math.gcd(sr_in, sr_out)
+    p, q = sr_out // g, sr_in // g
+    m = max(p, q)
+    width = zeros * m  # half-width in upsampled samples
+    kernel_size = 2 * width + 1
+    fir = kaiser_sinc_filter1d(0.5 / m, 0.6 / m, kernel_size).reshape(-1) * p
+    x = jnp.asarray(x, jnp.float32)[:, None, :]  # NCW
+    w = jnp.asarray(fir, jnp.float32)[None, None, :]  # OIW
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=(q,), padding=[(width, width)], lhs_dilation=(p,),
+        dimension_numbers=("NCH", "OIH", "NCH"))
+    return y[:, 0, :]
+
+
+# ---------------------------------------------------------------------------
+# weight import (torch CLAP checkpoint `audio_encoder.*`)
+# ---------------------------------------------------------------------------
+
+
+def _fold_bn(sd, prefix: str, eps: float = 1e-5):
+    """torch BatchNorm (eval) -> affine {scale, shift}:
+    y = (x - rm) / sqrt(rv + eps) * g + b == x * scale + shift."""
+    g = np.asarray(sd[f"{prefix}.weight"], np.float32)
+    b = np.asarray(sd[f"{prefix}.bias"], np.float32)
+    rm = np.asarray(sd[f"{prefix}.running_mean"], np.float32)
+    rv = np.asarray(sd[f"{prefix}.running_var"], np.float32)
+    scale = g / np.sqrt(rv + eps)
+    return {"scale": scale, "shift": b - rm * scale}
+
+
+def import_clap_audio_weights(state_dict, *, sample_rate: int = 44100,
+                              window_size: int = 1024, hop_size: int = 320,
+                              mel_bins: int = 64, fmin: float = 50.0,
+                              fmax: float = 14000.0) -> Dict:
+    """CLAP checkpoint (`audio_encoder.base.*` Cnn14 + `audio_encoder.
+    projection.*`, layout per `clap.py:27-53` with `config.yml` geometry)
+    -> params pytree for `clap_audio_embed`. Conv kernels transpose
+    OIHW -> HWIO; linear weights transpose to (in, out); batch norms fold
+    to affine."""
+    sd = {k: (v.numpy() if hasattr(v, "numpy") else np.asarray(v))
+          for k, v in state_dict.items()}
+    base = "audio_encoder.base"
+    cnn: Dict = {"bn0": _fold_bn(sd, f"{base}.bn0")}
+    for i in range(1, 7):
+        blk = f"{base}.conv_block{i}"
+        cnn[f"conv_block{i}"] = {
+            "conv1": np.asarray(sd[f"{blk}.conv1.weight"], np.float32).transpose(2, 3, 1, 0),
+            "conv2": np.asarray(sd[f"{blk}.conv2.weight"], np.float32).transpose(2, 3, 1, 0),
+            "bn1": _fold_bn(sd, f"{blk}.bn1"),
+            "bn2": _fold_bn(sd, f"{blk}.bn2"),
+        }
+    for fc in ("fc1", "fc_audioset"):
+        cnn[fc] = {"kernel": np.asarray(sd[f"{base}.{fc}.weight"], np.float32).T,
+                   "bias": np.asarray(sd[f"{base}.{fc}.bias"], np.float32)}
+    proj = {}
+    for name in ("linear1", "linear2"):
+        proj[name] = {"kernel": np.asarray(
+            sd[f"audio_encoder.projection.{name}.weight"], np.float32).T}
+    proj["layer_norm"] = {
+        "scale": np.asarray(sd["audio_encoder.projection.layer_norm.weight"], np.float32),
+        "bias": np.asarray(sd["audio_encoder.projection.layer_norm.bias"], np.float32),
+    }
+    params = {
+        "cnn14": cnn, "projection": proj,
+        "frontend": {"n_fft": window_size, "hop": hop_size, "n_mels": mel_bins,
+                     "fmin": fmin, "fmax": fmax, "sample_rate": sample_rate},
+    }
+    if "logit_scale" in sd:
+        params["logit_scale"] = float(np.exp(np.asarray(sd["logit_scale"], np.float32)))
+    return params
+
+
+class CLAPAudioEncoder:
+    """Waveform-side CLAP scorer. Pairs with `CLAPTextEncoder` for
+    CLAP-score eval of generated audio (`CLAPWrapper.py:163-199`):
+
+        enc = CLAPAudioEncoder.from_clap_checkpoint("CLAP_weights_2022.pth")
+        a = enc.embed(waveform, sr=16000)      # resamples + tiles to 5 s
+        score = clap_score(text_embeddings, a)
+    """
+
+    def __init__(self, params: Dict, duration: float = 5.0):
+        self.params = params
+        self.duration = duration
+        self._embed = jax.jit(lambda w: clap_audio_embed(
+            params, w, sr=params["frontend"]["sample_rate"]))
+
+    @classmethod
+    def from_clap_checkpoint(cls, ckpt_path: str, **geometry):
+        import torch
+
+        sd = torch.load(ckpt_path, map_location="cpu", weights_only=True)
+        if isinstance(sd, dict) and "model" in sd:
+            sd = sd["model"]
+        return cls(import_clap_audio_weights(sd, **geometry))
+
+    def embed(self, waveform, sr: int, start: Optional[int] = 0) -> jnp.ndarray:
+        """(B, L) or (L,) waveform at `sr` -> (B, d_proj) normalized
+        embeddings. Resamples to the tower's rate and tiles/crops to the
+        CLAP clip duration (deterministic crop by default; start=None for
+        the reference's random crop)."""
+        wave = np.atleast_2d(np.asarray(waveform, np.float32))
+        target_sr = self.params["frontend"]["sample_rate"]
+        if sr != target_sr:
+            wave = np.asarray(resample_waveform(wave, sr, target_sr))
+        n = int(self.duration * target_sr)
+        wave = np.stack([tile_or_crop(w, n, start=start) for w in wave])
+        return self._embed(jnp.asarray(wave))

@@ -80,10 +80,17 @@ class InferenceWorker:
     MAX_CACHED_SAMPLERS = 8
 
     def __init__(self, model, variables, *, text_encode_fn=None, vae_decode_fn=None,
-                 train_res: int = 1024, cap_feat_dim: int = 2048):
+                 train_res: int = 1024, cap_feat_dim: int = 2048,
+                 device=None, compile_lock=None):
         import threading
 
         self.model = model
+        self.device = device
+        if device is not None:
+            # commit params to this worker's chip: jit then executes there
+            # (uncommitted request inputs follow the committed operands)
+            variables = jax.device_put(
+                variables, jax.sharding.SingleDeviceSharding(device))
         self.variables = variables
         self.text_encode_fn = text_encode_fn
         self.vae_decode_fn = vae_decode_fn
@@ -91,6 +98,10 @@ class InferenceWorker:
         self.cap_feat_dim = cap_feat_dim
         self._sampler_cache: Dict[Tuple, callable] = {}
         self._lock = threading.Lock()
+        # sampler-cache fill + static-max calibration must be exclusive
+        # PROCESS-wide (the calibration handshake is read at trace time);
+        # WorkerPool injects one shared lock across its workers
+        self._compile_lock = compile_lock or threading.Lock()
 
     def _resolution(self, s: str) -> Tuple[int, int]:
         s = s.split(")")[-1].strip()
@@ -98,42 +109,48 @@ class InferenceWorker:
         return int(w), int(h)
 
     def _get_sampler(self, req: InferenceRequest, cap_feats=None, cap_mask=None):
-        from .sample_lib import (autocalibrate_flash_static_max,
-                                 build_t2i_sample_fn)
-
         w, h = self._resolution(req.resolution)
         key = (w, h, req.num_sampling_steps, req.solver, req.cfg_scale, req.t_shift,
                req.scaling_method, req.scaling_watershed, req.proportional_attn)
         if key not in self._sampler_cache:
-            do_timeaware = req.scaling_method == "Time-aware"
-            if cap_feats is not None:
-                # derive the static-max flash bound before the first trace of
-                # this sampler (the env is read at trace time)
-                autocalibrate_flash_static_max(
-                    self.model, self.variables, cap_feats, cap_mask,
-                    width=w, height=h, cfg_scale=req.cfg_scale,
-                    time_shifting_factor=req.t_shift, train_res=self.train_res,
-                    scale_watershed=req.scaling_watershed if do_timeaware else 1.0,
-                    proportional_attn=req.proportional_attn,
-                )
-            fn = build_t2i_sample_fn(
-                self.model, width=w, height=h, num_steps=req.num_sampling_steps,
-                solver=req.solver, cfg_scale=req.cfg_scale,
-                time_shifting_factor=req.t_shift, train_res=self.train_res,
-                scale_watershed=req.scaling_watershed if do_timeaware else 1.0,
-                proportional_attn=req.proportional_attn,
-                # 'None' means NO RoPE scaling (reference sample.py:227-232
-                # sets scale_factor=1 AND watershed=1), not all-linear
-                time_aware_scaling=do_timeaware,
-            )
-            if len(self._sampler_cache) >= self.MAX_CACHED_SAMPLERS:
-                evicted = next(iter(self._sampler_cache))
-                del self._sampler_cache[evicted]
-            self._sampler_cache[key] = jax.jit(fn)
+            # pool-wide exclusive: calibration is a process-global handshake
+            # read at trace time
+            with self._compile_lock:
+                self._build_sampler(key, req, w, h, cap_feats, cap_mask)
         else:
             # LRU refresh
             self._sampler_cache[key] = self._sampler_cache.pop(key)
         return self._sampler_cache[key]
+
+    def _build_sampler(self, key, req: InferenceRequest, w, h, cap_feats, cap_mask):
+        from .sample_lib import (autocalibrate_flash_static_max,
+                                 build_t2i_sample_fn)
+
+        do_timeaware = req.scaling_method == "Time-aware"
+        if cap_feats is not None:
+            # derive the static-max flash bound before the first trace of
+            # this sampler (the env is read at trace time)
+            autocalibrate_flash_static_max(
+                self.model, self.variables, cap_feats, cap_mask,
+                width=w, height=h, cfg_scale=req.cfg_scale,
+                time_shifting_factor=req.t_shift, train_res=self.train_res,
+                scale_watershed=req.scaling_watershed if do_timeaware else 1.0,
+                proportional_attn=req.proportional_attn,
+            )
+        fn = build_t2i_sample_fn(
+            self.model, width=w, height=h, num_steps=req.num_sampling_steps,
+            solver=req.solver, cfg_scale=req.cfg_scale,
+            time_shifting_factor=req.t_shift, train_res=self.train_res,
+            scale_watershed=req.scaling_watershed if do_timeaware else 1.0,
+            proportional_attn=req.proportional_attn,
+            # 'None' means NO RoPE scaling (reference sample.py:227-232
+            # sets scale_factor=1 AND watershed=1), not all-linear
+            time_aware_scaling=do_timeaware,
+        )
+        if len(self._sampler_cache) >= self.MAX_CACHED_SAMPLERS:
+            evicted = next(iter(self._sampler_cache))
+            del self._sampler_cache[evicted]
+        self._sampler_cache[key] = jax.jit(fn)
 
     def _encode_captions(self, cap: str, neg_cap: str):
         if self.text_encode_fn is not None:
@@ -162,7 +179,8 @@ class InferenceWorker:
             latents = sampler(self.variables, rng, cap_feats, cap_mask)
             jax.block_until_ready(latents)
             out = {"latents": np.asarray(latents), "metadata": {
-                **req.__dict__, "elapsed_s": round(time.time() - t0, 3)
+                **req.__dict__, "elapsed_s": round(time.time() - t0, 3),
+                **({"device": str(self.device)} if self.device is not None else {}),
             }}
             # request metadata log (`demo.py:153-166`)
             print(json.dumps(out["metadata"]))
@@ -172,6 +190,67 @@ class InferenceWorker:
             return out
         except Exception:
             return ModelFailure(traceback.format_exc())
+
+
+class WorkerPool:
+    """Per-device worker fan-out — the TPU-native analogue of the
+    reference's one-subprocess-per-GPU pool (`demo.py:330-351`).
+
+    The reference isolates GPUs with mp.Process + NCCL + request/response
+    queues; on TPU every addressable chip lives in ONE process, so the pool
+    is N `InferenceWorker`s whose params are committed to distinct devices
+    (`jax.device_put` + SingleDeviceSharding). jax dispatch is async and
+    thread-safe, so N front-end threads genuinely run N generations
+    concurrently, one per chip. Compilation stays pool-exclusive via a
+    shared compile lock (the flash static-max calibration is process-global
+    state read at trace time); the persistent compile cache makes workers
+    2..N's compiles disk hits.
+
+    Dispatch is pick-first-free, falling back to round-robin blocking when
+    every chip is busy.
+    """
+
+    def __init__(self, model, variables, *, devices=None, **worker_kwargs):
+        import threading
+
+        devices = list(devices if devices is not None else jax.local_devices())
+        if not devices:
+            raise ValueError("WorkerPool needs at least one device")
+        compile_lock = threading.Lock()
+        self.workers = [
+            InferenceWorker(model, variables, device=d,
+                            compile_lock=compile_lock, **worker_kwargs)
+            for d in devices
+        ]
+        self._rr = 0
+        self._rr_lock = threading.Lock()
+
+    def __len__(self):
+        return len(self.workers)
+
+    @property
+    def _sampler_cache(self):
+        """Aggregate view for health reporting (`serve.py` /api/health)."""
+        merged = {}
+        for i, w in enumerate(self.workers):
+            merged.update({(i, k): v for k, v in w._sampler_cache.items()})
+        return merged
+
+    def infer(self, req: InferenceRequest):
+        """Route to a free worker; block round-robin when all chips busy."""
+        with self._rr_lock:
+            start = self._rr
+            self._rr = (self._rr + 1) % len(self.workers)
+        # one non-blocking sweep for an idle chip
+        for off in range(len(self.workers)):
+            w = self.workers[(start + off) % len(self.workers)]
+            if w._lock.acquire(blocking=False):
+                try:
+                    return w._infer_locked(req)
+                finally:
+                    w._lock.release()
+        # all busy: queue on the round-robin choice
+        return self.workers[start].infer(req)
 
 
 def result_to_image(result: dict) -> np.ndarray:
@@ -208,7 +287,8 @@ def make_submit_handler(worker: InferenceWorker, error_cls=RuntimeError):
 
 
 def build_worker(model_name: str = "NextDiT_2B_patch2", precision: str = "bf16",
-                 ckpt: Optional[str] = None, debug: bool = False) -> InferenceWorker:
+                 ckpt: Optional[str] = None, debug: bool = False,
+                 num_workers: int = 1):
     """Build the demo model + InferenceWorker from CLI-level options (shared
     startup of the gradio and HTTP front-ends). A checkpoint's recorded
     model_args (model name, qk_norm, cap_feat_dim) override the CLI default
@@ -241,6 +321,12 @@ def build_worker(model_name: str = "NextDiT_2B_patch2", precision: str = "bf16",
 
         variables = {"params": ocp.StandardCheckpointer().restore(
             os.path.join(os.path.abspath(ckpt), "ema"), variables["params"])}
+    if num_workers != 1:
+        devices = jax.local_devices()
+        if num_workers > 0:  # 0 / negative = all local devices
+            devices = devices[:num_workers]
+        return WorkerPool(model, variables, devices=devices,
+                          cap_feat_dim=cap_feat_dim)
     return InferenceWorker(model, variables, cap_feat_dim=cap_feat_dim)
 
 

@@ -8,11 +8,14 @@ in the image): a stdlib ``http.server`` app in front of the same
 
 Design notes (why it looks the way it does):
 
-- One process drives all TPU chips through GSPMD, so there is no worker pool
-  or queue fabric — a single `InferenceWorker` plus a `threading.Lock`
-  serializes device access across concurrent HTTP clients (the HTTP layer is
-  threaded so health checks and the UI stay responsive *while* a generation
-  runs; only `/api/generate` contends on the lock).
+- One process drives all TPU chips, so the reference's mp.Queue fabric
+  collapses to in-process objects: `--num_workers 1` serves a single
+  `InferenceWorker` (its lock serializes the chip across concurrent HTTP
+  clients), `--num_workers N` serves a `WorkerPool` of per-device workers
+  (`demo.WorkerPool` — the analogue of the reference's per-GPU subprocess
+  pool, `demo.py:330-351`) so N generations run concurrently, one per chip.
+  The HTTP layer is threaded either way: health checks and the UI stay
+  responsive while generations run.
 - Knobs, defaults, and ranges mirror the gradio UI (`demo.py:361-552`) so the
   two front-ends are interchangeable: caption/negative caption, resolution
   (incl. extrapolation buckets), steps<=70, solver {euler,midpoint,rk4},
@@ -35,7 +38,6 @@ import argparse
 import base64
 import io
 import json
-import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
@@ -199,10 +201,12 @@ class DemoApp:
     worker. Split from the socket server so tests can call `handle()`
     directly and any WSGI-ish front can reuse it."""
 
-    def __init__(self, worker: InferenceWorker, model_name: str = "unknown"):
+    def __init__(self, worker, model_name: str = "unknown"):
+        # `worker`: an InferenceWorker (one chip) or a WorkerPool (one per
+        # chip) — both serialize device access internally, so concurrent
+        # /api/generate threads queue per-chip, not globally
         self.worker = worker
         self.model_name = model_name
-        self._device_lock = threading.Lock()
 
     # -> (status, content_type, body_bytes)
     def handle(self, method: str, path: str, body: Optional[bytes]):
@@ -222,8 +226,7 @@ class DemoApp:
             req = parse_request(json.loads(body or b"null"))
         except (ValueError, json.JSONDecodeError) as e:
             return 400, "application/json", json.dumps({"error": str(e)}).encode()
-        with self._device_lock:  # one generation on the chip at a time
-            result = self.worker.infer(req)
+        result = self.worker.infer(req)  # worker/pool serializes its chips
         if isinstance(result, ModelFailure):
             return 500, "application/json", json.dumps(
                 {"error": f"generation failed:\n{result.error}"}).encode()
@@ -285,9 +288,14 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=7860)
     p.add_argument("--debug", action="store_true",
                    help="random weights, no checkpoint required")
+    p.add_argument("--num_workers", type=int, default=1,
+                   help="per-chip worker fan-out (reference demo.py:330-351 "
+                        "semantics): 1 = single worker, N = first N local "
+                        "devices, 0 = every local device")
     args = p.parse_args(argv)
 
-    worker = build_worker(args.model, args.precision, args.ckpt, args.debug)
+    worker = build_worker(args.model, args.precision, args.ckpt, args.debug,
+                          num_workers=args.num_workers)
     app = DemoApp(worker, model_name=args.model)
     server = make_server(app, host=args.host, port=args.port)
     host, port = server.server_address[:2]
