@@ -158,11 +158,127 @@ def e2e_per_step(batches=(1, 2), steps_pair=(4, 12)):
               f"per-sample-step {per_step/batch*1e3:7.1f} ms")
 
 
+def model_fwd_sweep(attn_impl="flash", n_layers=None, rows=(2, 4)):
+    """(e/f) bare-model forward at CFG row counts: full 2B (flash/xla) or a
+    1-layer d=2304 model. Reproduces the e2e regression without the solver."""
+    from lumina_t2x_tpu.models import get_model
+    from lumina_t2x_tpu.models.next_dit import NextDiT
+
+    if n_layers is None:
+        model = get_model("NextDiT_2B_patch2", cap_feat_dim=2048, qk_norm=True,
+                          dtype=jnp.bfloat16, attn_impl=attn_impl)
+    else:
+        model = NextDiT(patch_size=2, dim=2304, n_layers=n_layers, n_heads=32,
+                        cap_feat_dim=2048, qk_norm=True, dtype=jnp.bfloat16,
+                        attn_impl=attn_impl)
+    rng = jax.random.PRNGKey(0)
+    s_img = 128  # 1024^2 latent
+    x0 = jax.random.normal(rng, (2, 4, s_img, s_img))
+    cap0 = jax.random.normal(rng, (2, 8, 2048))
+    variables = jax.jit(model.init)(jax.random.fold_in(rng, 2), x0,
+                                    jnp.zeros((2,)), cap0,
+                                    jnp.ones((2, 8), jnp.int32))
+    variables = jax.tree.map(lambda a: a.astype(jnp.bfloat16)
+                             if a.dtype == jnp.float32 else a, variables)
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def fwd_loop(v, x, t, cap, mask, n):
+        def body(c, _):
+            out = model.apply(v, c, t, cap, mask)
+            return (c + out * jnp.bfloat16(1e-6)).astype(c.dtype), ()
+        c, _ = jax.lax.scan(body, x, None, length=n)
+        return jnp.sum(c.astype(jnp.float32))
+
+    print(f"== (e/f) bare fwd attn={attn_impl} layers={n_layers or 'full'}, "
+          "marginal per-row")
+    base = None
+    for b in rows:
+        x = jax.random.normal(rng, (b, 4, s_img, s_img), jnp.bfloat16)
+        t = jnp.full((b,), 0.5, jnp.float32)
+        cap = jax.random.normal(jax.random.fold_in(rng, b), (b, CAP, 2048), jnp.bfloat16)
+        mask = jnp.ones((b, CAP), jnp.int32)
+        hi = _readback_time(fwd_loop, variables, x, t, cap, mask, 8, vary_index=1)
+        lo = _readback_time(fwd_loop, variables, x, t, cap, mask, 2, vary_index=1)
+        per = (hi - lo) / 6
+        pr = per / b * 1e3
+        base = base or pr
+        print(f"  rows={b}: {per*1e3:8.1f} ms/call {pr:7.1f} ms/row "
+              f"({pr/base*100:5.1f}%)", flush=True)
+
+
+def attn_block_sweep(with_ln_rope=False):
+    """(g/h) the in-model attention data path in isolation: dense ->
+    [qk-LayerNorm -> RoPE ->] flash -> dense. Flat (g) / improving (h)
+    per-row — the Pallas/XLA boundary is NOT the regression."""
+    from lumina_t2x_tpu.ops.rope import apply_rope, rope_angles_2d
+
+    key = jax.random.PRNGKey(0)
+    W = {n: jax.random.normal(jax.random.fold_in(key, i),
+                              (MODEL_DIM, MODEL_DIM), jnp.bfloat16) * 0.02
+         for i, n in enumerate(("wq", "wk", "wv", "wo"))}
+    g_q = jnp.ones((MODEL_DIM,), jnp.float32)
+    angles = rope_angles_2d(D, 64, 64).reshape(S, -1)
+
+    def ln(x, g):
+        xf = x.astype(jnp.float32)
+        mu = xf.mean(-1, keepdims=True)
+        var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+        return ((xf - mu) * jax.lax.rsqrt(var + 1e-5) * g).astype(x.dtype)
+
+    from lumina_t2x_tpu.ops.flash_attention import flash_attention
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def block_loop(x, mask, n):
+        b = x.shape[0]
+
+        def body(c, _):
+            q = (c @ W["wq"], c @ W["wk"])
+            if with_ln_rope:
+                q = (ln(q[0], g_q), ln(q[1], g_q))
+            q, k = (a.reshape(b, S, H, D) for a in q)
+            v = (c @ W["wv"]).reshape(b, S, H, D)
+            if with_ln_rope:
+                q, k = apply_rope(q, angles), apply_rope(k, angles)
+            o = flash_attention(q, k, v, kv_mask=mask, scale=D**-0.5)
+            o = o.reshape(b, S, MODEL_DIM) @ W["wo"]
+            return (c + o * jnp.bfloat16(1e-6)).astype(c.dtype), ()
+
+        c, _ = jax.lax.scan(body, x, None, length=n)
+        return jnp.sum(c.astype(jnp.float32))
+
+    print(f"== (g/h) attn block ln_rope={with_ln_rope}, marginal per-row")
+    base = None
+    for b in (2, 4, 8):
+        x = jax.random.normal(jax.random.fold_in(key, b + 50), (b, S, MODEL_DIM),
+                              jnp.bfloat16)
+        mask = jnp.ones((b, S), jnp.int32)
+        hi = _readback_time(block_loop, x, mask, 24)
+        lo = _readback_time(block_loop, x, mask, 8)
+        per = (hi - lo) / 16
+        pr = per / b * 1e3
+        base = base or pr
+        print(f"  rows={b}: {per*1e3:8.2f} ms/call {pr:7.2f} ms/row "
+              f"({pr/base*100:5.1f}%)", flush=True)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--skip_e2e", action="store_true")
     p.add_argument("--skip_kernels", action="store_true")
+    p.add_argument("--fwd", choices=["flash", "xla", "1layer", "block",
+                                     "block_ln_rope"], default=None,
+                   help="run one bisection leg instead of the default sweep")
     args = p.parse_args()
+    if args.fwd == "flash":
+        return model_fwd_sweep("flash")
+    if args.fwd == "xla":
+        return model_fwd_sweep("xla")
+    if args.fwd == "1layer":
+        return model_fwd_sweep("flash", n_layers=1)
+    if args.fwd == "block":
+        return attn_block_sweep(False)
+    if args.fwd == "block_ln_rope":
+        return attn_block_sweep(True)
     if not args.skip_kernels:
         kernel_rows_sweep()
     if not args.skip_e2e:
