@@ -13,14 +13,21 @@ test:
 # at exit-adjacent teardown (torch-inductor + jax-CPU extension interaction
 # after ~200 C extensions load); per-module isolation is immune and every
 # module is known-green standalone.
-# one retry per module: XLA-CPU's in-process runtime can abort a whole
-# pytest process nondeterministically (observed in test_e2e after 4 green
-# tests; the same module passes standalone) — a real failure still fails
-# twice and stops the run
+# Retry policy (scoped, round 3): XLA-CPU's in-process runtime has aborted
+# a pytest process mid-module (observed once in test_e2e after 4 green
+# tests; 12 consecutive standalone reruns could not reproduce it — see
+# NOTES.md round-3 journal). A retry happens ONLY on abnormal termination
+# (rc >= 128, i.e. the process died on a signal/abort, not a test result);
+# ordinary pytest failures (rc 1-5) fail the run immediately, so a flaky
+# TEST can never hide behind the retry.
 test-all:
 	@set -e; for m in tests/test_*.py; do \
-	  echo "== $$m"; python -m pytest $$m -q -m '' || \
-	  { echo "== retry $$m"; python -m pytest $$m -q -m ''; } || exit 1; \
+	  echo "== $$m"; \
+	  rc=0; python -m pytest $$m -q -m '' || rc=$$?; \
+	  if [ $$rc -ge 128 ]; then \
+	    echo "== $$m died on signal (rc=$$rc): retrying once"; \
+	    python -m pytest $$m -q -m '' || exit 1; \
+	  elif [ $$rc -ne 0 ]; then exit $$rc; fi; \
 	done
 
 test-fast:

@@ -106,7 +106,8 @@ def bucket_batched_global(
     the consumer is inside its train step. (An earlier in-generator design
     only submitted work during `next()` — decode then overlapped *collate*
     on the consumer thread instead of the step, measured as a 28% step-time
-    tax on a 1-core host; the feeder form is within noise.) Up to
+    tax on a 1-core host; the feeder form cuts it to 7.5%, the residue
+    being GIL sharing on that single core.) Up to
     `prefetch_batches` collated batches + one in assembly are in flight;
     the bounded queue gives backpressure. Worker/feeder exceptions
     propagate to the consumer at the matching `next()`.
