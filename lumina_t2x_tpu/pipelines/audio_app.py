@@ -129,6 +129,113 @@ def build_audio_gradio_ui(gen: "GenSamples", *, task: str = "music",
     return demo
 
 
+def build_audio_stack(*, debug: bool = False, vae_ckpt: Optional[str] = None,
+                      vocoder_ckpt: Optional[str] = None,
+                      latent_length: int = 256, seed: int = 0,
+                      ctx_dim: int = 1024):
+    """(denoiser_fn, vae_decode_fn, vocoder_fn) — the shared model startup of
+    the CLI, the gradio UI, and the HTTP server (`serve_audio.py`). Mirrors
+    the reference's GenSamples setup (`lumina_music/demo_music.py:40-120`);
+    random weights unless checkpoints are mounted."""
+    from ..codecs.vae1d import AutoencoderKL1D
+    from ..codecs.vocoder import VocoderBigVGAN
+    from ..models.flag_dit_1d import FlagDiT1D
+
+    hidden, depth = (64, 2) if debug else (1152, 28)
+    model = FlagDiT1D(in_channels=20, context_dim=ctx_dim, hidden_size=hidden,
+                      depth=depth, num_heads=4 if debug else 16, multiple_of=16)
+    rng = jax.random.PRNGKey(seed)
+    x0 = jnp.zeros((2, 20, latent_length))
+    ctx0 = jnp.zeros((2, 8, ctx_dim))
+    variables = jax.jit(model.init)(rng, x0, jnp.zeros((2,)), ctx0)
+
+    def denoiser_fn(x, t, c):
+        return model.apply(variables, x, t, c)
+
+    if vae_ckpt:
+        # real trained mel-VAE: the maa2 structural config + imported weights
+        from ..codecs.vae1d import (import_autoencoder_kl_1d_weights,
+                                    make_an_audio_2_vae)
+        from ..core.checkpoint import load_torch_state_dict
+
+        vae = make_an_audio_2_vae()
+        vv = {"params": import_autoencoder_kl_1d_weights(
+            load_torch_state_dict(vae_ckpt), ch_mult=vae.ch_mult,
+            num_res_blocks=vae.num_res_blocks, attn_layers=(), down_layers=(0,))}
+    else:
+        vae = AutoencoderKL1D(mel_bins=80, embed_dim=20, ch=32 if debug else 128,
+                              ch_mult=(1, 2), num_res_blocks=1, z_channels=20)
+        vv = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 80, 16)),
+                      jax.random.PRNGKey(2))
+    vae_decode = lambda z: vae.apply(vv, z, method=vae.decode)  # noqa: E731
+
+    if vocoder_ckpt:
+        voc = VocoderBigVGAN.from_torch_checkpoint(vocoder_ckpt, mel_bins=80)
+    else:
+        voc = VocoderBigVGAN.create(
+            mel_bins=80,
+            **({"upsample_rates": (2, 2), "upsample_kernel_sizes": (4, 4),
+                "upsample_initial_channel": 32, "resblock_kernel_sizes": (3,),
+                "resblock_dilation_sizes": ((1, 3),)} if debug else {}),
+        )
+    return denoiser_fn, vae_decode, voc.vocode
+
+
+class AudioWorker:
+    """Serving-side generation worker: prompt -> (mel, wav). One generation
+    owns the chip at a time (same serialization contract as the image
+    `InferenceWorker`); per-request knobs re-enter jax's jit cache keyed on
+    the static step count."""
+
+    def __init__(self, denoiser_fn, vae_decode_fn, vocoder_fn, *,
+                 task: str = "music", ctx_dim: int = 1024,
+                 latent_length: int = 128, sample_rate: int = 16000,
+                 scale_factor: float = 1.0, text_encode_fn=None,
+                 llm_fn=None):
+        import threading
+
+        self.task = task
+        self.ctx_dim = ctx_dim
+        self.latent_length = latent_length
+        self.sample_rate = sample_rate
+        self.scale_factor = scale_factor
+        self.text_encode_fn = text_encode_fn
+        self.llm_fn = llm_fn
+        self._fns = (denoiser_fn, vae_decode_fn, vocoder_fn)
+        self._lock = threading.Lock()
+
+    def _encode(self, prompt: str):
+        if self.text_encode_fn is not None:
+            feats, _ = self.text_encode_fn([prompt])
+            return jnp.asarray(feats), jnp.zeros_like(jnp.asarray(feats))
+        ly = 16
+        from ..utils import stable_text_seed
+
+        cond = jnp.asarray(np.random.default_rng(stable_text_seed(prompt))
+                           .standard_normal((1, ly, self.ctx_dim)).astype(np.float32))
+        return cond, jnp.zeros((1, ly, self.ctx_dim))
+
+    def generate(self, prompt: str, *, use_struct: bool = False,
+                 guidance_scale: float = 3.0, num_steps: int = 25,
+                 seed: int = 0):
+        with self._lock:
+            import time
+
+            t0 = time.time()
+            if use_struct and self.task == "audio":
+                prompt = natural_to_structured(prompt, self.llm_fn)
+            cond, uncond = self._encode(prompt)
+            gen = GenSamples(*self._fns, latent_length=self.latent_length,
+                             guidance_scale=guidance_scale, num_steps=num_steps,
+                             scale_factor=self.scale_factor)
+            mel, wav = gen.gen_test_sample(jax.random.PRNGKey(seed), cond, uncond)
+            return {"mel": mel, "wav": wav, "sample_rate": self.sample_rate,
+                    "metadata": {"prompt": prompt, "task": self.task,
+                                 "guidance_scale": guidance_scale,
+                                 "num_steps": num_steps, "seed": seed,
+                                 "elapsed_s": round(time.time() - t0, 3)}}
+
+
 def main(argv=None):
     from ..core import enable_compile_cache
 
@@ -158,70 +265,21 @@ def main(argv=None):
                         "(ddpm.py:773 decode_first_stage)")
     args = p.parse_args(argv)
 
-    from ..codecs.vae1d import AutoencoderKL1D
-    from ..codecs.vocoder import VocoderBigVGAN
-    from ..models.flag_dit_1d import FlagDiT1D
-
-    prompt = args.prompt
-    if args.task == "audio" and args.struct_caption:
-        prompt = natural_to_structured(prompt)
-        print(f"structured caption: {prompt}")
-
-    hidden, depth = (64, 2) if args.debug else (1152, 28)
-    ctx_dim = 1024
-    model = FlagDiT1D(in_channels=20, context_dim=ctx_dim, hidden_size=hidden,
-                      depth=depth, num_heads=4 if args.debug else 16, multiple_of=16)
-    rng = jax.random.PRNGKey(args.seed)
-    x0 = jnp.zeros((2, 20, args.latent_length))
-    ctx0 = jnp.zeros((2, 8, ctx_dim))
-    variables = jax.jit(model.init)(rng, x0, jnp.zeros((2,)), ctx0)
-
-    def denoiser_fn(x, t, c):
-        return model.apply(variables, x, t, c)
-
-    if args.vae_ckpt:
-        # real trained mel-VAE: the maa2 structural config + imported weights
-        from ..codecs.vae1d import import_autoencoder_kl_1d_weights, make_an_audio_2_vae
-        from ..core.checkpoint import load_torch_state_dict
-
-        vae = make_an_audio_2_vae()
-        vv = {"params": import_autoencoder_kl_1d_weights(
-            load_torch_state_dict(args.vae_ckpt), ch_mult=vae.ch_mult,
-            num_res_blocks=vae.num_res_blocks, attn_layers=(), down_layers=(0,))}
-    else:
-        vae = AutoencoderKL1D(mel_bins=80, embed_dim=20, ch=32 if args.debug else 128,
-                              ch_mult=(1, 2), num_res_blocks=1, z_channels=20)
-        vv = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 80, 16)), jax.random.PRNGKey(2))
-    vae_decode = lambda z: vae.apply(vv, z, method=vae.decode)
-
-    if args.vocoder_ckpt:
-        voc = VocoderBigVGAN.from_torch_checkpoint(args.vocoder_ckpt, mel_bins=80)
-    else:
-        voc = VocoderBigVGAN.create(
-            mel_bins=80,
-            **({"upsample_rates": (2, 2), "upsample_kernel_sizes": (4, 4),
-                "upsample_initial_channel": 32, "resblock_kernel_sizes": (3,),
-                "resblock_dilation_sizes": ((1, 3),)} if args.debug else {}),
-        )
-
-    # deterministic pseudo text features offline (T5/CLAP wrappers available
-    # in codecs.text_encoders when weights are present)
-    ly = 16
-    from ..utils import stable_text_seed
-
-    cond = jnp.asarray(np.random.default_rng(stable_text_seed(prompt))
-                       .standard_normal((1, ly, ctx_dim)).astype(np.float32))
-    uncond = jnp.zeros((1, ly, ctx_dim))
-
-    gen = GenSamples(denoiser_fn, vae_decode, voc.vocode,
-                     latent_length=args.latent_length // 2,
-                     guidance_scale=args.guidance_scale, num_steps=args.num_steps,
-                     scale_factor=args.latent_scale_factor)
-    mel, wav = gen.gen_test_sample(rng, cond, uncond)
+    denoiser_fn, vae_decode, vocode = build_audio_stack(
+        debug=args.debug, vae_ckpt=args.vae_ckpt, vocoder_ckpt=args.vocoder_ckpt,
+        latent_length=args.latent_length, seed=args.seed)
+    worker = AudioWorker(denoiser_fn, vae_decode, vocode, task=args.task,
+                         latent_length=args.latent_length // 2,
+                         scale_factor=args.latent_scale_factor)
+    result = worker.generate(args.prompt, use_struct=args.struct_caption,
+                             guidance_scale=args.guidance_scale,
+                             num_steps=args.num_steps, seed=args.seed)
+    if args.struct_caption and args.task == "audio":
+        print(f"structured caption: {result['metadata']['prompt']}")
     os.makedirs(args.output_dir, exist_ok=True)
     out = os.path.join(args.output_dir, "sample.wav")
-    save_wav(wav[0], out)
-    print(f"mel {mel.shape} -> {out}")
+    save_wav(result["wav"][0], out)
+    print(f"mel {result['mel'].shape} -> {out}")
     return out
 
 
