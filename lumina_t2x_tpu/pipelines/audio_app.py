@@ -206,8 +206,11 @@ class AudioWorker:
 
     def _encode(self, prompt: str):
         if self.text_encode_fn is not None:
-            feats, _ = self.text_encode_fn([prompt])
-            return jnp.asarray(feats), jnp.zeros_like(jnp.asarray(feats))
+            # CFG uncond = empty-prompt features, the reference's convention
+            # (`demo_music.py` gets both rows from the frozen encoder)
+            feats, _ = self.text_encode_fn([prompt, ""])
+            feats = jnp.asarray(feats)
+            return feats[:1], feats[1:]
         ly = 16
         from ..utils import stable_text_seed
 
