@@ -302,8 +302,24 @@ class CLAPAudioEncoder:
     def __init__(self, params: Dict, duration: float = 5.0):
         self.params = params
         self.duration = duration
-        self._embed = jax.jit(lambda w: clap_audio_embed(
-            params, w, sr=params["frontend"]["sample_rate"]))
+        # weights travel as jit ARGUMENTS (a closed-over tower would embed
+        # ~80M params in the compile payload — the remote-compile relay
+        # rejects that with HTTP 413); only the static front-end geometry is
+        # closed over
+        self._weights = jax.tree.map(
+            jnp.asarray, {"cnn14": params["cnn14"],
+                          "projection": params["projection"]})
+        fe = dict(params["frontend"])
+
+        def _embed_fn(w, wave):
+            mel = logmel(wave, sr=fe["sample_rate"], n_fft=fe["n_fft"],
+                         hop=fe["hop"], n_mels=fe["n_mels"], fmin=fe["fmin"],
+                         fmax=fe["fmax"])
+            emb, _ = cnn14_embedding(w["cnn14"], mel)
+            proj = clap_projection(emb, w["projection"])
+            return proj / jnp.linalg.norm(proj, axis=-1, keepdims=True)
+
+        self._embed = jax.jit(_embed_fn)
 
     @classmethod
     def from_clap_checkpoint(cls, ckpt_path: str, **geometry):
@@ -325,4 +341,4 @@ class CLAPAudioEncoder:
             wave = np.asarray(resample_waveform(wave, sr, target_sr))
         n = int(self.duration * target_sr)
         wave = np.stack([tile_or_crop(w, n, start=start) for w in wave])
-        return self._embed(jnp.asarray(wave))
+        return self._embed(self._weights, jnp.asarray(wave))

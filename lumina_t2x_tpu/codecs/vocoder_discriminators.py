@@ -189,6 +189,10 @@ class MultiResolutionDiscriminator(nn.Module):
 
 
 def feature_loss(fmaps_r, fmaps_g):
+    # real-branch fmaps are stop-gradiented: the reference only ever uses
+    # this in the GENERATOR step (models.py:458-464), where torch's
+    # undetached rl grads land in discriminator .grad buffers that the next
+    # zero_grad discards — here we skip computing them at all
     loss = 0.0
     for fr, fg in zip(fmaps_r, fmaps_g):
         for rl, gl in zip(fr, fg):

@@ -49,6 +49,8 @@ def _build() -> Optional[str]:
 def get_lib():
     """Load (building if needed) the native library; None if unavailable."""
     global _LIB, _BUILD_FAILED
+    if _LIB is not None or _BUILD_FAILED:  # lock-free fast path (hot: called
+        return _LIB                        # per image by the decode threads)
     with _LOCK:
         if _LIB is not None or _BUILD_FAILED:
             return _LIB
