@@ -83,6 +83,105 @@ class TestDecoderTextEncoder:
         assert np.all(np.isfinite(np.asarray(feats)))
 
 
+class TestTorchCrossParity:
+    def test_gemma_flax_matches_torch_reference_recipe(self, tiny_gemma, tmp_path):
+        """The flax encode() path equals the reference's own torch recipe
+        (`lumina_next_t2i/train.py:218-248`: AutoModel + output_hidden_states
+        + hidden_states[-2]) with identical weights — transformers' torch
+        GemmaModel is the exact class the reference runs, instantiated here
+        from the flax checkpoint (no network). This pins the convention chain
+        (right-pad ids -> [-2] features) at the implementation level; only
+        real released weights remain untested (docs/validation.md step 1)."""
+        import torch
+        from transformers import GemmaModel
+        from transformers.modeling_flax_pytorch_utils import (
+            load_flax_weights_in_pytorch_model,
+        )
+
+        # from_pretrained(from_flax=True) meta-inits the torch model in this
+        # transformers build and crashes in .item(); convert the live params
+        # with the same underlying utility instead.
+        torch_model = GemmaModel(tiny_gemma.model.config)
+        load_flax_weights_in_pytorch_model(torch_model, tiny_gemma.model.params)
+        torch_model.eval()
+
+        prompts = ["a corgi wearing sunglasses", "low-poly render", ""]
+        feats, mask = tiny_gemma.encode(prompts)
+
+        ids_np, mask_np = tokenize_prompts(tiny_gemma.tokenizer, prompts, tiny_gemma.max_length)
+        with torch.no_grad():
+            out = torch_model(
+                input_ids=torch.from_numpy(ids_np).long(),
+                attention_mask=torch.from_numpy(mask_np).long(),
+                output_hidden_states=True,
+            )
+        ref = out.hidden_states[-2].numpy()
+
+        assert feats.shape == ref.shape
+        np.testing.assert_array_equal(np.asarray(mask), mask_np)
+        # compare on the attended positions (pad rows may differ under
+        # different mask conventions but are masked out downstream)
+        m = mask_np[..., None].astype(bool)
+        diff = np.abs(np.asarray(feats, np.float32) - ref)[np.broadcast_to(m, ref.shape)]
+        assert float(diff.max()) < 5e-4, float(diff.max())
+
+
+    def test_llama_flax_matches_torch(self, tmp_path):
+        """Same cross-check for the 5B Flag-DiT's LLaMA path
+        (`lumina_t2i/train.py:277-280`: AutoModelForCausalLM().get_decoder(),
+        hidden_states[-2])."""
+        import torch
+        from transformers import FlaxLlamaModel, LlamaConfig, LlamaModel
+        from transformers.modeling_flax_pytorch_utils import (
+            load_flax_weights_in_pytorch_model,
+        )
+
+        cfg = LlamaConfig(vocab_size=128, hidden_size=32, intermediate_size=64,
+                          num_hidden_layers=2, num_attention_heads=4,
+                          num_key_value_heads=4, max_position_embeddings=64)
+        flax_model = FlaxLlamaModel(cfg)
+        torch_model = LlamaModel(cfg)
+        load_flax_weights_in_pytorch_model(torch_model, flax_model.params)
+        torch_model.eval()
+
+        ids = np.array([[5, 9, 17, 33, 2, 0, 0, 0], [7, 7, 7, 1, 1, 1, 1, 1]], np.int32)
+        mask = (ids != 0).astype(np.int32)
+        ours = np.asarray(flax_model(input_ids=ids, attention_mask=mask,
+                                     output_hidden_states=True).hidden_states[-2])
+        with torch.no_grad():
+            ref = torch_model(input_ids=torch.from_numpy(ids).long(),
+                              attention_mask=torch.from_numpy(mask).long(),
+                              output_hidden_states=True).hidden_states[-2].numpy()
+        m = np.broadcast_to(mask[..., None].astype(bool), ref.shape)
+        assert float(np.abs(ours - ref)[m].max()) < 5e-4
+
+    def test_t5_flax_matches_torch(self):
+        """FLAN-T5 music conditioning path (`modules.py:25-62`: T5 encoder
+        last_hidden_state over max_length padding)."""
+        import torch
+        from transformers import FlaxT5EncoderModel, T5Config, T5EncoderModel
+        from transformers.modeling_flax_pytorch_utils import (
+            load_flax_weights_in_pytorch_model,
+        )
+
+        cfg = T5Config(vocab_size=128, d_model=32, d_kv=8, d_ff=64,
+                       num_layers=2, num_heads=4)
+        flax_model = FlaxT5EncoderModel(cfg)
+        torch_model = T5EncoderModel(cfg)
+        load_flax_weights_in_pytorch_model(torch_model, flax_model.params)
+        torch_model.eval()
+
+        ids = np.array([[4, 8, 15, 16, 23, 42, 0, 0]], np.int32)
+        mask = (ids != 0).astype(np.int32)
+        ours = np.asarray(flax_model(input_ids=ids, attention_mask=mask).last_hidden_state)
+        with torch.no_grad():
+            ref = torch_model(input_ids=torch.from_numpy(ids).long(),
+                              attention_mask=torch.from_numpy(mask).long()
+                              ).last_hidden_state.numpy()
+        m = np.broadcast_to(mask[..., None].astype(bool), ref.shape)
+        assert float(np.abs(ours - ref)[m].max()) < 5e-4
+
+
 class TestCLAPExtraction:
     def test_projection_math(self):
         import jax.numpy as jnp
