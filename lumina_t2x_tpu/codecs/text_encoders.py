@@ -207,3 +207,21 @@ class CLAPTextEncoder:
         if self.projection_params is not None:
             feats = clap_projection(feats, jax.tree.map(jnp.asarray, self.projection_params))
         return feats, jnp.asarray(batch.attention_mask)
+
+    def embed(self, prompts: Sequence[str]) -> jnp.ndarray:
+        """Sentence-level CLAP text embedding for SCORING (vs `encode`, the
+        per-token conditioning path): projection of the CLS token, then
+        L2-normalized (`CLAP/clap.py:68-72` `out[:, 0, :]`;
+        `CLAPWrapper.py:163-170` normalization). Pairs with
+        `clap_audio.CLAPAudioEncoder.embed` / `clap_score`."""
+        if self.projection_params is None:
+            raise ValueError("CLAP scoring needs the projection head "
+                             "(load via from_clap_checkpoint)")
+        batch = self.tokenizer(
+            list(prompts), truncation=True, max_length=self.max_length,
+            padding="max_length", return_tensors="np",
+        )
+        out = self.model(input_ids=batch.input_ids, attention_mask=batch.attention_mask)
+        cls = jnp.asarray(out.last_hidden_state)[:, 0, :]
+        proj = clap_projection(cls, jax.tree.map(jnp.asarray, self.projection_params))
+        return proj / jnp.linalg.norm(proj, axis=-1, keepdims=True)

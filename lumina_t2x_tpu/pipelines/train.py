@@ -34,6 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.checkpoint import (
+    AsyncCheckpointSaver,
     find_auto_resume,
     init_from as init_from_ckpt,
     load_checkpoint,
@@ -104,6 +105,10 @@ def parse_args(argv=None):
                    help="capture a jax.profiler trace of N steps (starting "
                         "after the compile step) to <exp_dir>/trace")
     p.add_argument("--ckpt_every", type=int, default=50_000)
+    p.add_argument("--async_save", action="store_true",
+                   help="overlap checkpoint serialization with training "
+                        "(Orbax async save; the resume marker is written only "
+                        "once the bytes are durable)")
     return p.parse_args(argv)
 
 
@@ -434,13 +439,22 @@ def main(argv=None):
     rng = jax.random.PRNGKey(args.global_seed)
     meter = Throughput()
     meter.start()
+    saver = AsyncCheckpointSaver() if args.async_save else None
+
+    def _save(step_, state_):
+        if saver is not None:
+            return saver.save(exp_dir, step_, state_, model_args=vars(args))
+        return save_checkpoint(exp_dir, step_, state_, model_args=vars(args))
+
     start_step = int(state.step)
     batch = first
     running = []
     tracing = False
     for step in range(start_step, args.max_steps):
         if preempted["flag"]:
-            path = save_checkpoint(exp_dir, step, state, model_args=vars(args))
+            path = _save(step, state)
+            if saver is not None:
+                saver.close()
             logger.warning(f"SIGTERM: checkpointed step {step} to {path}; exiting")
             metrics_writer.close()
             if prev_handler is not None:
@@ -499,10 +513,13 @@ def main(argv=None):
                                             "train/lr": args.lr})
             running = []
         if (step + 1) % args.ckpt_every == 0 or (step + 1) == args.max_steps:
-            path = save_checkpoint(exp_dir, step + 1, state, model_args=vars(args))
-            logger.info(f"saved checkpoint to {path}")
+            path = _save(step + 1, state)
+            logger.info(("initiated async save to " if saver is not None
+                         else "saved checkpoint to ") + path)
         batch = next(batches)
 
+    if saver is not None:
+        saver.close()
     metrics_writer.close()
     if prev_handler is not None:
         signal.signal(signal.SIGTERM, prev_handler)

@@ -10,6 +10,7 @@ import numpy as np
 import pytest
 
 from lumina_t2x_tpu.core.checkpoint import (
+    checkpoint_dir,
     export_next_dit_weights,
     find_auto_resume,
     import_next_dit_weights,
@@ -108,6 +109,74 @@ def make_state_capdim(model, cap_dim):
     opt = create_optimizer(1e-3)
     state = create_train_state(jax.random.PRNGKey(0), model, batch, opt, cond)
     return state, batch, cond, opt
+
+
+class TestAsyncSaver:
+    def test_async_save_round_trip_and_marker_deferral(self, tmp_path):
+        from lumina_t2x_tpu.core.checkpoint import AsyncCheckpointSaver
+
+        model = tiny_model()
+        state, batch, cond, opt = make_state(model)
+        transport = create_transport("Linear", "velocity")
+        step_fn = jax.jit(make_train_step(model, transport, opt, cond))
+        state, _ = step_fn(state, batch, jax.random.PRNGKey(0))
+
+        saver = AsyncCheckpointSaver()
+        path = saver.save(str(tmp_path), 1, state, model_args={"dim": 64})
+        # the completion marker is deferred: until wait(), auto-resume must
+        # not see the (possibly still-committing) checkpoint
+        assert not os.path.exists(os.path.join(path, "resume_step.txt"))
+        assert find_auto_resume(str(tmp_path)) is None
+
+        # a second save finalizes the first; train on (donated buffers) in
+        # between to prove the step/save overlap is safe
+        snap1 = jax.tree.map(np.asarray, state.params)
+        state, _ = step_fn(state, batch, jax.random.PRNGKey(1))
+        saver.save(str(tmp_path), 2, state, model_args={"dim": 64})
+        assert os.path.exists(os.path.join(path, "resume_step.txt"))
+        saver.close()
+        assert find_auto_resume(str(tmp_path)).endswith("0000002")
+
+        fresh, *_ = make_state(model)
+        r1 = load_checkpoint(path, fresh)
+        assert int(r1.step) == 1
+        for a, b in zip(jax.tree.leaves(snap1), jax.tree.leaves(r1.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+        fresh2, *_ = make_state(model)
+        r2 = load_checkpoint(checkpoint_dir(str(tmp_path), 2), fresh2)
+        assert int(r2.step) == 2
+        for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(r2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+        assert load_model_args(path)["dim"] == 64
+
+    def test_trainer_async_save_flag(self, tmp_path):
+        """The --async_save CLI path writes resumable checkpoints (the mid-run
+        one finalized by the next save, the final one by close())."""
+        from lumina_t2x_tpu import models as m
+        from lumina_t2x_tpu.models.next_dit_imagenet import NextDiTImageNet
+        from lumina_t2x_tpu.pipelines import train as train_mod
+
+        name = "NextDiT_ImageNet_600M_patch2"
+        orig = m.MODELS[name]
+        m.MODELS[name] = lambda **kw: NextDiTImageNet(
+            **{**dict(dim=32, n_layers=2, n_heads=4, multiple_of=16,
+                      num_classes=16, attn_impl="xla"),
+               **{k: v for k, v in kw.items() if k not in ("remat",)}})
+        try:
+            train_mod.main([
+                "--model", name, "--data_path", "synthetic://8x8",
+                "--max_steps", "2", "--global_batch_size", "8",
+                "--log_every", "1", "--ckpt_every", "1", "--async_save",
+                "--precision", "fp32", "--results_dir", str(tmp_path),
+            ])
+        finally:
+            m.MODELS[name] = orig
+        exp_dir = os.path.join(str(tmp_path), name)
+        found = find_auto_resume(exp_dir)
+        assert found is not None and found.endswith("0000002")
+        assert os.path.exists(os.path.join(exp_dir, "checkpoints", "0000001",
+                                           "resume_step.txt"))
+        assert load_model_args(found)["async_save"] is True
 
 
 class TestTorchImport:
