@@ -34,8 +34,13 @@ def checkpoint_dir(results_dir: str, step: int) -> str:
     return os.path.join(results_dir, "checkpoints", f"{step:07d}")
 
 
-def save_checkpoint(results_dir: str, step: int, state, model_args: Optional[Dict] = None):
-    """Save params/EMA/opt-state (sharded) + model_args + resume_step."""
+def save_checkpoint(results_dir: str, step: int, state, model_args: Optional[Dict] = None,
+                    keep_last: int = 0):
+    """Save params/EMA/opt-state (sharded) + model_args + resume_step.
+
+    `keep_last` > 0 prunes older COMPLETE checkpoints beyond the newest
+    `keep_last` after this save commits (a retention policy the reference
+    lacks — at 2B each step dir is ~18 GB)."""
     path = os.path.abspath(checkpoint_dir(results_dir, step))
     os.makedirs(path, exist_ok=True)
     ckptr = ocp.StandardCheckpointer()
@@ -48,7 +53,35 @@ def save_checkpoint(results_dir: str, step: int, state, model_args: Optional[Dic
             json.dump(model_args, f, indent=2, default=str)
     with open(os.path.join(path, "resume_step.txt"), "w") as f:
         f.write(str(step))
+    prune_checkpoints(results_dir, keep_last)
     return path
+
+
+def prune_checkpoints(results_dir: str, keep_last: int) -> list:
+    """Delete all but the newest `keep_last` COMPLETE checkpoint dirs
+    (those with the `resume_step.txt` marker; in-flight async saves have
+    no marker yet and are never touched). No-op for keep_last <= 0 or on
+    non-lead hosts (each dir is shared storage written once). Returns the
+    pruned paths."""
+    if keep_last <= 0 or jax.process_index() != 0:
+        return []
+    base = os.path.join(results_dir, "checkpoints")
+    if not os.path.isdir(base):
+        return []
+    complete = sorted(
+        (d for d in os.listdir(base)
+         if re.fullmatch(r"\d{7}", d)
+         and os.path.exists(os.path.join(base, d, "resume_step.txt"))),
+        key=int,
+    )
+    import shutil
+
+    pruned = []
+    for d in complete[:-keep_last]:
+        target = os.path.join(base, d)
+        shutil.rmtree(target, ignore_errors=True)
+        pruned.append(target)
+    return pruned
 
 
 class AsyncCheckpointSaver:
@@ -78,10 +111,11 @@ class AsyncCheckpointSaver:
         saver.close()                                      # finalize last save
     """
 
-    def __init__(self):
+    def __init__(self, keep_last: int = 0):
         self._ckptrs = {name: ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
                         for name in ("model", "ema", "optimizer")}
         self._pending: Optional[tuple] = None
+        self.keep_last = keep_last
 
     def save(self, results_dir: str, step: int, state,
              model_args: Optional[Dict] = None) -> str:
@@ -111,6 +145,7 @@ class AsyncCheckpointSaver:
         with open(os.path.join(path, "resume_step.txt"), "w") as f:
             f.write(str(step))
         self._pending = None
+        prune_checkpoints(os.path.dirname(os.path.dirname(path)), self.keep_last)
         return path
 
     def close(self):

@@ -105,6 +105,9 @@ def parse_args(argv=None):
                    help="capture a jax.profiler trace of N steps (starting "
                         "after the compile step) to <exp_dir>/trace")
     p.add_argument("--ckpt_every", type=int, default=50_000)
+    p.add_argument("--keep_last", type=int, default=0,
+                   help="prune all but the newest N complete checkpoints "
+                        "(0 = keep all, the reference behavior)")
     p.add_argument("--async_save", action="store_true",
                    help="overlap checkpoint serialization with training "
                         "(Orbax async save; the resume marker is written only "
@@ -439,12 +442,13 @@ def main(argv=None):
     rng = jax.random.PRNGKey(args.global_seed)
     meter = Throughput()
     meter.start()
-    saver = AsyncCheckpointSaver() if args.async_save else None
+    saver = AsyncCheckpointSaver(keep_last=args.keep_last) if args.async_save else None
 
     def _save(step_, state_):
         if saver is not None:
             return saver.save(exp_dir, step_, state_, model_args=vars(args))
-        return save_checkpoint(exp_dir, step_, state_, model_args=vars(args))
+        return save_checkpoint(exp_dir, step_, state_, model_args=vars(args),
+                               keep_last=args.keep_last)
 
     start_step = int(state.step)
     batch = first

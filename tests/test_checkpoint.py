@@ -179,6 +179,45 @@ class TestAsyncSaver:
         assert load_model_args(found)["async_save"] is True
 
 
+class TestRetention:
+    def test_sync_keep_last(self, tmp_path):
+        model = tiny_model()
+        state, *_ = make_state(model)
+        for s in (1, 2, 3):
+            save_checkpoint(str(tmp_path), s, state, keep_last=2)
+        base = tmp_path / "checkpoints"
+        assert sorted(os.listdir(base)) == ["0000002", "0000003"]
+        assert find_auto_resume(str(tmp_path)).endswith("0000003")
+
+    def test_async_prunes_only_complete(self, tmp_path):
+        from lumina_t2x_tpu.core.checkpoint import AsyncCheckpointSaver
+
+        model = tiny_model()
+        state, *_ = make_state(model)
+        saver = AsyncCheckpointSaver(keep_last=1)
+        saver.save(str(tmp_path), 1, state)
+        saver.save(str(tmp_path), 2, state)  # finalizes + prunes vs #1
+        base = tmp_path / "checkpoints"
+        # step 2 is still pending (no marker) so it is never pruned; step 1
+        # was the only complete one and keep_last=1 retains it
+        assert (base / "0000001" / "resume_step.txt").exists()
+        assert not (base / "0000002" / "resume_step.txt").exists()
+        saver.close()  # finalizes #2, prunes #1
+        assert sorted(os.listdir(base)) == ["0000002"]
+        fresh, *_ = make_state(model)
+        assert int(load_checkpoint(find_auto_resume(str(tmp_path)), fresh).step) == 2
+
+    def test_prune_disabled_by_default(self, tmp_path):
+        from lumina_t2x_tpu.core.checkpoint import prune_checkpoints
+
+        model = tiny_model()
+        state, *_ = make_state(model)
+        for s in (1, 2):
+            save_checkpoint(str(tmp_path), s, state)
+        assert prune_checkpoints(str(tmp_path), 0) == []
+        assert sorted(os.listdir(tmp_path / "checkpoints")) == ["0000001", "0000002"]
+
+
 class TestTorchImport:
     def _fake_torch_sd(self, dim=64, n_layers=2, n_heads=4, cap_dim=32, multiple_of=16):
         """Construct a reference-shaped state dict with random numpy values."""
