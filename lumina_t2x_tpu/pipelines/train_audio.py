@@ -23,7 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..core.checkpoint import find_auto_resume, load_checkpoint, save_checkpoint
+from ..core.checkpoint import (AsyncCheckpointSaver, find_auto_resume,
+                               load_checkpoint, save_checkpoint)
 from ..core.logging import MetricsWriter, Throughput, create_logger
 from ..models.flag_dit_1d import FlagDiT1D
 from ..parallel import create_mesh, distributed_init
@@ -57,6 +58,10 @@ def parse_args(argv=None):
     p.add_argument("--auto_resume", action="store_true")
     p.add_argument("--log_every", type=int, default=100)
     p.add_argument("--ckpt_every", type=int, default=10_000)
+    p.add_argument("--keep_last", type=int, default=0,
+                   help="prune all but the newest N complete checkpoints")
+    p.add_argument("--async_save", action="store_true",
+                   help="overlap checkpoint serialization with training")
     p.add_argument("--global_seed", type=int, default=0)
     return p.parse_args(argv)
 
@@ -166,6 +171,8 @@ def main(argv=None):
 
     meter = Throughput()
     meter.start()
+    saver = (AsyncCheckpointSaver(keep_last=args.keep_last)
+             if args.async_save else None)
     batch = first
     for step in range(int(state.step), args.max_steps):
         if jax.process_count() > 1:
@@ -186,9 +193,16 @@ def main(argv=None):
             metrics.write(step + 1, {"train/loss": float(m["loss"]),
                                      "train/grad_norm": float(m["grad_norm"])})
         if (step + 1) % args.ckpt_every == 0 or (step + 1) == args.max_steps:
-            path = save_checkpoint(exp_dir, step + 1, state, model_args=vars(args))
-            logger.info(f"saved checkpoint to {path}")
+            if saver is not None:
+                path = saver.save(exp_dir, step + 1, state, model_args=vars(args))
+                logger.info(f"initiated async save to {path}")
+            else:
+                path = save_checkpoint(exp_dir, step + 1, state,
+                                       model_args=vars(args), keep_last=args.keep_last)
+                logger.info(f"saved checkpoint to {path}")
         batch = next(batches)
+    if saver is not None:
+        saver.close()
     metrics.close()
     return state
 

@@ -302,6 +302,24 @@ class TestAudioTrainer:
         assert int(state.step) == 2
         assert (tmp_path / "music" / "checkpoints" / "0000002").exists()
 
+    def test_async_save_and_retention(self, tmp_path):
+        from lumina_t2x_tpu.pipelines.train_audio import main
+
+        main([
+            "--task", "music",
+            "--data_path", "synthetic://",
+            "--results_dir", str(tmp_path),
+            "--latent_channels", "8", "--latent_length", "16",
+            "--context_dim", "16", "--context_len", "4",
+            "--hidden_size", "32", "--depth", "1", "--num_heads", "4",
+            "--global_batch_size", "8",
+            "--max_steps", "3", "--log_every", "1", "--ckpt_every", "1",
+            "--precision", "fp32", "--async_save", "--keep_last", "1",
+        ])
+        base = tmp_path / "music" / "checkpoints"
+        assert sorted(p.name for p in base.iterdir()) == ["0000003"]
+        assert (base / "0000003" / "resume_step.txt").exists()
+
     def test_npy_data_pipeline(self, tmp_path):
         import numpy as np
 
