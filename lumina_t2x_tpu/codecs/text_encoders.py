@@ -169,11 +169,16 @@ class CLAPTextEncoder:
     projection(last_hidden_state) (`modules.py:109-110`), used jointly with
     T5 for structured-caption audio conditioning."""
 
-    def __init__(self, model, tokenizer, projection_params=None, max_length: int = 77):
+    def __init__(self, model, tokenizer, projection_params=None, max_length: int = 77,
+                 score_max_length: int = 100):
         self.model = model
         self.tokenizer = tokenizer
         self.projection_params = projection_params
         self.max_length = max_length
+        # Scoring uses the reference scorer's longer budget
+        # (`CLAPWrapper.preprocess_text` text_len=100, CLAPWrapper.py:149),
+        # distinct from the 77-token conditioning path.
+        self.score_max_length = score_max_length
 
     @classmethod
     def from_clap_checkpoint(cls, ckpt_path: str, flax_text_model, tokenizer,
@@ -218,7 +223,7 @@ class CLAPTextEncoder:
             raise ValueError("CLAP scoring needs the projection head "
                              "(load via from_clap_checkpoint)")
         batch = self.tokenizer(
-            list(prompts), truncation=True, max_length=self.max_length,
+            list(prompts), truncation=True, max_length=self.score_max_length,
             padding="max_length", return_tensors="np",
         )
         out = self.model(input_ids=batch.input_ids, attention_mask=batch.attention_mask)

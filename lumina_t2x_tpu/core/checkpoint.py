@@ -19,6 +19,7 @@ FSDP-consolidated rank-0 .pth files.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import re
 from typing import Any, Dict, Optional
@@ -79,7 +80,16 @@ def prune_checkpoints(results_dir: str, keep_last: int) -> list:
     pruned = []
     for d in complete[:-keep_last]:
         target = os.path.join(base, d)
-        shutil.rmtree(target, ignore_errors=True)
+        try:
+            shutil.rmtree(target)
+        except OSError as e:
+            # Report but keep going: a busy NFS dir must not look "pruned"
+            # (disk would silently keep filling) nor abort training.
+            logging.getLogger(__name__).warning("prune failed for %s: %s", target, e)
+            continue
+        if os.path.exists(target):
+            logging.getLogger(__name__).warning("prune incomplete for %s", target)
+            continue
         pruned.append(target)
     return pruned
 

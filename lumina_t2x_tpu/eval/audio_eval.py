@@ -21,10 +21,16 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import wave
 from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
+
+
+def _natural_key(name: str):
+    """Sort key treating digit runs as numbers: 2.wav < 10.wav."""
+    return [int(p) if p.isdigit() else p for p in re.split(r"(\d+)", name)]
 
 
 def read_wav(path: str) -> Tuple[np.ndarray, int]:
@@ -61,11 +67,19 @@ def clap_scores(text_encoder, audio_encoder, wav_paths: Sequence[str],
         chunk_paths = wav_paths[lo:lo + batch_size]
         chunk_prompts = list(prompts[lo:lo + batch_size])
         text_emb = np.asarray(text_encoder.embed(chunk_prompts))
-        # group by native sample rate so each group resamples in one shot
         waves = [read_wav(p) for p in chunk_paths]
-        audio_emb = np.stack([
-            np.asarray(audio_encoder.embed(w, sr=sr))[0] for w, sr in waves
-        ])
+        # Group by (sample rate, length): uniform-format wavs (the common
+        # case for one generation run) embed as a single batch; stragglers
+        # fall back to per-file calls. Grouping keys must preserve order.
+        audio_emb = np.empty((len(waves), text_emb.shape[-1]), np.float32)
+        groups: Dict[Tuple[int, int], List[int]] = {}
+        for i, (w, sr) in enumerate(waves):
+            groups.setdefault((sr, w.shape[0]), []).append(i)
+        for (sr, _), idxs in groups.items():
+            emb = np.asarray(audio_encoder.embed(
+                np.stack([waves[i][0] for i in idxs]), sr=sr))
+            for row, i in enumerate(idxs):
+                audio_emb[i] = emb[row]
         scores.append(np.asarray(clap_score(text_emb, audio_emb)))
     return np.concatenate(scores) if scores else np.zeros((0,), np.float32)
 
@@ -75,11 +89,16 @@ def clap_eval_directory(text_encoder, audio_encoder, wav_dir: str,
                         batch_size: int = 8) -> Dict:
     """Score every .wav in `wav_dir` (sorted) against its prompt.
 
-    `prompts`: a list (one per wav, in sorted-filename order) or a path to a
-    text file with one prompt per line. Returns a JSON-ready report:
-    {"mean_clap_score", "n", "per_file": {name: score}}.
+    `prompts`: a list (one per wav, in natural-sorted filename order) or a
+    path to a text file with one prompt per line. Returns a JSON-ready
+    report: {"mean_clap_score", "n", "per_file": {name: score}}.
+
+    Filenames are NATURAL-sorted (digit runs compared numerically), so
+    `2.wav` pairs before `10.wav` — plain lexicographic sorting would
+    silently mispair prompts for unpadded numeric stems.
     """
-    wavs = sorted(f for f in os.listdir(wav_dir) if f.lower().endswith(".wav"))
+    wavs = sorted((f for f in os.listdir(wav_dir) if f.lower().endswith(".wav")),
+                  key=_natural_key)
     if isinstance(prompts, str):
         with open(prompts) as f:
             prompts = [line.rstrip("\n") for line in f if line.strip()]
