@@ -367,8 +367,43 @@ def _flash_kernel_res(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref,
         lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
-def _flash_fwd_res_impl(q, k, v, kv_mask, scale, block_q, block_k):
+def _flash_kernel_res_static_max(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+                                 acc_ref, *, scale, d, static_max: float):
+    """Forward + LSE residual with the FIXED softmax bound (training-side
+    counterpart of `_flash_kernel_static_max`): drops the online running-max
+    scratch and its per-block rescale. The LSE stays EXACT within the
+    calibrated window — `lse = bound + log(sum_j exp(s_j - bound))` is the
+    same number the online kernel produces as long as the exp clamp never
+    fires (calibration margin guarantees that) — so the backward kernels,
+    which reconstruct p = exp(s - lse), are untouched."""
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    s = jnp.where(mask_ref[0] != 0, s, _NEG_INF)
+    p = jnp.exp(jnp.minimum(s - static_max, 55.0))  # clamp: see static_max kernel
+    pv = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    acc_ref[:] = acc_ref[:] + pv
+
+    @pl.when(ki == pl.num_programs(3) - 1)
+    def _finalize():
+        l = jnp.maximum(acc_ref[:, d:d + 1], 1e-30)
+        o_ref[0, 0] = (acc_ref[:, :d] / l).astype(o_ref.dtype)
+        lse = static_max + jnp.log(l)
+        lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k",
+                                             "static_max"))
+def _flash_fwd_res_impl(q, k, v, kv_mask, scale, block_q, block_k,
+                        static_max=None):
     """Forward returning (out, lse) for the backward pass."""
     b, sq, hq, d = q.shape
     _, sk, hkv, _ = k.shape
@@ -386,8 +421,19 @@ def _flash_fwd_res_impl(q, k, v, kv_mask, scale, block_q, block_k):
     grid = (b, hq, sq_p // block_q, sk_p // block_k)
     interpret = jax.default_backend() == "cpu"
 
+    if static_max is not None:
+        kernel = functools.partial(_flash_kernel_res_static_max, scale=scale,
+                                   d=d, static_max=static_max)
+        scratch = [pltpu.VMEM((block_q, d + 1), jnp.float32)]  # acc + denom col
+    else:
+        kernel = functools.partial(_flash_kernel_res, scale=scale, d=d)
+        scratch = [
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d + 1), jnp.float32),
+        ]
+
     out, lse = pl.pallas_call(
-        functools.partial(_flash_kernel_res, scale=scale, d=d),
+        kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, block_k), lambda bi, hi, qi, ki: (bi, 0, ki),
@@ -409,10 +455,7 @@ def _flash_fwd_res_impl(q, k, v, kv_mask, scale, block_q, block_k):
             jax.ShapeDtypeStruct((b, hq, sq_p, d), q.dtype),
             jax.ShapeDtypeStruct((b, hq, sq_p, 128), jnp.float32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, d + 1), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
@@ -763,7 +806,12 @@ def _flash_attention(q, k, v, kv_mask, scale):
 
 def _fwd(q, k, v, kv_mask, scale):
     block_q, block_k = _pick_blocks(q.shape[1], k.shape[1], q.shape[3])
-    out, lse = _flash_fwd_res_impl(q, k, v, kv_mask, scale, block_q, block_k)
+    # the calibrated bound applies to the streaming self-attention sites only
+    # (mirrors the primal dispatch above: small-KV cross-attention computes
+    # its max for free and was never part of the calibration probe)
+    static_max = _static_max_bound() if streams_kv(k.shape[1]) else None
+    out, lse = _flash_fwd_res_impl(q, k, v, kv_mask, scale, block_q, block_k,
+                                   static_max=static_max)
     return out, (q, k, v, kv_mask, out, lse)
 
 

@@ -108,6 +108,13 @@ def parse_args(argv=None):
     p.add_argument("--keep_last", type=int, default=0,
                    help="prune all but the newest N complete checkpoints "
                         "(0 = keep all, the reference behavior)")
+    p.add_argument("--flash_static_max", type=str, default="off",
+                   help="'off' (online-max kernels), 'auto' (calibrate a "
+                        "fixed softmax bound from the first batch at current "
+                        "weights; re-calibrates on every resume), or a float "
+                        "to pin the bound. Only acts on qk-norm models with "
+                        "streaming self-attention (>1024 tokens, i.e. "
+                        ">=512px training)")
     p.add_argument("--async_save", action="store_true",
                    help="overlap checkpoint serialization with training "
                         "(Orbax async save; the resume marker is written only "
@@ -450,6 +457,16 @@ def main(argv=None):
         return save_checkpoint(exp_dir, step_, state_, model_args=vars(args),
                                keep_last=args.keep_last)
 
+    # static-max flash bound: 'auto' calibrates from the first (encoded)
+    # batch inside the loop below, BEFORE the train step's first call — the
+    # bound is read at trace time and participates in the jit cache key
+    needs_calibration = args.flash_static_max == "auto"
+    if args.flash_static_max not in ("off", "auto"):
+        from ..ops.flash_attention import set_flash_static_max
+
+        set_flash_static_max(float(args.flash_static_max))
+        logger.info(f"flash static-max pinned: {args.flash_static_max}")
+
     start_step = int(state.step)
     batch = first
     running = []
@@ -472,6 +489,16 @@ def main(argv=None):
             from ..parallel.mesh import form_global_batch
 
             batch = form_global_batch(mesh, batch)
+        if needs_calibration:
+            needs_calibration = False
+            from .train_lib import autocalibrate_flash_static_max_train
+
+            bound = autocalibrate_flash_static_max_train(
+                model, state.params, batch, cond_fn,
+                rng=jax.random.fold_in(rng, 999983))
+            logger.info("flash static-max calibrated: "
+                        + (f"{bound:.2f}" if bound is not None
+                           else "n/a (online-max kernels kept)"))
         # trace capture (SURVEY.md §5: a capability the reference lacks):
         # skip the compile step, then profile N steps. Never trace the
         # compile step itself: with only one step total the trace would

@@ -115,6 +115,96 @@ class FusedAdamWEMA:
         return new_p, (new_adam, optax.EmptyState(), optax.EmptyState()), new_e
 
 
+def autocalibrate_flash_static_max_train(
+    model, params, batch: Dict[str, Any],
+    cond_kwargs_fn: Callable[[Dict], Dict],
+    probe_ts=(0.02, 0.25, 0.5, 0.75, 0.98),
+    margin: float = 8.0, spread_limit: float = 60.0, rng=None,
+) -> Optional[float]:
+    """Trainer-side static-max flash calibration (VERDICT r3 #5).
+
+    Sampling pipelines already calibrate (`sample_lib.
+    autocalibrate_flash_static_max`); this is the train-step counterpart:
+    probe the model at the first batch's shapes across the t range the
+    lognorm/uniform samplers cover, read the sown lse ranges, install
+    `bound = max(lse) + margin` via `set_flash_static_max` so BOTH forward
+    executions of a remat train step (the primal pass and the bwd recompute
+    through `_fwd`) run the fixed-bound kernels.
+
+    Train-specific caveats vs the sampling calibrator:
+    - weights MOVE during training, so the bound drifts; the margin default
+      is higher (8 vs 6) and the kernel's exp clamp turns any residual
+      excess into bounded accuracy loss, never NaN. Each process start
+      (including every `--auto_resume` chunk of a soak) re-calibrates at
+      the current weights.
+    - guards mirror the sampler's: returns None (leaving online-max kernels)
+      when an env pin/AUTO=0 is set, the model has no qk-norm, flash is not
+      the active impl, or the self-attention sequence fits the single-pass
+      small-KV kernel (which computes its max for free).
+    """
+    import math
+    import os
+
+    from ..ops.attention import resolve_impl
+    from ..ops.flash_attention import set_flash_static_max, streams_kv
+
+    if os.environ.get("LUMINA_FLASH_STATIC_MAX", ""):
+        return None
+    if os.environ.get("LUMINA_FLASH_STATIC_MAX_AUTO", "1") == "0":
+        return None
+    set_flash_static_max(None)
+    if not getattr(model, "qk_norm", False):
+        return None
+    if resolve_impl(getattr(model, "attn_impl", "auto")) != "flash":
+        return None
+    x1 = batch["x"]
+    seq_len = (x1.shape[-2] // model.patch_size) * (x1.shape[-1] // model.patch_size)
+    if not streams_kv(seq_len):
+        return None
+
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    x0 = jax.random.normal(rng, x1.shape, jnp.float32)
+
+    def probe(t_scalar):
+        t = jnp.full((x1.shape[0],), t_scalar, jnp.float32)
+        texp = t.reshape((-1,) + (1,) * (x1.ndim - 1))
+        xt = texp * x1 + (1.0 - texp) * x0  # linear path, transport.py:141-144
+        _, updates = model.apply(
+            {"params": params}, xt, t, train=True,
+            rngs={"label_dropout": jax.random.fold_in(rng, 1)},
+            mutable=["calibration"], **cond_kwargs_fn(batch),
+        )
+        leaves = jax.tree_util.tree_leaves(updates)
+        if not leaves:
+            raise _NoTrainStreamingSites()
+        mx = jnp.max(jnp.stack([jnp.max(l[..., 0]) for l in leaves]))
+        mn = jnp.min(jnp.stack([jnp.min(l[..., 1]) for l in leaves]))
+        return mx, mn
+
+    os.environ["LUMINA_FLASH_CALIBRATE"] = "1"
+    try:
+        step = jax.jit(probe)
+        gmax, gmin = -jnp.inf, jnp.inf
+        for t in probe_ts:
+            mx, mn = step(float(t))
+            gmax = max(gmax, float(mx))
+            gmin = min(gmin, float(mn))
+    except _NoTrainStreamingSites:
+        return None
+    finally:
+        os.environ.pop("LUMINA_FLASH_CALIBRATE", None)
+
+    if not math.isfinite(gmax) or not math.isfinite(gmin) or gmax - gmin > spread_limit:
+        return None
+    bound = gmax + margin
+    set_flash_static_max(bound)
+    return bound
+
+
+class _NoTrainStreamingSites(Exception):
+    """No attention site sowed a calibration range (trace-time signal)."""
+
+
 def create_train_state(rng, model, example_batch: Dict[str, Any], optimizer,
                        cond_kwargs_fn: Callable[[Dict], Dict]):
     """Initialize params / optimizer / EMA from an example batch."""

@@ -143,3 +143,104 @@ class TestAutocalibrate:
 
         assert "LUMINA_FLASH_STATIC_MAX" not in os.environ
         assert fa.get_flash_static_max() is None
+
+
+@pytest.mark.slow
+class TestStaticMaxTrainingPath:
+    """r4: the custom_vjp forward (`_fwd` -> `_flash_kernel_res_static_max`)
+    honors the calibrated bound, its LSE residual keeps the backward exact,
+    and the trainer-side calibrator installs/bails correctly."""
+
+    @pytest.fixture(autouse=True)
+    def _clean_env(self, monkeypatch):
+        monkeypatch.delenv("LUMINA_FLASH_STATIC_MAX", raising=False)
+        monkeypatch.delenv("LUMINA_FLASH_STATIC_MAX_AUTO", raising=False)
+        monkeypatch.delenv("LUMINA_FLASH_CALIBRATE", raising=False)
+        fa.set_flash_static_max(None)
+        yield
+        os.environ.pop("LUMINA_FLASH_STATIC_MAX", None)
+        os.environ.pop("LUMINA_FLASH_CALIBRATE", None)
+        fa.set_flash_static_max(None)
+
+    def test_vjp_matches_online(self, monkeypatch):
+        monkeypatch.setattr(fa, "_SMALL_KV_MAX", 8)
+        rng = jax.random.PRNGKey(3)
+        kq, kk, kv, kw = jax.random.split(rng, 4)
+        q = jax.random.normal(kq, (1, 64, 2, 32))
+        k = jax.random.normal(kk, (1, 64, 2, 32))
+        v = jax.random.normal(kv, (1, 64, 2, 32))
+        w = jax.random.normal(kw, (1, 64, 2, 32))
+        mask = jnp.ones((1, 64), jnp.int32).at[:, 50:].set(0)
+
+        def loss(q, k, v):
+            return jnp.sum(fa.flash_attention(q, k, v, mask) * w)
+
+        ref_l, ref_g = jax.value_and_grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+        bound = float(fa.flash_lse_range(q, k, v, mask)[0]) + 6.0
+        fa.set_flash_static_max(bound)
+        got_l, got_g = jax.value_and_grad(loss, argnums=(0, 1, 2))(q, k, v)
+        np.testing.assert_allclose(float(got_l), float(ref_l), rtol=1e-5)
+        for g_ref, g_got in zip(ref_g, got_g):
+            np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_trainer_autocalibration_and_step_parity(self, monkeypatch):
+        from lumina_t2x_tpu.pipelines.train_lib import (
+            FusedAdamWEMA, autocalibrate_flash_static_max_train,
+            create_train_state, make_train_step)
+        from lumina_t2x_tpu.transport import create_transport
+
+        monkeypatch.setattr(fa, "_SMALL_KV_MAX", 8)
+        model, variables, cap, cap_mask = _tiny_t2i_setup()
+        batch = {"x": jax.random.normal(jax.random.PRNGKey(9), (2, 4, 8, 8)),
+                 "cap_feats": cap, "cap_mask": cap_mask}
+        cond = lambda b: {"cap_feats": b["cap_feats"], "cap_mask": b["cap_mask"]}
+
+        transport = create_transport("Linear", "velocity")
+        opt = FusedAdamWEMA(1e-3)
+        state = create_train_state(jax.random.PRNGKey(1), model, batch, opt, cond)
+        step = make_train_step(model, transport, opt, cond)
+        ref_state, ref_m = step(state, batch, jax.random.PRNGKey(2))
+
+        bound = autocalibrate_flash_static_max_train(
+            model, state.params, batch, cond)
+        assert bound is not None and np.isfinite(bound)
+        assert fa.get_flash_static_max() == bound
+        assert "LUMINA_FLASH_CALIBRATE" not in os.environ
+
+        got_state, got_m = step(state, batch, jax.random.PRNGKey(2))
+        np.testing.assert_allclose(float(got_m["loss"]), float(ref_m["loss"]),
+                                   rtol=2e-5)
+        np.testing.assert_allclose(float(got_m["grad_norm"]),
+                                   float(ref_m["grad_norm"]), rtol=2e-4)
+
+    def test_trainer_calibration_guards(self, monkeypatch):
+        from lumina_t2x_tpu.pipelines.train_lib import (
+            autocalibrate_flash_static_max_train)
+
+        monkeypatch.setattr(fa, "_SMALL_KV_MAX", 8)
+        model, variables, cap, cap_mask = _tiny_t2i_setup()
+        batch = {"x": jax.random.normal(jax.random.PRNGKey(9), (2, 4, 8, 8)),
+                 "cap_feats": cap, "cap_mask": cap_mask}
+        cond = lambda b: {"cap_feats": b["cap_feats"], "cap_mask": b["cap_mask"]}
+        params = variables["params"]
+
+        monkeypatch.setenv("LUMINA_FLASH_STATIC_MAX", "12.0")
+        assert autocalibrate_flash_static_max_train(model, params, batch, cond) is None
+        monkeypatch.delenv("LUMINA_FLASH_STATIC_MAX")
+
+        monkeypatch.setenv("LUMINA_FLASH_STATIC_MAX_AUTO", "0")
+        assert autocalibrate_flash_static_max_train(model, params, batch, cond) is None
+        monkeypatch.delenv("LUMINA_FLASH_STATIC_MAX_AUTO")
+
+        # short sequences: single-pass kernel, nothing to calibrate
+        monkeypatch.setattr(fa, "_SMALL_KV_MAX", 1024)
+        assert autocalibrate_flash_static_max_train(model, params, batch, cond) is None
+        monkeypatch.setattr(fa, "_SMALL_KV_MAX", 8)
+
+        model_nq, variables_nq, cap2, cap_mask2 = _tiny_t2i_setup(qk_norm=False)
+        batch2 = {"x": batch["x"], "cap_feats": cap2, "cap_mask": cap_mask2}
+        assert autocalibrate_flash_static_max_train(
+            model_nq, variables_nq["params"], batch2, cond) is None
+        assert fa.get_flash_static_max() is None
