@@ -80,6 +80,20 @@ def parse_args(argv=None):
                    help="single-pass AdamW+EMA update (same math, ~half the "
                         "optimizer-phase HBM traffic); opt state keeps the "
                         "ScaleByAdamState layout")
+    p.add_argument("--optimizer", choices=["adamw", "fused_adamw", "adafactor"],
+                   default=None,
+                   help="adamw = optax chain; fused_adamw = FusedAdamWEMA "
+                        "(same as --fused_optimizer); adafactor = "
+                        "FusedAdafactorEMA: factored second moments "
+                        "(sublinear optimizer memory) + stochastic-rounded "
+                        "bf16 stores — fits the 2B full train state on one "
+                        "16 GB chip (use with --param_dtype bf16)")
+    p.add_argument("--param_dtype", choices=["fp32", "bf16"], default="fp32",
+                   help="parameter/EMA storage dtype. bf16 halves state "
+                        "memory; pair with --optimizer adafactor, whose "
+                        "stochastic rounding keeps bf16 accumulation "
+                        "unbiased (plain AdamW in bf16 silently drops "
+                        "sub-ulp updates)")
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--wd", type=float, default=0.0)
     p.add_argument("--grad_clip", type=float, default=2.0)
@@ -345,7 +359,9 @@ def main(argv=None):
 
     # -- model (after data: the text encoder may set cap_feat_dim) -----------
     model_kwargs = dict(qk_norm=args.qk_norm, dtype=dtype, remat=args.checkpointing,
-                        remat_policy=args.remat_policy)
+                        remat_policy=args.remat_policy,
+                        param_dtype=jnp.bfloat16 if args.param_dtype == "bf16"
+                        else jnp.float32)
     if is_class_cond:
         model_kwargs["class_dropout_prob"] = args.class_dropout_prob
     else:
@@ -373,7 +389,12 @@ def main(argv=None):
 
     # -- state ---------------------------------------------------------------
     transport = create_transport(args.path_type, args.prediction, snr_type=args.snr_type)
-    if args.fused_optimizer:
+    opt_kind = args.optimizer or ("fused_adamw" if args.fused_optimizer else "adamw")
+    if opt_kind == "adafactor":
+        from .train_lib import FusedAdafactorEMA
+
+        optimizer = FusedAdafactorEMA(args.lr, weight_decay=args.wd)
+    elif opt_kind == "fused_adamw":
         from .train_lib import FusedAdamWEMA
 
         optimizer = FusedAdamWEMA(args.lr, weight_decay=args.wd)

@@ -77,9 +77,12 @@ class FusedAdamWEMA:
         )
         return (adam, optax.EmptyState(), optax.EmptyState())
 
-    def step(self, grads, params, opt_state, ema, ema_decay: float, scale):
+    def step(self, grads, params, opt_state, ema, ema_decay: float, scale,
+             rng=None):
         """-> (params, opt_state, ema). `scale` is the grad-clip multiplier,
-        applied inline (no scaled-grad tree is materialized)."""
+        applied inline (no scaled-grad tree is materialized). `rng` is
+        accepted for interface parity with FusedAdafactorEMA (unused)."""
+        del rng
         # accept the bare pre-r2 layout too (checkpoints saved before the
         # chain-tuple wrapper)
         adam = opt_state[0] if isinstance(opt_state, tuple) else opt_state
@@ -113,6 +116,174 @@ class FusedAdamWEMA:
         new_e = jax.tree.unflatten(treedef, [o[3] for o in outs])
         new_adam = optax.ScaleByAdamState(count=count, mu=new_m, nu=new_v)
         return new_p, (new_adam, optax.EmptyState(), optax.EmptyState()), new_e
+
+
+def _stochastic_round_bf16(x32, key):
+    """Unbiased fp32 -> bf16 rounding: add uniform noise in [0, 1ulp) to the
+    low 16 mantissa bits, then truncate. E[result] == x32 exactly, so tiny
+    per-step updates (lr * clip ~= 1e-4 relative) that round-to-nearest would
+    erase from a bf16 accumulator survive in expectation — the standard
+    recipe for keeping weights/EMA in bf16 without fp32 master copies.
+    Non-finite inputs are irrelevant here: the trainer's skipped-step guard
+    discards any non-finite update before it is stored."""
+    bits = jax.lax.bitcast_convert_type(x32.astype(jnp.float32), jnp.uint32)
+    noise = jax.random.bits(key, x32.shape, jnp.uint32) & jnp.uint32(0xFFFF)
+    hi = ((bits + noise) >> 16).astype(jnp.uint16)
+    return jax.lax.bitcast_convert_type(hi, jnp.bfloat16)
+
+
+class FactoredStats(struct.PyTreeNode):
+    """Adafactor second-moment state: per-leaf factored row/col statistics
+    (sublinear memory) or a full `v` where factoring does not apply. Mirrors
+    optax's FactoredState fields so the layouts are trivially comparable;
+    non-applicable slots hold shape-(1,) zeros exactly like optax so the
+    three trees all share the params treedef."""
+    count: jax.Array
+    v_row: Any
+    v_col: Any
+    v: Any
+
+
+class FusedAdafactorEMA:
+    """Single-pass Adafactor (+EMA): sublinear optimizer memory for training
+    models whose AdamW state cannot fit HBM (the 2B flagship: params+mu+nu+
+    EMA is >= 18.4 GB even all-bf16, vs ~9.3 GB here with bf16 params+EMA —
+    the reference needs >=32 GPUs for the same recipe,
+    `lumina_t2i/exps/5B_bs512_lr1e-4_bf16_1024px_sdxlvae.sh`).
+
+    Math matches `optax.adafactor(learning_rate=lr, min_dim_size_to_factor,
+    decay_rate=0.8, multiply_by_parameter_scale=True, clipping_threshold=1.0,
+    momentum=None, weight_decay_rate=wd or None)` exactly at fp32 (pinned in
+    tests/test_optimizers.py), with two TPU-first deviations:
+
+    - factored stats are ALWAYS stored fp32 (optax stores them in the param
+      dtype): they are sublinear, so fp32 costs nothing and keeps the decay
+      recursion exact when params are bf16;
+    - when params/EMA are stored bf16, updates are written back with
+      stochastic rounding (`_stochastic_round_bf16`, rng threaded from the
+      train step): round-to-nearest at bf16's 8-bit mantissa would silently
+      drop sub-ulp updates and stall training; stochastic rounding is
+      unbiased, so the expected trajectory is the fp32 one.
+
+    Like FusedAdamWEMA this is ONE read-modify-write pass per parameter
+    tensor with the grad-clip scale and the EMA update folded in, and the
+    state layout is the same 3-tuple shape `(stats, EmptyState, EmptyState)`
+    so the sharding walk and checkpoint code paths are shared.
+    """
+
+    def __init__(self, lr: float = 1e-4, decay_rate: float = 0.8,
+                 clipping_threshold: float = 1.0, min_dim_size_to_factor: int = 128,
+                 multiply_by_parameter_scale: bool = True, eps: float = 1e-30,
+                 weight_decay: float = 0.0, warmup_steps: int = 0,
+                 stochastic_rounding: bool = True):
+        self.lr, self.decay_rate = lr, decay_rate
+        self.clipping_threshold = clipping_threshold
+        self.min_dim_size_to_factor = min_dim_size_to_factor
+        self.multiply_by_parameter_scale = multiply_by_parameter_scale
+        self.eps, self.weight_decay = eps, weight_decay
+        self.warmup_steps = warmup_steps
+        self.stochastic_rounding = stochastic_rounding
+
+    def _factored_dims(self, shape):
+        """The two largest axes, both >= min_dim_size_to_factor, else None —
+        optax's `_factored_dims` (stable argsort ties resolve identically)."""
+        if len(shape) < 2:
+            return None
+        import numpy as np
+        order = np.argsort(shape)
+        if shape[order[-2]] < self.min_dim_size_to_factor:
+            return None
+        return int(order[-2]), int(order[-1])
+
+    def init(self, params):
+        def _init(p):
+            fd = self._factored_dims(p.shape)
+            # distinct buffers per slot: aliased placeholders would trip
+            # "donated the same buffer twice" under donate_argnums
+            z1 = lambda: jnp.zeros((1,), jnp.float32)
+            if fd is not None:
+                d1, d0 = fd
+                vr = jnp.zeros(tuple(s for i, s in enumerate(p.shape) if i != d0),
+                               jnp.float32)
+                vc = jnp.zeros(tuple(s for i, s in enumerate(p.shape) if i != d1),
+                               jnp.float32)
+                return vr, vc, z1()
+            return z1(), z1(), jnp.zeros(p.shape, jnp.float32)
+
+        leaves, treedef = jax.tree.flatten(params)
+        outs = [_init(p) for p in leaves]
+        stats = FactoredStats(
+            count=jnp.zeros((), jnp.int32),
+            v_row=jax.tree.unflatten(treedef, [o[0] for o in outs]),
+            v_col=jax.tree.unflatten(treedef, [o[1] for o in outs]),
+            v=jax.tree.unflatten(treedef, [o[2] for o in outs]),
+        )
+        return (stats, optax.EmptyState(), optax.EmptyState())
+
+    def step(self, grads, params, opt_state, ema, ema_decay: float, scale,
+             rng=None):
+        """-> (params, opt_state, ema); same contract as FusedAdamWEMA.step.
+        `rng` drives stochastic rounding for bf16 params/EMA (optional: when
+        None, bf16 stores fall back to round-to-nearest)."""
+        stats = opt_state[0] if isinstance(opt_state, tuple) else opt_state
+        count = stats.count + 1
+        # optax `_decay_rate_pow(pre-increment count)`: t = count_new
+        decay = 1.0 - count.astype(jnp.float32) ** (-self.decay_rate)
+        lr = self.lr
+        if self.warmup_steps > 0:
+            lr = self.lr * jnp.minimum(1.0, (count - 1) / self.warmup_steps)
+
+        def upd(i, g, p, vr, vc, v, e):
+            g32 = g.astype(jnp.float32) * scale
+            p32 = p.astype(jnp.float32)
+            gsq = g32 * g32 + self.eps
+            fd = self._factored_dims(p.shape)
+            if fd is not None:
+                d1, d0 = fd
+                vr2 = decay * vr + (1.0 - decay) * jnp.mean(gsq, axis=d0)
+                vc2 = decay * vc + (1.0 - decay) * jnp.mean(gsq, axis=d1)
+                reduced_d1 = d1 - 1 if d1 > d0 else d1
+                row_col_mean = jnp.mean(vr2, axis=reduced_d1, keepdims=True)
+                row_factor = (vr2 / row_col_mean) ** -0.5
+                col_factor = vc2 ** -0.5
+                u = (g32 * jnp.expand_dims(row_factor, d0)
+                     * jnp.expand_dims(col_factor, d1))
+                v2 = v
+            else:
+                v2 = decay * v + (1.0 - decay) * gsq
+                u = g32 * v2 ** -0.5
+                vr2, vc2 = vr, vc
+            if self.clipping_threshold is not None:
+                clip_denom = jnp.maximum(
+                    1.0, jnp.sqrt(jnp.mean(u * u)) / self.clipping_threshold)
+                u = u / clip_denom
+            u = u * lr
+            if self.multiply_by_parameter_scale:
+                u = u * jnp.maximum(jnp.sqrt(jnp.mean(p32 * p32)), 1e-3)
+            if self.weight_decay:
+                u = u + self.weight_decay * p32
+            p2 = p32 - u
+            e2 = e.astype(jnp.float32) * ema_decay + (1.0 - ema_decay) * p2
+
+            def store(x32, tmpl, salt):
+                if tmpl.dtype == jnp.bfloat16 and self.stochastic_rounding \
+                        and rng is not None:
+                    return _stochastic_round_bf16(
+                        x32, jax.random.fold_in(rng, 2 * i + salt))
+                return x32.astype(tmpl.dtype)
+
+            return store(p2, p, 0), vr2, vc2, v2, store(e2, e, 1)
+
+        g_l, treedef = jax.tree.flatten(grads)
+        p_l = treedef.flatten_up_to(params)
+        vr_l = treedef.flatten_up_to(stats.v_row)
+        vc_l = treedef.flatten_up_to(stats.v_col)
+        v_l = treedef.flatten_up_to(stats.v)
+        e_l = treedef.flatten_up_to(ema)
+        outs = [upd(i, *z) for i, z in enumerate(zip(g_l, p_l, vr_l, vc_l, v_l, e_l))]
+        unf = lambda k: jax.tree.unflatten(treedef, [o[k] for o in outs])
+        new_stats = FactoredStats(count=count, v_row=unf(1), v_col=unf(2), v=unf(3))
+        return unf(0), (new_stats, optax.EmptyState(), optax.EmptyState()), unf(4)
 
 
 def autocalibrate_flash_static_max_train(
@@ -339,12 +510,13 @@ def make_train_step(
         skipped = ~(jnp.isfinite(grad_norm) & jnp.isfinite(loss))
         scale = jnp.where(skipped, 0.0, scale)
 
-        if isinstance(optimizer, FusedAdamWEMA):
+        if isinstance(optimizer, (FusedAdamWEMA, FusedAdafactorEMA)):
             # clip scale folded into the single fused pass — no scaled-grad
-            # tree is ever materialized
+            # tree is ever materialized; the rng drives stochastic rounding
+            # for bf16-stored params/EMA (Adafactor only)
             params, opt_state, ema = optimizer.step(
                 grads, state.params, state.opt_state, state.ema_params,
-                ema_decay, scale)
+                ema_decay, scale, rng=jax.random.fold_in(step_rng, 2))
         else:
             grads = jax.tree.map(
                 lambda g: (g.astype(jnp.float32) * scale).astype(g.dtype), grads)
