@@ -54,15 +54,16 @@ NUM_STEPS = 30
 RES = 1024
 LATENT = RES // 8  # 128
 # candidate larger per-chip batches, tried in order in guarded subprocesses.
-# batch 4 is ~64s of device time per 30-step call through the tunnel and
-# dies there with "TPU device error": bisected (r2) to an execution-TIME
-# limit of the tunnel/relay, not a kernel fault — the same batch-4 program
-# at 8 steps (~18s/call) runs clean, batch 2 at 30 steps (~35s) runs clean.
-# Measured per-sample throughput DROPS with batch anyway (batch 1/2/4 =
-# 0.063 / 0.0565 / ~0.060 est. samples/sec: attention FLOPs dominate and
-# scale linearly, there is no under-utilization to amortize at 4096 tokens),
-# so best_batch=1 is a measurement, not a fallback.
+# batch 4 is ~64s of device time per one-program 30-step call, past the
+# tunnel/relay's execution-time limit (bisected r2: the same program at 8
+# steps runs clean, batch 2 at 30 steps ~35s runs clean) — so batch >= 3
+# legs drive the SAME grid in ~20s chunk calls (measure(chunk_intervals=10))
+# and the B4 number is measured, not estimated. Per-sample throughput DROPS
+# with batch anyway (attention FLOPs dominate and scale linearly; there is
+# no under-utilization to amortize at 4096 tokens), so best_batch=1 is a
+# measurement, not a fallback.
 BEST_BATCH_CANDIDATES = (4, 2)
+CHUNK_INTERVALS_FROM_BATCH = 3  # chunk the trajectory at this batch and up
 BATCH4_TIMEOUT_S = int(os.environ.get("LUMINA_BENCH_BATCH4_TIMEOUT", "480"))
 
 
@@ -86,7 +87,15 @@ def build_model_and_params():
     return model, variables, rng
 
 
-def measure(model, variables, batch: int, rng, runs: int = 3):
+def measure(model, variables, batch: int, rng, runs: int = 3,
+            chunk_intervals: int = 0):
+    """Sampling throughput at `batch`. chunk_intervals > 0 drives the SAME
+    trajectory in grid slices of that many intervals (one jit call each):
+    the relay kills any single device call past ~40-60 s of execution, which
+    the 30-step batch-4 program exceeds (~64 s) — chunking keeps every call
+    ~20 s so the B4 number is measured, not estimated. Chunk boundaries add
+    only dispatch overhead, so the result is a (slightly conservative)
+    measurement of the one-program throughput."""
     from lumina_t2x_tpu.pipelines.sample_lib import (
         autocalibrate_flash_static_max, build_t2i_sample_fn)
 
@@ -101,10 +110,37 @@ def measure(model, variables, batch: int, rng, runs: int = 3):
         cfg_scale=4.0, time_shifting_factor=4.0)
     if bound is not None:
         print(f"# flash static-max calibrated: {bound:.2f}", file=sys.stderr)
-    sample_fn = jax.jit(build_t2i_sample_fn(
-        model, width=RES, height=RES, num_steps=NUM_STEPS, solver="midpoint",
-        cfg_scale=4.0, time_shifting_factor=4.0,
-    ))
+    kw = dict(width=RES, height=RES, num_steps=NUM_STEPS, solver="midpoint",
+              cfg_scale=4.0, time_shifting_factor=4.0)
+
+    if chunk_intervals:
+        ts, init_fn, chunk_fn, finalize = build_t2i_sample_fn(
+            model, chunked=True, **kw)
+        chunk_jit = jax.jit(chunk_fn)
+        n_pts = int(ts.shape[0])
+        slices = [ts[i:min(i + chunk_intervals + 1, n_pts)]
+                  for i in range(0, n_pts - 1, chunk_intervals)]
+
+        def run_once(seed_rng):
+            z = init_fn(seed_rng, cap)
+            for sl in slices:
+                z = chunk_jit(variables, z, sl, cap, mask)
+            out = finalize(z)
+            # force a real device->host readback (tunnel rule: big-output
+            # block_until_ready can return an async handle)
+            float(jnp.sum(out[:, 0, 0, 0]))
+            return out
+
+        run_once(rng)  # compile (two programs: full-size + remainder slice)
+        times = []
+        for i in range(runs):
+            t0 = time.perf_counter()
+            run_once(jax.random.fold_in(rng, i))
+            times.append(time.perf_counter() - t0)
+        dt = min(times)
+        return batch / dt, dt
+
+    sample_fn = jax.jit(build_t2i_sample_fn(model, **kw))
     out = sample_fn(variables, rng, cap, mask)
     jax.block_until_ready(out)
     times = []
@@ -182,8 +218,11 @@ def main():
     model, variables, rng = build_model_and_params()
 
     if args.batch:
-        tput, dt = measure(model, variables, batch=args.batch, rng=rng)
-        print(json.dumps({"batch": args.batch, "tput": tput, "dt": dt}))
+        chunk = 10 if args.batch >= CHUNK_INTERVALS_FROM_BATCH else 0
+        tput, dt = measure(model, variables, batch=args.batch, rng=rng,
+                           chunk_intervals=chunk)
+        print(json.dumps({"batch": args.batch, "tput": tput, "dt": dt,
+                          "chunk_intervals": chunk}))
         return
 
     tput1, dt1 = measure(model, variables, batch=1, rng=rng)

@@ -24,6 +24,7 @@ from ..models.flag_dit import forward_with_cfg as flag_dit_cfg
 from ..models.next_dit import forward_with_cfg as next_dit_cfg
 from ..models.next_dit_imagenet import forward_with_cfg as imagenet_cfg
 from ..transport import Sampler, create_transport
+from ..transport.solvers import odeint_fixed
 
 
 def resolution_scale_factor(width: int, height: int, train_res: int = 1024) -> float:
@@ -94,6 +95,7 @@ def build_t2i_sample_fn(
     atol: float = 1e-6,
     rtol: float = 1e-3,
     time_aware_scaling: bool = True,
+    chunked: bool = False,
 ):
     """Text-to-image sampler mirroring `lumina_next_t2i/sample.py:173-240`.
 
@@ -104,6 +106,17 @@ def build_t2i_sample_fn(
     scaling_method='None' branch (`sample.py:227-232`): scale_factor AND
     watershed both force 1.0 — no RoPE scaling at all, not merely
     all-linear scaling.
+
+    chunked=True (fixed-step solvers only) returns `(ts, init_fn, chunk_fn,
+    finalize)` instead: the SAME trajectory split into caller-sized device
+    calls. `ts` is the full time grid; `init_fn(rng, cap_feats) -> z` draws
+    the CFG-duplicated noise; `chunk_fn(variables, z, ts_slice, cap_feats,
+    cap_mask) -> z` advances over one contiguous slice of the grid (slices
+    must overlap by one point: ts[i:j+1] then ts[j:k+1]); `finalize(z)`
+    strips the unconditional rows. Use cases: bounding per-device-call
+    execution time (relay/tunnel limits), and progressive preview (decode an
+    intermediate z between chunks). Numerics are the single-program
+    trajectory's: same grid, same stepper, only the jit boundary moves.
     """
     transport = create_transport(path_type, "velocity")
     sampler = Sampler(transport)
@@ -126,12 +139,7 @@ def build_t2i_sample_fn(
     seq_len = (lh // model.patch_size) * (lw // model.patch_size)
     ntk_factor = (seq_len / base_seqlen) if (is_flag_dit and do_extrapolation) else 1.0
 
-    def sample_fn(variables, rng, cap_feats, cap_mask):
-        b2 = cap_feats.shape[0]
-        b = b2 // 2
-        z = jax.random.normal(rng, (b, in_channels, lh, lw))
-        z = jnp.concatenate([z, z], axis=0)
-
+    def make_model_fn(variables, cap_feats, cap_mask):
         def model_fn(x, t):
             if is_flag_dit:
                 return flag_dit_cfg(
@@ -149,7 +157,40 @@ def build_t2i_sample_fn(
                 base_seqlen=base_seqlen,
             )
 
-        out = ode_fn(z, model_fn)
+        return model_fn
+
+    def init_fn(rng, cap_feats):
+        b = cap_feats.shape[0] // 2
+        z = jax.random.normal(rng, (b, in_channels, lh, lw))
+        return jnp.concatenate([z, z], axis=0)
+
+    if chunked:
+        if solver.lower() in ("dopri5", "dopri8", "adaptive"):
+            raise ValueError("chunked trajectories need a fixed-step solver "
+                             f"(got {solver!r}: adaptive steppers carry "
+                             "controller state across the whole interval)")
+        ts = sampler.time_grid(num_steps, time_shifting_factor)
+
+        def chunk_fn(variables, z, ts_slice, cap_feats, cap_mask):
+            model_fn = make_model_fn(variables, cap_feats, cap_mask)
+            b = z.shape[0] // 2
+
+            def f(xx, t_scalar):
+                drift = sampler.drift
+                return drift(xx, jnp.full((2 * b,), t_scalar, jnp.float32),
+                             model_fn)
+
+            return odeint_fixed(f, z, ts_slice, method=solver)
+
+        def finalize(z):
+            return z[: z.shape[0] // 2]
+
+        return ts, init_fn, chunk_fn, finalize
+
+    def sample_fn(variables, rng, cap_feats, cap_mask):
+        b = cap_feats.shape[0] // 2
+        z = init_fn(rng, cap_feats)
+        out = ode_fn(z, make_model_fn(variables, cap_feats, cap_mask))
         return out[:b]
 
     return sample_fn

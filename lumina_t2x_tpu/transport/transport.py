@@ -202,6 +202,15 @@ class Sampler:
 
     # -- ODE ----------------------------------------------------------------
 
+    def time_grid(self, num_steps: int, time_shifting_factor=None, reverse=False):
+        """The ODE time grid sample_ode integrates over (exposed so callers
+        can drive the trajectory in slices, see `odeint_fixed`)."""
+        t0, t1 = self.transport.check_interval(
+            self.transport.train_eps, self.transport.sample_eps, sde=False,
+            eval=True, reverse=reverse, last_step_size=0.0,
+        )
+        return make_time_grid(t0, t1, num_steps, time_shifting_factor)
+
     def sample_ode(self, *, sampling_method="dopri5", num_steps=50, atol=1e-6, rtol=1e-3,
                    reverse=False, time_shifting_factor=None, return_all=False):
         """Return `sample_fn(x_init, model_fn) -> samples`.
@@ -217,11 +226,7 @@ class Sampler:
         else:
             drift = base_drift
 
-        t0, t1 = transport.check_interval(
-            transport.train_eps, transport.sample_eps, sde=False, eval=True,
-            reverse=reverse, last_step_size=0.0,
-        )
-        ts = make_time_grid(t0, t1, num_steps, time_shifting_factor)
+        ts = self.time_grid(num_steps, time_shifting_factor, reverse=reverse)
         adaptive = sampling_method.lower() in ("dopri5", "dopri8", "adaptive")
 
         def sample_fn(x, model_fn):
