@@ -16,6 +16,7 @@ from .next_dit import (
     NextDiT_2B_GQA_patch2,
     NextDiT_2B_patch2,
     NextDiT_600M_patch2,
+    NextDiT_Tiny_patch2,
 )
 from .compositional import (
     NextDiTCompositional,
@@ -42,6 +43,7 @@ MODELS = {
     "NextDiT_2B_patch2": NextDiT_2B_patch2,
     "NextDiT_2B_GQA_patch2": NextDiT_2B_GQA_patch2,
     "NextDiT_600M_patch2": NextDiT_600M_patch2,
+    "NextDiT_Tiny_patch2": NextDiT_Tiny_patch2,  # debug/smoke only
     "DiT_Llama_5B_patch2": FlagDiT_5B_patch2,
     # class-conditional ImageNet
     "NextDiT_ImageNet_600M_patch2": NextDiT_ImageNet_600M_patch2,

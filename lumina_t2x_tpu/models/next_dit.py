@@ -379,3 +379,10 @@ def NextDiT_2B_GQA_patch2(**kwargs):
 def NextDiT_600M_patch2(**kwargs):
     """Small config matching the ImageNet 600M width (`models.py:1042`)."""
     return NextDiT(patch_size=2, dim=1536, n_layers=16, n_heads=32, **kwargs)
+
+
+def NextDiT_Tiny_patch2(**kwargs):
+    """~1M-param debug config (no reference analogue): smoke-testing CLIs,
+    soak-harness dry runs, CI paths where a real family member is too slow."""
+    return NextDiT(patch_size=2, dim=64, n_layers=2, n_heads=4,
+                   multiple_of=16, **kwargs)

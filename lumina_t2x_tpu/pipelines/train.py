@@ -112,6 +112,12 @@ def parse_args(argv=None):
     p.add_argument("--cap_feat_dim", type=int, default=2048)
     p.add_argument("--max_caption_len", type=int, default=256)
     p.add_argument("--cache_data_on_disk", action="store_true")
+    p.add_argument("--pin_bucket", type=str, default=None, metavar="WxH",
+                   help="force every t2i batch into one (W, H) crop bucket: "
+                        "ONE compiled train program instead of one per "
+                        "bucket. For perf/soak runs where remote-compile "
+                        "latency (or its cache) dominates; decode/crop work "
+                        "is unchanged")
     p.add_argument("--global_seed", type=int, default=0)
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--log_every", type=int, default=100)
@@ -215,7 +221,14 @@ def t2i_batches(args, text_encoder=None, start_step: int = 0):
         seed=args.global_seed,
     )
 
+    pinned = None
+    if getattr(args, "pin_bucket", None):
+        pw, ph = (int(v) for v in args.pin_bucket.lower().split("x"))
+        pinned = (pw, ph)
+
     def bucket_of(idx):
+        if pinned is not None:
+            return pinned
         try:
             w, h = dataset.image_size(idx)
         except Exception:
