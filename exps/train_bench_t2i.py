@@ -73,7 +73,8 @@ def build(model_name: str, image_size: int, batch: int, cap_len: int,
           remat_policy: str, param_dtype, opt_kind: str):
     from lumina_t2x_tpu.models import get_model
     from lumina_t2x_tpu.pipelines.train_lib import (
-        FusedAdamWEMA, create_optimizer, create_train_state, make_train_step)
+        FusedAdafactorEMA, FusedAdamWEMA, create_optimizer, create_train_state,
+        make_train_step)
     from lumina_t2x_tpu.transport import create_transport
 
     class_cond = "ImageNet" in model_name or "MoE" in model_name
@@ -95,7 +96,15 @@ def build(model_name: str, image_size: int, batch: int, cap_len: int,
         batch_data["cap_mask"] = jnp.ones((batch, cap_len), jnp.int32)
         cond = lambda b: {"cap_feats": b["cap_feats"], "cap_mask": b["cap_mask"]}
     transport = create_transport("Linear", "velocity", snr_type="lognorm")
-    opt = FusedAdamWEMA(5e-4) if opt_kind == "fused" else create_optimizer(5e-4)
+    if opt_kind == "adafactor":
+        # the 2B-on-one-chip configuration (--optimizer adafactor in the
+        # trainer CLI): sublinear second moments + stochastic-rounded bf16
+        # params/EMA — the ONLY layout whose full train state fits 16 GB at 2B
+        opt = FusedAdafactorEMA(5e-4)
+    elif opt_kind == "fused":
+        opt = FusedAdamWEMA(5e-4)
+    else:
+        opt = create_optimizer(5e-4)
     return model, batch_data, cond, transport, opt
 
 
@@ -172,7 +181,8 @@ def main():
     p.add_argument("--cap_len", type=int, default=256)
     p.add_argument("--steps", type=int, default=5)
     p.add_argument("--mode", choices=["full", "grad"], default="full")
-    p.add_argument("--opt", choices=["fused", "optax"], default="fused")
+    p.add_argument("--opt", choices=["fused", "optax", "adafactor"],
+                   default="fused")
     p.add_argument("--param_dtype", choices=["fp32", "bf16"], default="fp32")
     p.add_argument("--remat_policy", default="dots",
                    choices=["dots", "dots_slim", "full"])
