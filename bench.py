@@ -155,28 +155,34 @@ def measure(model, variables, batch: int, rng, runs: int = 3,
 
 TRAIN_LEG_TIMEOUT_S = int(os.environ.get("LUMINA_BENCH_TRAIN_TIMEOUT", "480"))
 
-# Training-throughput legs (VERDICT r2 #2), run via exps/train_bench_t2i.py in
-# guarded subprocesses. The full 2B train state (params+mu+nu+EMA >= 18 GB
-# even all-bf16) cannot fit one 16 GB v5e — the reference also needs >=32
-# GPUs for 2B training — so the 2B leg measures the fwd+bwd+grad-norm step
-# (the d=2304 MFU question; measured r3: 40% MFU vs 25-33% at 600M, so the
-# 600M "shape limit" is confirmed beaten at d=2304) and the 600M leg is the
-# FULL reference-semantics step (loss+bwd+clip+AdamW+EMA, one jit program).
-# The relay compile helper bounds what compiles: 2B fwd+bwd tops out at 4096
-# total tokens (256px B=16 / 512px B=4); 600M full step at B=8.
+# Training-throughput legs (VERDICT r2 #2 / r3 #2), run via
+# exps/train_bench_t2i.py in guarded subprocesses.
+# - 2B grad: fwd+bwd+grad-norm (the d=2304 MFU question; measured r3: 40%
+#   MFU vs 25-33% at 600M, so the 600M "shape limit" is beaten at d=2304).
+# - 2B FULL: the complete train step (loss+bwd+clip+update+EMA) on ONE 16 GB
+#   chip via FusedAdafactorEMA — factored second moments + stochastic-rounded
+#   bf16 params/EMA (~9.3 GB state vs >= 18.4 GB for all-bf16 AdamW). The
+#   reference needs >= 32 GPUs for this recipe
+#   (`lumina_t2i/exps/5B_bs512_lr1e-4_bf16_1024px_sdxlvae.sh`).
+# - 600M FULL: the reference 600M recipe shape (class-cond ImageNet 256px,
+#   `Next-DiT-ImageNet/exps/600M_bs256_lr5e-4_bf16_qknorm_lognorm.sh`).
+# The relay compile helper bounds what compiles: the 2B FULL step tops out
+# at 8192 total tokens (256px B=8); 2B grad at 256px B=16.
 TRAIN_LEGS = (
     dict(model="NextDiT_2B_patch2", image_size=256, batch=16, mode="grad",
-         param_dtype="bf16", remat="dots_slim"),
-    # the reference's 600M recipe shape (class-cond ImageNet 256px,
-    # `Next-DiT-ImageNet/exps/600M_bs256_lr5e-4_bf16_qknorm_lognorm.sh`);
-    # B=16 is the best per-chip micro-batch that compiles through the relay
+         opt="fused", param_dtype="bf16", remat="dots_slim",
+         key="train_2b_fwdbwd"),
+    dict(model="NextDiT_2B_patch2", image_size=256, batch=8, mode="full",
+         opt="adafactor", param_dtype="bf16", remat="dots_slim",
+         key="train_2b_full"),
     dict(model="NextDiT_ImageNet_600M_patch2", image_size=256, batch=16,
-         mode="full", param_dtype="fp32", remat="dots_slim"),
+         mode="full", opt="fused", param_dtype="fp32", remat="dots_slim",
+         key="train_600m_full"),
 )
 
 
 def run_train_legs():
-    """Run the training legs; returns a list of their JSON records."""
+    """Run the training legs; returns a list of (leg, record) pairs."""
     records = []
     here = os.path.dirname(os.path.abspath(__file__))
     for leg in TRAIN_LEGS:
@@ -184,7 +190,8 @@ def run_train_legs():
                "--model", leg["model"], "--image_size", str(leg["image_size"]),
                "--batch", str(leg["batch"]), "--mode", leg["mode"],
                "--param_dtype", leg["param_dtype"],
-               "--remat_policy", leg["remat"], "--opt", "fused", "--steps", "4"]
+               "--remat_policy", leg["remat"], "--opt", leg["opt"],
+               "--steps", "4"]
         try:
             proc = subprocess.run(cmd, capture_output=True, text=True,
                                   timeout=TRAIN_LEG_TIMEOUT_S, cwd=here)
@@ -197,10 +204,10 @@ def run_train_legs():
             except json.JSONDecodeError:
                 continue
             if isinstance(d, dict) and "imgs_per_sec" in d:
-                records.append(d)
-                print(f"# train leg {d['model']} B{d['batch']} {d['mode']}: "
-                      f"{d['imgs_per_sec']} imgs/s, MFU {d['mfu_vs_197tf']}",
-                      file=sys.stderr)
+                records.append((leg, d))
+                print(f"# train leg {d['model']} B{d['batch']} {d['mode']}"
+                      f"({leg['opt']}): {d['imgs_per_sec']} imgs/s, "
+                      f"MFU {d['mfu_vs_197tf']}", file=sys.stderr)
             elif isinstance(d, dict) and "error" in d:
                 print(f"# train leg {leg['model']} failed: {d['error'][:120]}",
                       file=sys.stderr)
@@ -277,18 +284,19 @@ def main():
     }
 
     if not args.skip_train and jax.default_backend() != "cpu":
-        for d in run_train_legs():
+        opt_name = {"fused": "adamw", "adafactor": "adafactor"}
+        for leg, d in run_train_legs():
+            suffix = f"+{opt_name[leg['opt']]}+ema" if d["mode"] == "full" else ""
             # second metric record line + merged fields on the headline record
             print(json.dumps({
                 "metric": f"train imgs/sec/chip ({d['model']} {d['image_size']}px "
-                          f"B{d['batch']} {d['mode']}{'+adamw+ema' if d['mode'] == 'full' else ''})",
+                          f"B{d['batch']} {d['mode']}{suffix})",
                 "value": d["imgs_per_sec"], "unit": "imgs/sec",
                 "tflops_per_sec": d["tflops_per_sec"], "mfu": d["mfu_vs_197tf"],
                 "ms_per_step": d["ms_per_step"],
             }))
-            key = "train_2b_fwdbwd" if "2B" in d["model"] else "train_600m_full"
-            record[f"{key}_imgs_per_sec"] = d["imgs_per_sec"]
-            record[f"{key}_mfu"] = d["mfu_vs_197tf"]
+            record[f"{leg['key']}_imgs_per_sec"] = d["imgs_per_sec"]
+            record[f"{leg['key']}_mfu"] = d["mfu_vs_197tf"]
 
     print(json.dumps(record))
 
