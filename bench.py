@@ -167,7 +167,8 @@ TRAIN_LEG_TIMEOUT_S = int(os.environ.get("LUMINA_BENCH_TRAIN_TIMEOUT", "480"))
 # - 600M FULL: the reference 600M recipe shape (class-cond ImageNet 256px,
 #   `Next-DiT-ImageNet/exps/600M_bs256_lr5e-4_bf16_qknorm_lognorm.sh`).
 # The relay compile helper bounds what compiles: the 2B FULL step tops out
-# at 8192 total tokens (256px B=8); 2B grad at 256px B=16.
+# at 2048 total tokens (256px B=8 and 512px B=2 both compile; 4096-token
+# variants 256px B=16 / 512px B=4 do not); 2B grad at 4096 (256px B=16).
 TRAIN_LEGS = (
     dict(model="NextDiT_2B_patch2", image_size=256, batch=16, mode="grad",
          opt="fused", param_dtype="bf16", remat="dots_slim",
