@@ -97,6 +97,14 @@ def main():
     p.add_argument("--results_dir", default="/tmp/soak_run")
     p.add_argument("--data_dir", default="/tmp/soak_data")
     p.add_argument("--tag", default="r4")
+    p.add_argument("--optimizer", choices=["fused_adamw", "adafactor"],
+                   default="fused_adamw",
+                   help="adafactor pairs with bf16 param stores: ~3 GB of "
+                        "600M train state vs 10.5 GB fp32 AdamW — through "
+                        "the tunnel relay's ~8.5 MB/s d2h, checkpoint saves "
+                        "block the step loop proportionally to state size, "
+                        "so the small-state optimizer is what makes a "
+                        "checkpointing soak fit a session window")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (smoke-test the harness)")
     args = p.parse_args()
@@ -120,12 +128,16 @@ def main():
         "--pin_bucket", f"{args.image_size}x{args.image_size}",
         "--precision", "bf16", "--qk_norm", "--snr_type", "lognorm",
         "--checkpointing", "--remat_policy", "dots_slim",
-        "--fused_optimizer", "--lr", "2e-4",
+        "--lr", "2e-4",
         "--log_every", str(args.log_every),
         "--ckpt_every", str(args.ckpt_every),
         "--keep_last", str(args.keep_last), "--async_save",
         "--auto_resume", "--num_workers", "4",
     ]
+    if args.optimizer == "adafactor":
+        train_argv += ["--optimizer", "adafactor", "--param_dtype", "bf16"]
+    else:
+        train_argv += ["--fused_optimizer"]
     # child must run the trainer with the right backend even though
     # sitecustomize pins JAX_PLATFORMS: go through jax.config like the tests
     runner = ("import jax; "
