@@ -210,9 +210,14 @@ def main():
             sys.exit(1)
         events.append({"t": time.time() - t_start, "event": "chunk_done",
                        "chunk": chunk_idx, "rc": rc, "metrics_last_step": last_step})
-        # a SIGTERM'd chunk resumes in the next loop iteration without
-        # advancing the target
-        steps_done = target if rc == 0 else steps_done
+        # advance to the actual resume point: the newest checkpoint on disk
+        # (a SIGTERM'd chunk exits rc=0 after a graceful save well short of
+        # its target, and a crashed chunk resumes from its last durable save
+        # — crediting `target` would silently skip a restart)
+        ckpt_root = os.path.join(exp_dir, "checkpoints")
+        saved = [int(d) for d in os.listdir(ckpt_root)
+                 if d.isdigit()] if os.path.isdir(ckpt_root) else []
+        steps_done = max(saved) if saved else steps_done
         chunk_idx += 1
         if chunk_idx > 3 * (args.total_steps // args.chunk_steps + 2):
             print(json.dumps({"soak": "FAILED", "reason": "too many chunks"}))
