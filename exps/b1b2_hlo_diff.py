@@ -86,20 +86,26 @@ def build_compiled(n_layers, rows, attn_impl="flash"):
     return fwd_loop.lower(variables, x, t, cap, mask, 8).compile()
 
 
-_OP_RE = re.compile(r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*((?:\([^)]*\)|\S+))\s+(\w[\w\-]*)\(")
+_OP_RE = re.compile(
+    r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*((?:\([^=]*?\)|\S+?))\s+([\w\-]+)\(")
+_HDR_RE = re.compile(r"^(?:ENTRY\s+)?%?([\w.\-]+)\s+\(")
 
 
 def parse_computations(hlo_text):
-    """{computation_name: [(result_name, shape, opkind, rest_of_line)]}"""
-    comps, cur, name = {}, None, None
+    """{computation_name: [(result_name, shape, opkind, rest_of_line)]}.
+
+    Headers can carry tuple-typed args with nested parens/brackets, so we
+    only require `name (` at line start and a trailing `{`."""
+    comps, cur = {}, None
     for line in hlo_text.splitlines():
-        m = re.match(r"^(?:ENTRY\s+)?%?([\w.\-]+)\s+\([^)]*\)\s*->", line)
-        if m and line.rstrip().endswith("{"):
-            name, cur = m.group(1), []
-            comps[name] = cur
-            continue
+        if cur is None or not line.startswith(" "):
+            m = _HDR_RE.match(line)
+            if m and line.rstrip().endswith("{"):
+                cur = []
+                comps[m.group(1)] = cur
+                continue
         if line.startswith("}"):
-            name, cur = None, None
+            cur = None
             continue
         if cur is None:
             continue
@@ -110,12 +116,20 @@ def parse_computations(hlo_text):
 
 
 def normalize_shape(shape, rows):
-    """rows-dim -> B so sequences at different rows diff cleanly."""
-    out = re.sub(rf"\b{rows}(?=[,\]])", "B", shape)
-    # token-axis sizes scale with rows in flattened dims (rows*4096 etc.)
-    out = re.sub(rf"\b{rows * 4096}\b", "B*4096", out)
-    out = re.sub(rf"\b{rows * CAP}\b", "B*CAP", out)
-    return out
+    """Rows-dependent dims -> B inside the [dims] bracket only (layout/tiling
+    annotations after `{` stay untouched; `2` is a legal tiling value)."""
+    def fix(m):
+        dims = m.group(1).split(",")
+        out = []
+        for d in dims:
+            if d == str(rows):
+                out.append("B")
+            elif d == str(rows * 4096):
+                out.append("B*S")
+            else:
+                out.append(d)
+        return "[" + ",".join(out) + "]"
+    return re.sub(r"\[([\d,]+)\]", fix, shape)
 
 
 def summarize(tag, compiled, rows):
@@ -125,9 +139,14 @@ def summarize(tag, compiled, rows):
     with open(path, "w") as f:
         f.write(text)
     comps = parse_computations(text)
-    # the scan body = the largest while-body computation
-    body_name, body = max(
-        ((n, c) for n, c in comps.items()), key=lambda nc: len(nc[1]))
+    # the per-layer computation = the one holding the flash custom-calls
+    # (the block scan's while body); fall back to the largest computation
+    with_customs = [(n, c) for n, c in comps.items()
+                    if any(op == "custom-call" for _, _, op, _ in c)]
+    if with_customs:
+        body_name, body = max(with_customs, key=lambda nc: len(nc[1]))
+    else:
+        body_name, body = max(comps.items(), key=lambda nc: len(nc[1]))
     hist = collections.Counter(op for _, _, op, _ in body)
     customs = [line for _, _, op, line in body if op == "custom-call"]
     seq = [f"{op} {normalize_shape(shape, rows)}" for _, shape, op, _ in body]
@@ -136,6 +155,9 @@ def summarize(tag, compiled, rows):
         "n_computations": len(comps), "body": body_name,
         "body_ops": len(body), "op_hist": dict(hist.most_common()),
         "custom_calls": len(customs),
+        "module_custom_calls": sum(
+            1 for c in comps.values() for _, _, op, _ in c
+            if op == "custom-call"),
     }
     print(json.dumps(summary))
     return summary, seq, customs
