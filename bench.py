@@ -34,6 +34,7 @@ remaining gap to 1.58x is unreachable without changing the architecture.
 import argparse
 import json
 import os
+import statistics
 import subprocess
 import sys
 import time
@@ -64,13 +65,56 @@ LATENT = RES // 8  # 128
 # measurement, not a fallback.
 BEST_BATCH_CANDIDATES = (4, 2)
 CHUNK_INTERVALS_FROM_BATCH = 3  # chunk the trajectory at this batch and up
-BATCH4_TIMEOUT_S = int(os.environ.get("LUMINA_BENCH_BATCH4_TIMEOUT", "480"))
+# Per-leg subprocess timeout. r4 lesson (BENCH_r04.json rc=124): two cold
+# batch legs at 480s each burned 960s and the driver killed the whole bench
+# before the headline record ever printed. 300s still covers a warm-cache
+# leg (~2 min) while two cold failures cost at most 600s — and the global
+# deadline below cuts optional legs long before that matters.
+BATCH4_TIMEOUT_S = int(os.environ.get("LUMINA_BENCH_BATCH4_TIMEOUT", "300"))
+
+# Global wall-clock deadline for the WHOLE bench run. The batch-1 headline
+# leg always runs; every optional leg (batch scaling, training) first checks
+# the remaining budget and prints `# skipped (deadline)` instead of starting
+# a leg it cannot finish. Default is set well inside the driver's budget so
+# the artifact always ends rc=0 with a parsed headline (VERDICT r4 #1).
+BENCH_DEADLINE_S = float(os.environ.get("LUMINA_BENCH_DEADLINE", "1320"))
+_BENCH_T0 = time.monotonic()
+
+
+def _remaining() -> float:
+    return BENCH_DEADLINE_S - (time.monotonic() - _BENCH_T0)
+
+
+# Smoke mode (tests/test_bench_smoke.py): tiny model, few steps, CPU-friendly.
+# Exercises the REAL orchestration — early headline emission, deadline
+# skipping, subprocess legs — without the 2B compile.
+SMOKE = os.environ.get("LUMINA_BENCH_SMOKE", "0") == "1"
+if SMOKE:
+    NUM_STEPS = 4
+    RES = 64
+    LATENT = RES // 8
+    # deterministic + fast: smoke always runs on CPU (env JAX_PLATFORMS is
+    # ignored under the axon sitecustomize; the config update is honored)
+    jax.config.update("jax_platforms", "cpu")
 
 
 def build_model_and_params():
     from lumina_t2x_tpu.models import get_model
 
     on_tpu = jax.default_backend() not in ("cpu",)
+    if SMOKE:
+        from lumina_t2x_tpu.models.next_dit import NextDiT
+
+        model = NextDiT(patch_size=2, dim=64, n_layers=2, n_heads=4,
+                        cap_feat_dim=32, qk_norm=True, dtype=jnp.bfloat16,
+                        attn_impl="xla")
+        rng = jax.random.PRNGKey(0)
+        x0 = jax.random.normal(rng, (2, 4, 8, 8))
+        cap0 = jax.random.normal(rng, (2, 8, 32))
+        variables = jax.jit(model.init)(
+            jax.random.fold_in(rng, 2), x0, jnp.zeros((2,)), cap0,
+            jnp.ones((2, 8), jnp.int32))
+        return model, variables, rng
     model = get_model(
         "NextDiT_2B_patch2", cap_feat_dim=2048, qk_norm=True,
         dtype=jnp.bfloat16, attn_impl="flash" if on_tpu else "xla",
@@ -99,8 +143,9 @@ def measure(model, variables, batch: int, rng, runs: int = 3,
     from lumina_t2x_tpu.pipelines.sample_lib import (
         autocalibrate_flash_static_max, build_t2i_sample_fn)
 
-    cap_len = 256
-    cap = jax.random.normal(jax.random.fold_in(rng, 1), (2 * batch, cap_len, 2048))
+    cap_len = 8 if SMOKE else 256
+    cap_dim = model.cap_feat_dim
+    cap = jax.random.normal(jax.random.fold_in(rng, 1), (2 * batch, cap_len, cap_dim))
     mask = jnp.ones((2 * batch, cap_len), jnp.int32)
     # derive the qk-norm static-max flash bound (drops the online max-reduce;
     # ~6% per step at 2B/1024^2) before the sampler traces; the batch-N
@@ -138,7 +183,7 @@ def measure(model, variables, batch: int, rng, runs: int = 3,
             run_once(jax.random.fold_in(rng, i))
             times.append(time.perf_counter() - t0)
         dt = min(times)
-        return batch / dt, dt
+        return batch / dt, dt, times
 
     sample_fn = jax.jit(build_t2i_sample_fn(model, **kw))
     out = sample_fn(variables, rng, cap, mask)
@@ -150,7 +195,20 @@ def measure(model, variables, batch: int, rng, runs: int = 3,
         jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
     dt = min(times)
-    return batch / dt, dt
+    return batch / dt, dt, times
+
+
+def _spread_fields(prefix: str, times) -> dict:
+    """min/median/spread for a list of per-run wall times (VERDICT r4 #7:
+    single-shot numbers were being compared across rounds at a precision the
+    tunnel's 5-8% drift doesn't support; report the spread explicitly)."""
+    lo, med = min(times), statistics.median(times)
+    return {
+        f"{prefix}_dt_min_s": round(lo, 4),
+        f"{prefix}_dt_median_s": round(med, 4),
+        f"{prefix}_spread_pct": round((max(times) - lo) / lo * 100, 2),
+        f"{prefix}_runs": len(times),
+    }
 
 
 TRAIN_LEG_TIMEOUT_S = int(os.environ.get("LUMINA_BENCH_TRAIN_TIMEOUT", "480"))
@@ -169,7 +227,7 @@ TRAIN_LEG_TIMEOUT_S = int(os.environ.get("LUMINA_BENCH_TRAIN_TIMEOUT", "480"))
 # The relay compile helper bounds what compiles: the 2B FULL step tops out
 # at 2048 total tokens (256px B=8 and 512px B=2 both compile; 4096-token
 # variants 256px B=16 / 512px B=4 do not); 2B grad at 4096 (256px B=16).
-TRAIN_LEGS = (
+TRAIN_LEGS = () if SMOKE else (
     dict(model="NextDiT_2B_patch2", image_size=256, batch=16, mode="grad",
          opt="fused", param_dtype="bf16", remat="dots_slim",
          key="train_2b_fwdbwd"),
@@ -182,20 +240,28 @@ TRAIN_LEGS = (
 )
 
 
-def run_train_legs():
-    """Run the training legs; returns a list of (leg, record) pairs."""
-    records = []
+def iter_train_legs():
+    """Run the training legs one at a time, yielding (leg, record) pairs as
+    they complete (so the caller can re-emit the headline record after each —
+    the driver artifact keeps whatever finished even if a later leg dies).
+    Each leg first checks the global deadline."""
     here = os.path.dirname(os.path.abspath(__file__))
     for leg in TRAIN_LEGS:
+        budget = min(TRAIN_LEG_TIMEOUT_S, _remaining() - 30)
+        if budget < 60:
+            print(f"# train leg {leg['key']} skipped (deadline)", file=sys.stderr)
+            continue
         cmd = [sys.executable, os.path.join(here, "exps", "train_bench_t2i.py"),
                "--model", leg["model"], "--image_size", str(leg["image_size"]),
                "--batch", str(leg["batch"]), "--mode", leg["mode"],
                "--param_dtype", leg["param_dtype"],
                "--remat_policy", leg["remat"], "--opt", leg["opt"],
                "--steps", "4"]
+        if leg.get("microbatch"):
+            cmd += ["--microbatch", str(leg["microbatch"])]
         try:
             proc = subprocess.run(cmd, capture_output=True, text=True,
-                                  timeout=TRAIN_LEG_TIMEOUT_S, cwd=here)
+                                  timeout=budget, cwd=here)
         except subprocess.TimeoutExpired:
             print(f"# train leg {leg['model']} timed out", file=sys.stderr)
             continue
@@ -205,14 +271,13 @@ def run_train_legs():
             except json.JSONDecodeError:
                 continue
             if isinstance(d, dict) and "imgs_per_sec" in d:
-                records.append((leg, d))
                 print(f"# train leg {d['model']} B{d['batch']} {d['mode']}"
                       f"({leg['opt']}): {d['imgs_per_sec']} imgs/s, "
                       f"MFU {d['mfu_vs_197tf']}", file=sys.stderr)
+                yield leg, d
             elif isinstance(d, dict) and "error" in d:
                 print(f"# train leg {leg['model']} failed: {d['error'][:120]}",
                       file=sys.stderr)
-    return records
 
 
 def main():
@@ -227,68 +292,89 @@ def main():
 
     if args.batch:
         chunk = 10 if args.batch >= CHUNK_INTERVALS_FROM_BATCH else 0
-        tput, dt = measure(model, variables, batch=args.batch, rng=rng,
-                           chunk_intervals=chunk)
+        tput, dt, times = measure(model, variables, batch=args.batch, rng=rng,
+                                  chunk_intervals=chunk)
         print(json.dumps({"batch": args.batch, "tput": tput, "dt": dt,
-                          "chunk_intervals": chunk}))
+                          "chunk_intervals": chunk, "times": times}))
         return
 
-    tput1, dt1 = measure(model, variables, batch=1, rng=rng)
+    tput1, dt1, times1 = measure(model, variables, batch=1, rng=rng)
+
+    record = {
+        "metric": "samples/sec/chip at 1024^2 (2B NextDiT, 30-step midpoint ODE, CFG)",
+        "value": round(tput1, 4),
+        "unit": "samples/sec",
+        "vs_baseline": round(tput1 / A100_REFERENCE_SAMPLES_PER_SEC, 3),
+        "vs_baseline_ceiling_v5e": V5E_CEILING_VS_BASELINE,
+        "best_batch": 1,
+        "batch1_samples_per_sec": round(tput1, 4),
+        "per_step_latency_ms": round(dt1 / NUM_STEPS * 1000, 2),
+        "backend": jax.default_backend(),
+    }
+    record.update(_spread_fields("batch1", times1))
+    if SMOKE:
+        record["smoke"] = True
+    # Emit the headline record NOW (VERDICT r4 #1): every optional leg below
+    # can die or be killed without destroying the run's perf record. The
+    # driver parses the LAST JSON line, so each later re-emission of the
+    # (augmented) record supersedes this one; this line is the floor.
+    print(json.dumps(record), flush=True)
 
     # best-batch leg in a subprocess with its own timeout: a cold Mosaic/relay
     # compile of the batch-4 program cannot stall the whole bench. With the
     # persistent cache warm it finishes in ~2 min.
     tput_best, best_batch = tput1, 1
     for cand in BEST_BATCH_CANDIDATES:
+        budget = min(BATCH4_TIMEOUT_S, _remaining() - 30)
+        if budget < 60:
+            print(f"# batch-{cand} leg skipped (deadline)", file=sys.stderr)
+            continue
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--batch", str(cand)],
-                capture_output=True, text=True, timeout=BATCH4_TIMEOUT_S,
+                capture_output=True, text=True, timeout=budget,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
         except subprocess.TimeoutExpired:
-            print(f"# batch-{cand} leg timed out after {BATCH4_TIMEOUT_S}s",
+            print(f"# batch-{cand} leg timed out after {budget:.0f}s",
                   file=sys.stderr)
             continue
         # scan all stdout lines for the record: a stray library print after
         # the JSON must not turn a successful run into a silent fallthrough
-        record = None
+        sub = None
         for line in proc.stdout.strip().splitlines():
             try:
                 d = json.loads(line)
             except json.JSONDecodeError:
                 continue
             if isinstance(d, dict) and "tput" in d:
-                record = d
-        if proc.returncode == 0 and record is not None:
+                sub = d
+        if proc.returncode == 0 and sub is not None:
             # always record the leg's number (not just when it wins) so the
             # batch-scaling datapoint survives in the bench artifact
-            print(f"# batch-{cand} leg: {record['tput']:.4f} samples/sec",
+            print(f"# batch-{cand} leg: {sub['tput']:.4f} samples/sec",
                   file=sys.stderr)
-            if record["tput"] > tput_best:
-                tput_best, best_batch = record["tput"], record["batch"]
+            record[f"batch{cand}_samples_per_sec"] = round(sub["tput"], 4)
+            if sub.get("times"):
+                record.update(_spread_fields(f"batch{cand}", sub["times"]))
+            if sub["tput"] > tput_best:
+                tput_best, best_batch = sub["tput"], sub["batch"]
             break  # first candidate that runs is the measurement
         print(f"# batch-{cand} leg failed: rc={proc.returncode} "
               f"stderr_tail={proc.stderr.strip().splitlines()[-1:]}",
               file=sys.stderr)
 
-    record = {
-        "metric": "samples/sec/chip at 1024^2 (2B NextDiT, 30-step midpoint ODE, CFG)",
-        "value": round(tput_best, 4),
-        "unit": "samples/sec",
-        "vs_baseline": round(tput_best / A100_REFERENCE_SAMPLES_PER_SEC, 3),
-        "vs_baseline_ceiling_v5e": V5E_CEILING_VS_BASELINE,
-        "best_batch": best_batch,
-        "batch1_samples_per_sec": round(tput1, 4),
-        "per_step_latency_ms": round(dt1 / NUM_STEPS * 1000, 2),
-        "backend": jax.default_backend(),
-    }
+    record["value"] = round(tput_best, 4)
+    record["vs_baseline"] = round(tput_best / A100_REFERENCE_SAMPLES_PER_SEC, 3)
+    record["best_batch"] = best_batch
+    print(json.dumps(record), flush=True)
 
-    if not args.skip_train and jax.default_backend() != "cpu":
-        opt_name = {"fused": "adamw", "adafactor": "adafactor"}
-        for leg, d in run_train_legs():
+    if not args.skip_train and (SMOKE or jax.default_backend() != "cpu"):
+        opt_name = {"fused": "adamw", "optax": "adamw", "adafactor": "adafactor"}
+        for leg, d in iter_train_legs():
             suffix = f"+{opt_name[leg['opt']]}+ema" if d["mode"] == "full" else ""
-            # second metric record line + merged fields on the headline record
+            # train-leg metric line, then the updated headline record — the
+            # headline stays the LAST JSON line at every point in the run
             print(json.dumps({
                 "metric": f"train imgs/sec/chip ({d['model']} {d['image_size']}px "
                           f"B{d['batch']} {d['mode']}{suffix})",
@@ -298,8 +384,7 @@ def main():
             }))
             record[f"{leg['key']}_imgs_per_sec"] = d["imgs_per_sec"]
             record[f"{leg['key']}_mfu"] = d["mfu_vs_197tf"]
-
-    print(json.dumps(record))
+            print(json.dumps(record), flush=True)
 
 
 if __name__ == "__main__":

@@ -16,11 +16,16 @@ Kernel structure (one compiled program per shape bucket):
 - Sk <= 1024 dispatches to a single-pass whole-KV kernel with no online
   state (`_flash_small_kv_kernel`) — caption cross-attention and the
   1-D audio models live here;
-- `set_flash_static_max(bound)` (first-class per-model calibration, installed
-  by `pipelines/sample_lib.autocalibrate_flash_static_max`; read at trace
-  time and part of the cache key) replaces the running max with a fixed bound
-  (`_flash_kernel_static_max`) for bounded-logit (qk-norm) models; the
-  `LUMINA_FLASH_STATIC_MAX=<bound>` env var remains as an operator override;
+- `set_flash_static_max(bound)` / `set_flash_static_max_train(bound)`
+  (first-class per-model calibration, installed by
+  `pipelines/sample_lib.autocalibrate_flash_static_max` and
+  `pipelines/train_lib.autocalibrate_flash_static_max_train` respectively;
+  read at trace time and part of the cache key) replace the running max with
+  a fixed bound (`_flash_kernel_static_max`) for bounded-logit (qk-norm)
+  models. The slots are separate so a sampling-era bound never leaks into
+  training; the `LUMINA_FLASH_STATIC_MAX=<bound>` /
+  `LUMINA_FLASH_STATIC_MAX_TRAIN=<bound>` env vars remain as per-path
+  operator overrides;
 - GQA handled in the K/V BlockSpec index maps (q head h reads kv head
   h // rep) — the KV-head repeat at `model.py:423-426` never materializes;
 - proportional-attention scale (`model.py:373-376`) is a kernel parameter.
@@ -93,29 +98,51 @@ def _flash_kernel_static_max(mask_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, *,
         o_ref[0, 0] = (acc_ref[:, :d] / denom).astype(o_ref.dtype)
 
 
-# First-class install point for the static-max softmax bound (per-model
-# calibration, `pipelines/sample_lib.autocalibrate_flash_static_max`). The
-# LUMINA_FLASH_STATIC_MAX env var remains ONLY as an operator override pin;
-# pipelines communicate the calibrated bound through this module state.
+# First-class install points for the static-max softmax bound. TWO separate
+# slots (ADVICE r4): the inference slot is installed by
+# `pipelines/sample_lib.autocalibrate_flash_static_max` (margin 6, EMA
+# weights) and read ONLY by the primal no-grad dispatch; the train slot is
+# installed by `pipelines/train_lib.autocalibrate_flash_static_max_train`
+# (margin 8, re-probed at each process start because weights drift) and read
+# ONLY by the custom_vjp forward (`_fwd`, which also covers the remat
+# backward-recompute). A sampling-calibrated bound or an inference env pin
+# therefore can never silently apply to a training step in the same process.
+# The LUMINA_FLASH_STATIC_MAX / LUMINA_FLASH_STATIC_MAX_TRAIN env vars remain
+# ONLY as per-path operator override pins; pipelines communicate calibrated
+# bounds through this module state.
 _flash_static_max: Optional[float] = None
+_flash_static_max_train: Optional[float] = None
 
 
 def set_flash_static_max(bound: Optional[float]) -> None:
     """Install (or clear, with None) the fixed softmax bound used by the
-    streaming flash kernel. Read at trace time — callers must set it before
-    the first trace of the program that should use it."""
+    streaming flash kernel on the INFERENCE (primal, no-grad) path. Read at
+    trace time — callers must set it before the first trace of the program
+    that should use it."""
     global _flash_static_max
     _flash_static_max = float(bound) if bound is not None else None
 
 
-def get_flash_static_max() -> Optional[float]:
+def set_flash_static_max_train(bound: Optional[float]) -> None:
+    """Install (or clear) the fixed softmax bound for the TRAINING path
+    (custom_vjp forward + backward-recompute). Kept separate from the
+    inference slot so a sampling-side calibration in the same process never
+    leaks into training, where weights drift past a sampling-era bound."""
+    global _flash_static_max_train
+    _flash_static_max_train = float(bound) if bound is not None else None
+
+
+def get_flash_static_max(train: bool = False) -> Optional[float]:
     """The bound the next trace will use (env pin wins over the setting)."""
-    return _static_max_bound()
+    return _static_max_bound(train=train)
 
 
-def _static_max_bound() -> Optional[float]:
+def _static_max_bound(train: bool = False) -> Optional[float]:
     import os
 
+    if train:
+        v = os.environ.get("LUMINA_FLASH_STATIC_MAX_TRAIN", "")
+        return float(v) if v else _flash_static_max_train
     v = os.environ.get("LUMINA_FLASH_STATIC_MAX", "")
     return float(v) if v else _flash_static_max
 
@@ -808,8 +835,10 @@ def _fwd(q, k, v, kv_mask, scale):
     block_q, block_k = _pick_blocks(q.shape[1], k.shape[1], q.shape[3])
     # the calibrated bound applies to the streaming self-attention sites only
     # (mirrors the primal dispatch above: small-KV cross-attention computes
-    # its max for free and was never part of the calibration probe)
-    static_max = _static_max_bound() if streams_kv(k.shape[1]) else None
+    # its max for free and was never part of the calibration probe). This is
+    # the TRAIN slot: _fwd only runs under differentiation, and a bound
+    # calibrated for sampling must not leak into training (ADVICE r4).
+    static_max = _static_max_bound(train=True) if streams_kv(k.shape[1]) else None
     out, lse = _flash_fwd_res_impl(q, k, v, kv_mask, scale, block_q, block_k,
                                    static_max=static_max)
     return out, (q, k, v, kv_mask, out, lse)

@@ -2,11 +2,17 @@
 
 RMSNorm replaces the reference's apex `FusedRMSNorm` CUDA kernel
 (`lumina_next_t2i/models/components.py:1-55`): on TPU, XLA fuses the
-rsqrt-mean-scale chain into surrounding ops, so the default path is plain
-jnp math in a float32 island (matching the reference fallback
-`x * rsqrt(mean(x^2) + eps) * w` computed on floated input). A fused Pallas
-kernel for the sandwich-norm pairs lives in `ops/fused_norm.py` for the cases
-XLA's fusion misses.
+rsqrt-mean-scale chain into surrounding ops, so the path is plain jnp math in
+a float32 island (matching the reference fallback
+`x * rsqrt(mean(x^2) + eps) * w` computed on floated input).
+
+Design decision (no hand-written Pallas norm kernel): apex exists on GPU
+because eager torch launches one CUDA kernel per elementwise op; under XLA
+the whole rsqrt-mean-scale chain lands in a single fusion with its neighbors
+(verified in the 2B HLO dumps, `exps/artifacts/b1b2_hlo/`: no standalone
+norm kernels survive scheduling — every norm is folded into a producer or
+consumer fusion), so a custom kernel could only re-create what the compiler
+already emits while BLOCKING fusion across its boundary.
 """
 
 from __future__ import annotations

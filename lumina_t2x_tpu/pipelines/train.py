@@ -402,6 +402,10 @@ def main(argv=None):
 
     # -- state ---------------------------------------------------------------
     transport = create_transport(args.path_type, args.prediction, snr_type=args.snr_type)
+    if args.optimizer and args.fused_optimizer and args.optimizer != "fused_adamw":
+        raise SystemExit(
+            f"--optimizer {args.optimizer} conflicts with --fused_optimizer "
+            "(which means --optimizer fused_adamw); pass one or the other")
     opt_kind = args.optimizer or ("fused_adamw" if args.fused_optimizer else "adamw")
     if opt_kind == "adafactor":
         from .train_lib import FusedAdafactorEMA
@@ -496,9 +500,9 @@ def main(argv=None):
     # bound is read at trace time and participates in the jit cache key
     needs_calibration = args.flash_static_max == "auto"
     if args.flash_static_max not in ("off", "auto"):
-        from ..ops.flash_attention import set_flash_static_max
+        from ..ops.flash_attention import set_flash_static_max_train
 
-        set_flash_static_max(float(args.flash_static_max))
+        set_flash_static_max_train(float(args.flash_static_max))
         logger.info(f"flash static-max pinned: {args.flash_static_max}")
 
     start_step = int(state.step)
@@ -529,7 +533,8 @@ def main(argv=None):
 
             bound = autocalibrate_flash_static_max_train(
                 model, state.params, batch, cond_fn,
-                rng=jax.random.fold_in(rng, 999983))
+                rng=jax.random.fold_in(rng, 999983),
+                path_sampler=transport.path_sampler)
             logger.info("flash static-max calibrated: "
                         + (f"{bound:.2f}" if bound is not None
                            else "n/a (online-max kernels kept)"))

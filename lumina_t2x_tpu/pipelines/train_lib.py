@@ -291,6 +291,7 @@ def autocalibrate_flash_static_max_train(
     cond_kwargs_fn: Callable[[Dict], Dict],
     probe_ts=(0.02, 0.25, 0.5, 0.75, 0.98),
     margin: float = 8.0, spread_limit: float = 60.0, rng=None,
+    path_sampler=None,
 ) -> Optional[float]:
     """Trainer-side static-max flash calibration (VERDICT r3 #5).
 
@@ -298,7 +299,9 @@ def autocalibrate_flash_static_max_train(
     autocalibrate_flash_static_max`); this is the train-step counterpart:
     probe the model at the first batch's shapes across the t range the
     lognorm/uniform samplers cover, read the sown lse ranges, install
-    `bound = max(lse) + margin` via `set_flash_static_max` so BOTH forward
+    `bound = max(lse) + margin` via `set_flash_static_max_train` (the
+    TRAIN-only slot — a sampling-side calibration or LUMINA_FLASH_STATIC_MAX
+    inference pin in the same process never applies here) so BOTH forward
     executions of a remat train step (the primal pass and the bwd recompute
     through `_fwd`) run the fixed-bound kernels.
 
@@ -312,18 +315,22 @@ def autocalibrate_flash_static_max_train(
       when an env pin/AUTO=0 is set, the model has no qk-norm, flash is not
       the active impl, or the self-attention sequence fits the single-pass
       small-KV kernel (which computes its max for free).
+    - `path_sampler` (the transport's `Transport.path_sampler`) supplies the
+      xt interpolant so the probed logit distribution matches the REAL
+      training distribution for VP/GVP transports too; falls back to the
+      linear path when omitted (e.g. from legacy call sites).
     """
     import math
     import os
 
     from ..ops.attention import resolve_impl
-    from ..ops.flash_attention import set_flash_static_max, streams_kv
+    from ..ops.flash_attention import set_flash_static_max_train, streams_kv
 
-    if os.environ.get("LUMINA_FLASH_STATIC_MAX", ""):
+    if os.environ.get("LUMINA_FLASH_STATIC_MAX_TRAIN", ""):
         return None
     if os.environ.get("LUMINA_FLASH_STATIC_MAX_AUTO", "1") == "0":
         return None
-    set_flash_static_max(None)
+    set_flash_static_max_train(None)
     if not getattr(model, "qk_norm", False):
         return None
     if resolve_impl(getattr(model, "attn_impl", "auto")) != "flash":
@@ -338,8 +345,11 @@ def autocalibrate_flash_static_max_train(
 
     def probe(t_scalar):
         t = jnp.full((x1.shape[0],), t_scalar, jnp.float32)
-        texp = t.reshape((-1,) + (1,) * (x1.ndim - 1))
-        xt = texp * x1 + (1.0 - texp) * x0  # linear path, transport.py:141-144
+        if path_sampler is not None:
+            xt, _ = path_sampler.interpolant(t, x0, x1)
+        else:
+            texp = t.reshape((-1,) + (1,) * (x1.ndim - 1))
+            xt = texp * x1 + (1.0 - texp) * x0  # linear path, transport.py:141-144
         _, updates = model.apply(
             {"params": params}, xt, t, train=True,
             rngs={"label_dropout": jax.random.fold_in(rng, 1)},
@@ -368,7 +378,7 @@ def autocalibrate_flash_static_max_train(
     if not math.isfinite(gmax) or not math.isfinite(gmin) or gmax - gmin > spread_limit:
         return None
     bound = gmax + margin
-    set_flash_static_max(bound)
+    set_flash_static_max_train(bound)
     return bound
 
 
@@ -637,19 +647,30 @@ def make_sharded_train_step(mesh, train_step, state, fsdp: bool = True):
 
 
 def _opt_state_shardings(mesh, state, p_sh):
-    """Adam moments share the param layout; scalars replicate."""
-    flat_params = jax.tree.leaves(state.params)
+    """Adam moments share the param layout; Adafactor's non-factored full `v`
+    leaves do too (ADVICE r4: without this branch the whole Adafactor state
+    fell through to replicate-everything, duplicating full-shape v per chip
+    under FSDP); factored row/col stats are sublinear so they replicate;
+    scalars replicate."""
     repl = NamedSharding(mesh, P())
 
-    def match(leaf):
-        return repl
-
-    # Walk the opt_state: ScaleByAdamState contains mu/nu pytrees with the
-    # same structure as params — map them to param shardings; anything else
-    # replicates.
     def map_state(os):
         if isinstance(os, optax.ScaleByAdamState):
             return optax.ScaleByAdamState(count=repl, mu=p_sh, nu=p_sh)
+        if isinstance(os, FactoredStats):
+            params_flat, treedef = jax.tree.flatten(state.params)
+            psh_flat = jax.tree.leaves(p_sh)
+            v_flat = jax.tree.leaves(os.v)
+            # full-shape v (unfactored leaf) follows the param layout; the
+            # (1,) placeholder it holds for factored leaves replicates
+            v_sh = [s if v.shape == p.shape else repl
+                    for p, s, v in zip(params_flat, psh_flat, v_flat)]
+            return FactoredStats(
+                count=repl,
+                v_row=jax.tree.map(lambda _: repl, os.v_row),
+                v_col=jax.tree.map(lambda _: repl, os.v_col),
+                v=jax.tree.unflatten(treedef, v_sh),
+            )
         if isinstance(os, tuple) and not hasattr(os, "_fields"):
             return tuple(map_state(o) for o in os)
         return jax.tree.map(lambda _: repl, os)

@@ -143,6 +143,42 @@ class TestShardedTrainStep:
         state, metrics = self._run_steps(mp_size=1, fsdp=False, n=1, micro_batches=2)
         assert np.isfinite(float(metrics["loss"]))
 
+    def test_adafactor_state_shardings(self):
+        """ADVICE r4: under FSDP the Adafactor state must not replicate its
+        full-shape (non-factored) v leaves — they follow the param layout;
+        the sublinear row/col stats and placeholders replicate."""
+        from lumina_t2x_tpu.pipelines.train_lib import (
+            FactoredStats, FusedAdafactorEMA, _opt_state_shardings)
+
+        mesh = create_mesh(model_parallel_size=2)
+        model = tiny_model()
+        batch = make_batch(8)
+        # min_dim_size_to_factor above every tiny dim -> all leaves keep a
+        # full-shape v, the case the old replicate-everything default hurt
+        optimizer = FusedAdafactorEMA(1e-3, min_dim_size_to_factor=4096)
+        state = create_train_state(jax.random.PRNGKey(0), model, batch,
+                                   optimizer, COND)
+        p_sh = param_shardings(mesh, state.params, fsdp=True)
+        sh = _opt_state_shardings(mesh, state, p_sh)
+        stats = sh[0]
+        assert isinstance(stats, FactoredStats)
+        assert stats.count.spec == P()
+        flat_psh = jax.tree.leaves(p_sh)
+        flat_v = jax.tree.leaves(stats.v)
+        assert [s.spec for s in flat_v] == [s.spec for s in flat_psh]
+        # at least one param is actually sharded, so the assertion is not
+        # vacuously comparing replicated-to-replicated
+        assert any(s.spec != P() for s in flat_v)
+        for leaf in jax.tree.leaves(stats.v_row) + jax.tree.leaves(stats.v_col):
+            assert leaf.spec == P()
+        # and the sharded state still runs: one full fused-adafactor step
+        transport = create_transport("Linear", "velocity", snr_type="lognorm")
+        step_fn = make_train_step(model, transport, optimizer, COND, grad_clip=2.0)
+        jitted, _ = make_sharded_train_step(mesh, step_fn, state, fsdp=True)
+        state = place_state(mesh, state, fsdp=True)
+        state, metrics = jitted(state, batch, jax.random.PRNGKey(42))
+        assert np.isfinite(float(metrics["loss"]))
+
     def test_ema_updates(self):
         state, _ = self._run_steps(mp_size=1, fsdp=False, n=2)
         # after 2 steps EMA must differ from params but stay close

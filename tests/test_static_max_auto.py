@@ -154,13 +154,17 @@ class TestStaticMaxTrainingPath:
     @pytest.fixture(autouse=True)
     def _clean_env(self, monkeypatch):
         monkeypatch.delenv("LUMINA_FLASH_STATIC_MAX", raising=False)
+        monkeypatch.delenv("LUMINA_FLASH_STATIC_MAX_TRAIN", raising=False)
         monkeypatch.delenv("LUMINA_FLASH_STATIC_MAX_AUTO", raising=False)
         monkeypatch.delenv("LUMINA_FLASH_CALIBRATE", raising=False)
         fa.set_flash_static_max(None)
+        fa.set_flash_static_max_train(None)
         yield
         os.environ.pop("LUMINA_FLASH_STATIC_MAX", None)
+        os.environ.pop("LUMINA_FLASH_STATIC_MAX_TRAIN", None)
         os.environ.pop("LUMINA_FLASH_CALIBRATE", None)
         fa.set_flash_static_max(None)
+        fa.set_flash_static_max_train(None)
 
     def test_vjp_matches_online(self, monkeypatch):
         monkeypatch.setattr(fa, "_SMALL_KV_MAX", 8)
@@ -178,12 +182,28 @@ class TestStaticMaxTrainingPath:
         ref_l, ref_g = jax.value_and_grad(loss, argnums=(0, 1, 2))(q, k, v)
 
         bound = float(fa.flash_lse_range(q, k, v, mask)[0]) + 6.0
-        fa.set_flash_static_max(bound)
+        fa.set_flash_static_max_train(bound)
         got_l, got_g = jax.value_and_grad(loss, argnums=(0, 1, 2))(q, k, v)
         np.testing.assert_allclose(float(got_l), float(ref_l), rtol=1e-5)
         for g_ref, g_got in zip(ref_g, got_g):
             np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
                                        rtol=1e-4, atol=1e-5)
+
+    def test_inference_bound_does_not_leak_into_training(self, monkeypatch):
+        """ADVICE r4: a sampling-side calibration (or inference env pin) in
+        the same process must NOT apply to the custom_vjp training forward —
+        the train path only honors its own slot/env pin."""
+        monkeypatch.setattr(fa, "_SMALL_KV_MAX", 8)
+        fa.set_flash_static_max(7.5)
+        monkeypatch.setenv("LUMINA_FLASH_STATIC_MAX", "7.5")
+        assert fa._static_max_bound() == 7.5
+        assert fa._static_max_bound(train=True) is None
+        monkeypatch.setenv("LUMINA_FLASH_STATIC_MAX_TRAIN", "9.25")
+        assert fa._static_max_bound(train=True) == 9.25
+        monkeypatch.delenv("LUMINA_FLASH_STATIC_MAX_TRAIN")
+        fa.set_flash_static_max_train(10.0)
+        assert fa._static_max_bound(train=True) == 10.0
+        assert fa._static_max_bound() == 7.5
 
     def test_trainer_autocalibration_and_step_parity(self, monkeypatch):
         from lumina_t2x_tpu.pipelines.train_lib import (
@@ -206,7 +226,9 @@ class TestStaticMaxTrainingPath:
         bound = autocalibrate_flash_static_max_train(
             model, state.params, batch, cond)
         assert bound is not None and np.isfinite(bound)
-        assert fa.get_flash_static_max() == bound
+        assert fa.get_flash_static_max(train=True) == bound
+        # the train calibrator must not touch the inference slot
+        assert fa.get_flash_static_max() is None
         assert "LUMINA_FLASH_CALIBRATE" not in os.environ
 
         got_state, got_m = step(state, batch, jax.random.PRNGKey(2))
@@ -226,9 +248,9 @@ class TestStaticMaxTrainingPath:
         cond = lambda b: {"cap_feats": b["cap_feats"], "cap_mask": b["cap_mask"]}
         params = variables["params"]
 
-        monkeypatch.setenv("LUMINA_FLASH_STATIC_MAX", "12.0")
+        monkeypatch.setenv("LUMINA_FLASH_STATIC_MAX_TRAIN", "12.0")
         assert autocalibrate_flash_static_max_train(model, params, batch, cond) is None
-        monkeypatch.delenv("LUMINA_FLASH_STATIC_MAX")
+        monkeypatch.delenv("LUMINA_FLASH_STATIC_MAX_TRAIN")
 
         monkeypatch.setenv("LUMINA_FLASH_STATIC_MAX_AUTO", "0")
         assert autocalibrate_flash_static_max_train(model, params, batch, cond) is None
@@ -243,4 +265,4 @@ class TestStaticMaxTrainingPath:
         batch2 = {"x": batch["x"], "cap_feats": cap2, "cap_mask": cap_mask2}
         assert autocalibrate_flash_static_max_train(
             model_nq, variables_nq["params"], batch2, cond) is None
-        assert fa.get_flash_static_max() is None
+        assert fa.get_flash_static_max(train=True) is None
