@@ -371,6 +371,25 @@ def import_autoencoder_kl_1d_weights(sd, ch_mult: Sequence[int] = (1, 2, 4),
     }
 
 
+def import_vq_model_1d_weights(sd, ch_mult: Sequence[int] = (1, 2, 4),
+                               num_res_blocks: int = 2,
+                               attn_layers: Sequence[int] = (),
+                               down_layers: Sequence[int] | None = None):
+    """Map a 1-D `VQModel` state dict (`lumina_music/models/
+    autoencoder1d.py:551-580` — CompVis encoder/decoder naming plus the
+    taming `quantize.embedding.weight` codebook) onto `VQModel1D`. The
+    encoder/decoder/quant-conv mapping is shared with the KL importer (the
+    reference builds both variants from the same Encoder1D/Decoder1D);
+    parity of those blocks is pinned by `tests/test_audio_parity.py`.
+    NOTE: upstream's VQModel is not instantiable as shipped (its taming
+    VectorQuantizer import is commented out, `autoencoder1d.py:10`), so this
+    covers checkpoints produced by a working taming install."""
+    base = import_autoencoder_kl_1d_weights(sd, ch_mult, num_res_blocks,
+                                            attn_layers, down_layers)
+    base["quantize"] = {"embedding": sd["quantize.embedding.weight"]}
+    return base
+
+
 def make_an_audio_2_vae(**overrides) -> AutoencoderKL1D:
     """The shipped Make-An-Audio-2 mel-VAE configuration the reference's
     trained audio/music checkpoints use

@@ -10,6 +10,18 @@ where the class batch is pre-generated with the class prompt to anchor the
 prior. The flow objective is the mini linear-velocity loss
 (`transport/mini.py`); the full train-step machinery (sharding, EMA, clip,
 AdamW) is reused from `train_lib`.
+
+Two conditioning modes, keyed on the model family:
+- NextDiT family (default): (cap_feats, cap_mask) from `--text_encoder`
+  (or hashed stand-ins);
+- MMDiT/SD3 (`--model MMDiT_*`): (context, pooled) from the CLIP-L ⊕ CLIP-G
+  (⊕ T5) triple encoder (`codecs/clip_text.SD3PromptEncoder`) — the same
+  `pipe.encode_prompt` features the reference script consumes
+  (`train_dreambooth_sd3.py` `encode_prompt`/`compute_text_embeddings`);
+  pass `--clip_l/--clip_g` (and optionally `--t5`) for real weights, else
+  the debug towers keep the path runnable. The SD3 loss convention
+  (x_σ = (1-σ)x1 + σ x0, target = noise - x1, timesteps = σ·1000) is folded
+  into a sign/timestep wrapper around the shared mini loss.
 """
 
 from __future__ import annotations
@@ -53,13 +65,19 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cap_feat_dim", type=int, default=2048)
     p.add_argument("--text_encoder", type=str, default=None)
+    p.add_argument("--clip_l", type=str, default=None,
+                   help="SD3 mode: local HF dir for the CLIP-L tower")
+    p.add_argument("--clip_g", type=str, default=None,
+                   help="SD3 mode: local HF dir for the CLIP-G tower")
+    p.add_argument("--t5", type=str, default=None,
+                   help="SD3 mode: local HF dir for the T5 encoder (optional)")
     p.add_argument("--vae_ckpt", type=str, default=None)
     p.add_argument("--precision", choices=["fp32", "bf16"], default="bf16")
     return p.parse_args(argv)
 
 
 def _image_latents(paths, resolution, vae=None, vae_variables=None, vae_type="ema",
-                   rng=None):
+                   rng=None, latent_channels: int = 4):
     from PIL import Image
 
     from ..data.imgproc import center_crop_arr, to_latent_input
@@ -69,10 +87,12 @@ def _image_latents(paths, resolution, vae=None, vae_variables=None, vae_type="em
         for p in paths
     ])
     if vae is None:
-        # latent stand-in: 8x avg-pool (smoke mode without VAE weights)
+        # latent stand-in: 8x avg-pool, channel-tiled to the model's latent
+        # width (4 for SD VAEs, 16 for SD3) — smoke mode without VAE weights
         b, c, h, w = imgs.shape
         pooled = imgs.reshape(b, c, h // 8, 8, w // 8, 8).mean((3, 5))
-        return np.concatenate([pooled, pooled[:, :1]], axis=1)
+        reps = -(-latent_channels // c)
+        return np.concatenate([pooled] * reps, axis=1)[:, :latent_channels]
     from ..codecs.vae import encode_to_latent
 
     return np.asarray(encode_to_latent(vae, vae_variables, jnp.asarray(imgs), rng, vae_type))
@@ -90,7 +110,15 @@ def _caption_features(prompt: str, n: int, cap_feat_dim: int, text_encoder=None)
     return feats, np.ones((n, ly), np.int32)
 
 
-def dreambooth_batches(args, text_encoder=None, vae=None, vae_variables=None) -> Iterator[Dict]:
+def _caption_features_sd3(prompt: str, n: int, encoder):
+    """(context, pooled) rows for an SD3 batch — `compute_text_embeddings`
+    in the reference script (one prompt repeated over the batch)."""
+    ctx, pooled = encoder.encode([prompt] * n)
+    return np.asarray(ctx), np.asarray(pooled)
+
+
+def dreambooth_batches(args, text_encoder=None, vae=None, vae_variables=None,
+                       sd3_encoder=None, latent_channels: int = 4) -> Iterator[Dict]:
     exts = (".jpg", ".jpeg", ".png", ".webp")
     inst_paths = sorted(
         os.path.join(args.instance_data_dir, f)
@@ -115,28 +143,43 @@ def dreambooth_batches(args, text_encoder=None, vae=None, vae_variables=None) ->
     while True:
         pick = rng.choice(len(inst_paths), b)
         x_inst = _image_latents([inst_paths[i] for i in pick], args.resolution,
-                                vae, vae_variables, rng=jax.random.PRNGKey(int(rng.integers(1 << 30))))
-        cf_i, cm_i = _caption_features(args.instance_prompt, b, args.cap_feat_dim, text_encoder)
-        batch = {"x": x_inst, "cap_feats": cf_i, "cap_mask": cm_i}
+                                vae, vae_variables,
+                                rng=jax.random.PRNGKey(int(rng.integers(1 << 30))),
+                                latent_channels=latent_channels)
+        if sd3_encoder is not None:
+            ctx_i, pool_i = _caption_features_sd3(args.instance_prompt, b, sd3_encoder)
+            batch = {"x": x_inst, "context": ctx_i, "pooled": pool_i}
+        else:
+            cf_i, cm_i = _caption_features(args.instance_prompt, b,
+                                           args.cap_feat_dim, text_encoder)
+            batch = {"x": x_inst, "cap_feats": cf_i, "cap_mask": cm_i}
         if cls_paths:
             pick_c = rng.choice(len(cls_paths), b)
             x_cls = _image_latents([cls_paths[i] for i in pick_c], args.resolution,
                                    vae, vae_variables,
-                                   rng=jax.random.PRNGKey(int(rng.integers(1 << 30))))
-            cf_c, cm_c = _caption_features(args.class_prompt or "", b, args.cap_feat_dim,
-                                           text_encoder)
+                                   rng=jax.random.PRNGKey(int(rng.integers(1 << 30))),
+                                   latent_channels=latent_channels)
             # instance rows then class rows (`train_dreambooth_sd3.py` concat)
-            batch = {
-                "x": np.concatenate([x_inst, x_cls]),
-                "cap_feats": np.concatenate([cf_i, cf_c]),
-                "cap_mask": np.concatenate([cm_i, cm_c]),
-            }
+            if sd3_encoder is not None:
+                ctx_c, pool_c = _caption_features_sd3(args.class_prompt or "",
+                                                      b, sd3_encoder)
+                batch = {"x": np.concatenate([x_inst, x_cls]),
+                         "context": np.concatenate([ctx_i, ctx_c]),
+                         "pooled": np.concatenate([pool_i, pool_c])}
+            else:
+                cf_c, cm_c = _caption_features(args.class_prompt or "", b,
+                                               args.cap_feat_dim, text_encoder)
+                batch = {
+                    "x": np.concatenate([x_inst, x_cls]),
+                    "cap_feats": np.concatenate([cf_i, cf_c]),
+                    "cap_mask": np.concatenate([cm_i, cm_c]),
+                }
         yield batch
 
 
 def make_dreambooth_step(model, optimizer, prior_loss_weight: float,
                          with_prior: bool, ema_decay: float = 0.0,
-                         grad_clip: float = 1.0):
+                         grad_clip: float = 1.0, sd3: bool = False):
     """Prior-preservation train step: split the batch into (instance, class)
     halves and weight the class loss (`train_dreambooth_sd3.py` loss block).
     Clips at `grad_clip` global norm (the reference's accelerate
@@ -150,6 +193,15 @@ def make_dreambooth_step(model, optimizer, prior_loss_weight: float,
 
         def loss_fn(params):
             def model_fn(xt, t):
+                if sd3:
+                    # SD3 convention bridge (`train_dreambooth_sd3.py` loss
+                    # block): the reference trains on x_σ = (1-σ)x1 + σ x0
+                    # with target = noise - x1 and timesteps = σ·1000; the
+                    # shared mini loss uses t = 1-σ and target x1 - x0, so
+                    # feed (1-t)·1000 and negate the prediction
+                    return -model.apply({"params": params}, xt,
+                                        (1.0 - t) * 1000.0,
+                                        batch["context"], batch["pooled"])
                 return model.apply({"params": params}, xt, t,
                                    batch["cap_feats"], batch["cap_mask"])
 
@@ -187,22 +239,39 @@ def main(argv=None):
     logger = create_logger(args.output_dir)
     dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
 
-    text_encoder = None
-    if args.text_encoder:
-        from ..codecs.text_encoders import DecoderTextEncoder
+    sd3 = args.model.startswith("MMDiT")
+    text_encoder = sd3_encoder = None
+    if sd3:
+        from ..codecs.clip_text import build_sd3_prompt_encoder
 
-        text_encoder = DecoderTextEncoder.from_pretrained(args.text_encoder, dtype=dtype)
-        args.cap_feat_dim = text_encoder.hidden_size
+        sd3_encoder = build_sd3_prompt_encoder(args.clip_l, args.clip_g, args.t5)
+        if not (args.clip_l and args.clip_g):
+            logger.warning("SD3 mode without --clip_l/--clip_g: prompts are "
+                           "encoded by random debug towers")
+        model = get_model(args.model, dtype=dtype)
+        cond = lambda b: {"context": b["context"], "pooled": b["pooled"]}
+    else:
+        if args.text_encoder:
+            from ..codecs.text_encoders import DecoderTextEncoder
 
-    model = get_model(args.model, cap_feat_dim=args.cap_feat_dim, dtype=dtype, qk_norm=True)
+            text_encoder = DecoderTextEncoder.from_pretrained(args.text_encoder,
+                                                              dtype=dtype)
+            args.cap_feat_dim = text_encoder.hidden_size
+        model = get_model(args.model, cap_feat_dim=args.cap_feat_dim,
+                          dtype=dtype, qk_norm=True)
+        cond = lambda b: {"cap_feats": b["cap_feats"], "cap_mask": b["cap_mask"]}
     vae = vae_variables = None
     if args.vae_ckpt:
         from ..codecs.vae import load_vae
 
-        vae, vae_variables = load_vae(args.vae_ckpt)
-    batches = dreambooth_batches(args, text_encoder, vae, vae_variables)
+        # SD3's 16-channel VAE has no quant convs
+        vae, vae_variables = (load_vae(args.vae_ckpt, z_channels=16,
+                                       use_quant_conv=False)
+                              if sd3 else load_vae(args.vae_ckpt))
+    batches = dreambooth_batches(args, text_encoder, vae, vae_variables,
+                                 sd3_encoder=sd3_encoder,
+                                 latent_channels=16 if sd3 else 4)
     first = next(batches)
-    cond = lambda b: {"cap_feats": b["cap_feats"], "cap_mask": b["cap_mask"]}
     optimizer = create_optimizer(args.learning_rate)
     state = create_train_state(jax.random.PRNGKey(args.seed), model, first, optimizer, cond)
     if args.pretrained_ckpt:
@@ -217,7 +286,7 @@ def main(argv=None):
     step = jax.jit(make_dreambooth_step(model, optimizer, args.prior_loss_weight,
                                         args.with_prior_preservation,
                                         ema_decay=args.ema_decay,
-                                        grad_clip=args.max_grad_norm))
+                                        grad_clip=args.max_grad_norm, sd3=sd3))
     rng = jax.random.PRNGKey(args.seed)
     batch = first
     for i in range(args.max_train_steps):

@@ -9,9 +9,11 @@ The reference pulls `StableDiffusion3Pipeline` from the hub; here the
 transformer weights load from a local diffusers-format `.safetensors` via
 `codecs/mmdit_import.import_sd3_mmdit_weights`, and `--debug` runs the
 randomly-initialized pipeline end-to-end (the reference's `--debug` idiom,
-`sample.py:131-142`). Prompt encoding uses the CLIP/T5 towers when local
-checkpoints are supplied; `--debug` substitutes deterministic random
-features of the right shape.
+`sample.py:131-142`). Prompt encoding runs the real CLIP-L + CLIP-G (+ T5)
+triple encoder (`codecs/clip_text.SD3PromptEncoder`, the TPU-native
+`pipe.encode_prompt`, `sample_sd3.py:95-100`) when `--clip_l`/`--clip_g`
+point at local HF model dirs; `--debug` (or absent towers) substitutes
+deterministic random features of the same shape contract.
 """
 
 from __future__ import annotations
@@ -36,6 +38,15 @@ def parse_args(argv=None):
     p.add_argument("--ckpt", type=str, default=None,
                    help="diffusers-format SD3 transformer .safetensors")
     p.add_argument("--vae_ckpt", type=str, default=None)
+    p.add_argument("--clip_l", type=str, default=None,
+                   help="local HF dir for the CLIP-L text tower "
+                        "(SD3 `text_encoder` subfolder)")
+    p.add_argument("--clip_g", type=str, default=None,
+                   help="local HF dir for the CLIP-G text tower "
+                        "(SD3 `text_encoder_2` subfolder)")
+    p.add_argument("--t5", type=str, default=None,
+                   help="local HF dir for the T5 encoder (`text_encoder_3`); "
+                        "optional — diffusers' zeros fallback applies")
     p.add_argument("--caption_path", type=str, required=True)
     p.add_argument("--image_save_path", type=str, default="samples_sd3")
     p.add_argument("--resolution", type=str, nargs="+", default=["1:1024x1024"])
@@ -67,22 +78,15 @@ def load_model(args, dtype):
     return model, {"params": params}
 
 
-def encode_prompt_debug(caption: str, negative: str = ""):
-    """Deterministic random stand-ins for the CLIP+T5 prompt features
-    (shape contract of `pipe.encode_prompt`, `sample_sd3.py:95-100`)."""
+def build_prompt_encoder(args, dtype=jnp.float32):
+    """The CLIP-L + CLIP-G (+ T5) triple encoder: real towers with loaded
+    weights when `--clip_l`/`--clip_g` point at local HF model dirs, else
+    (`--debug` / towers absent) the same encode path over tiny random towers
+    (`codecs/clip_text.build_sd3_prompt_encoder`)."""
+    from ..codecs.clip_text import build_sd3_prompt_encoder
 
-    def feats(text, key):
-        from ..utils import stable_text_seed
-
-        k = jax.random.fold_in(jax.random.PRNGKey(key), stable_text_seed(text))
-        return (jax.random.normal(k, (1, 77, 4096)),
-                jax.random.normal(jax.random.fold_in(k, 1), (1, 2048)))
-
-    ctx_c, pool_c = feats(caption, 0)
-    ctx_n, pool_n = feats(negative, 1)
-    # SD3 CFG order: [uncond; cond] (`sample_sd3.py:101-102`)
-    return (jnp.concatenate([ctx_n, ctx_c], axis=0),
-            jnp.concatenate([pool_n, pool_c], axis=0))
+    return build_sd3_prompt_encoder(args.clip_l, args.clip_g, args.t5,
+                                    debug=args.debug, dtype=dtype)
 
 
 def main(argv=None):
@@ -111,14 +115,15 @@ def main(argv=None):
         vae, vv = load_vae(args.vae_ckpt, z_channels=16, use_quant_conv=False)
         vae_decode = jax.jit(lambda z: vae.apply(vv, z, method=vae.decode))
 
-    if args.ckpt and not args.debug:
-        # no CLIP/T5 towers in this environment: conditioning falls back to
-        # the deterministic pseudo-features — loud, because with real
-        # transformer weights the outputs are then prompt-UNRELATED
-        print("warning: no text-encoder path available; prompts are encoded "
-              "as deterministic pseudo-features (images will not follow the "
-              "captions). Mount CLIP/T5 weights and wire encode_prompt to "
-              "sample real SD3 outputs.")
+    prompt_encoder = build_prompt_encoder(args)
+    if args.ckpt and not args.debug and not (args.clip_l and args.clip_g):
+        # towers not mounted: conditioning falls back to the debug towers —
+        # loud, because with real transformer weights the outputs are then
+        # prompt-UNRELATED
+        print("warning: --clip_l/--clip_g not given; prompts are encoded "
+              "by random debug towers (images will not follow the captions). "
+              "Pass the SD3 text_encoder/text_encoder_2 (and optionally "
+              "--t5) dirs to sample real SD3 outputs.")
 
     ode = MiniODE(args.num_sampling_steps, args.solver, args.time_shifting_factor,
                   use_sd3=True)
@@ -135,7 +140,7 @@ def main(argv=None):
             rng = jax.random.fold_in(jax.random.PRNGKey(args.seed), idx)
             z = jax.random.normal(rng, (1, 16, h // 8, w // 8), jnp.float32)
             z = jnp.concatenate([z, z], axis=0)
-            context, pooled = encode_prompt_debug(caption)
+            context, pooled = prompt_encoder.encode_cfg_pair(caption)
 
             def model_fn(x, t):
                 return model.apply(variables, x, t, context, pooled)

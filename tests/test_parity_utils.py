@@ -126,6 +126,40 @@ class TestDreamBooth:
             lambda e, q: _np.testing.assert_array_equal(_np.asarray(e), _np.asarray(q)),
             state.ema_params, state.params)
 
+    def test_sd3_mode_with_prior(self, tmp_path):
+        """SD3/MMDiT DreamBooth: (context, pooled) conditioning through the
+        real triple-encoder path (debug towers), 16-ch latents, the SD3
+        timestep/sign loss bridge — the `train_dreambooth_sd3.py`
+        counterpart run end-to-end."""
+        inst = tmp_path / "inst3"
+        cls = tmp_path / "cls3"
+        inst.mkdir(); cls.mkdir()
+        for i in range(2):
+            Image.new("RGB", (64, 64), (200, 10 * i, 0)).save(inst / f"{i}.png")
+            Image.new("RGB", (64, 64), (0, 200, 10 * i)).save(cls / f"{i}.png")
+
+        from lumina_t2x_tpu import models as m
+        from lumina_t2x_tpu.models.mmdit import MMDiT
+        from lumina_t2x_tpu.pipelines.dreambooth import main
+
+        m.MODELS["MMDiT_SD3_Medium"] = lambda **kw: MMDiT(
+            patch_size=2, in_channels=16, dim=32, n_layers=2, n_heads=2,
+            **{k: v for k, v in kw.items() if k not in ("remat",)})
+        state = main([
+            "--model", "MMDiT_SD3_Medium",
+            "--instance_data_dir", str(inst),
+            "--class_data_dir", str(cls),
+            "--instance_prompt", "a photo of sks dog",
+            "--class_prompt", "a photo of a dog",
+            "--with_prior_preservation",
+            "--resolution", "64",
+            "--max_train_steps", "2",
+            "--precision", "fp32",
+            "--output_dir", str(tmp_path / "out3"),
+        ])
+        assert int(state.step) == 2
+        assert (tmp_path / "out3" / "checkpoints" / "0000002").exists()
+
     def test_prior_flag_requires_class_data(self, tmp_path):
         inst = tmp_path / "inst2"
         inst.mkdir()
