@@ -231,9 +231,21 @@ TRAIN_LEGS = () if SMOKE else (
     dict(model="NextDiT_2B_patch2", image_size=256, batch=16, mode="grad",
          opt="fused", param_dtype="bf16", remat="dots_slim",
          key="train_2b_fwdbwd"),
+    # the flagship recipe SHAPE (VERDICT r4 #4): 2B at 1024px = 4096 tokens,
+    # where the flash bwd kernels/remat/static-max earn their keep
+    # (`lumina_t2i/exps/5B_bs512_lr1e-4_bf16_1024px_sdxlvae.sh` trains
+    # micro-bs 2 @1024). Grad fits the relay's 4096-token compile bound;
+    # the FULL 1024px leg below it is attempted and reports the relay
+    # rejection gracefully if it still exceeds the helper's graph limit.
+    dict(model="NextDiT_2B_patch2", image_size=1024, batch=1, mode="grad",
+         opt="fused", param_dtype="bf16", remat="dots_slim",
+         key="train_2b_1024_fwdbwd"),
     dict(model="NextDiT_2B_patch2", image_size=256, batch=8, mode="full",
          opt="adafactor", param_dtype="bf16", remat="dots_slim",
          key="train_2b_full"),
+    dict(model="NextDiT_2B_patch2", image_size=1024, batch=2, mode="full",
+         opt="adafactor", param_dtype="bf16", remat="dots_slim", microbatch=2,
+         key="train_2b_1024_full"),
     dict(model="NextDiT_ImageNet_600M_patch2", image_size=256, batch=16,
          mode="full", opt="fused", param_dtype="fp32", remat="dots_slim",
          key="train_600m_full"),

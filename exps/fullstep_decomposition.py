@@ -51,6 +51,11 @@ def main():
     p.add_argument("--cap_len", type=int, default=256)
     p.add_argument("--steps", type=int, default=4)
     p.add_argument("--remat_policy", default="dots_slim")
+    p.add_argument("--opt", choices=["fused", "adafactor"], default="fused",
+                   help="adafactor = the 2B-on-one-chip layout (pair with "
+                        "--param_dtype bf16; the optpass leg then includes "
+                        "the stochastic-rounding PRNG cost)")
+    p.add_argument("--param_dtype", choices=["fp32", "bf16"], default="fp32")
     p.add_argument("--legs", nargs="+",
                    default=["grad", "optpass", "opt_guard", "full_nokeep",
                             "full", "full_bf16st"])
@@ -61,9 +66,10 @@ def main():
         FusedAdamWEMA, create_train_state, make_train_step)
     import optax
 
+    pdt = jnp.bfloat16 if args.param_dtype == "bf16" else jnp.float32
     model, batch_data, cond, transport, opt = build(
         args.model, args.image_size, args.batch, args.cap_len,
-        args.remat_policy, jnp.float32, "fused")
+        args.remat_policy, pdt, args.opt)
     class_cond = "ImageNet" in args.model or "MoE" in args.model
     flops = t2i_train_flops_per_image(
         model, args.image_size, 0 if class_cond else args.cap_len) * args.batch
@@ -88,17 +94,24 @@ def main():
 
     # ---- grad: the bench's own fwd+bwd+norm measurement ----------------------
     if "grad" in args.legs:
-        dt, _ = run_grad(args.model, args.image_size, args.batch, args.cap_len,
-                         args.remat_policy, jnp.float32, "fused", args.steps)
-        report("grad", dt)
+        times, _ = run_grad(args.model, args.image_size, args.batch, args.cap_len,
+                            args.remat_policy, pdt, args.opt, args.steps)
+        report("grad", min(times))
 
     # ---- optpass / opt_guard: fused AdamW+EMA alone, donated state -----------
     def make_optpass(with_guard: bool):
         def optpass(st, grads, scale_seed):
             # fold a varying scalar in so the tunnel can't memoize the call
             scale = 1.0 + 0.0 * scale_seed
+            kw = {}
+            if args.opt == "adafactor" and args.param_dtype == "bf16":
+                # include the stochastic-rounding PRNG cost (the shipped
+                # trainer threads an rng for bf16 stores)
+                kw["rng"] = jax.random.fold_in(
+                    jax.random.PRNGKey(17), scale_seed.astype(jnp.int32))
             params, opt_state, ema = opt.step(
-                grads, st.params, st.opt_state, st.ema_params, 0.9999, scale)
+                grads, st.params, st.opt_state, st.ema_params, 0.9999, scale,
+                **kw)
             if with_guard:
                 skipped = scale_seed < 0  # always False at runtime
                 keep = lambda new, old: jax.tree.map(

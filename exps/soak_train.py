@@ -107,6 +107,11 @@ def main():
                         "checkpointing soak fit a session window")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (smoke-test the harness)")
+    p.add_argument("--no_h2d_diet", action="store_true",
+                   help="disable the uint8/bf16 transfer diet (on by default "
+                        "for soaks: 4x smaller h2d bounds the axon relay's "
+                        "per-transfer native leak to ~1/4, so one process "
+                        "sustains ~4x more steps on the same host budget)")
     args = p.parse_args()
 
     from exps.loader_fed_train import make_dataset
@@ -138,6 +143,8 @@ def main():
         train_argv += ["--optimizer", "adafactor", "--param_dtype", "bf16"]
     else:
         train_argv += ["--fused_optimizer"]
+    if not args.no_h2d_diet:
+        train_argv += ["--h2d_diet"]
     # child must run the trainer with the right backend even though
     # sitecustomize pins JAX_PLATFORMS: go through jax.config like the tests
     runner = ("import jax; "

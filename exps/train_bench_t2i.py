@@ -109,13 +109,14 @@ def build(model_name: str, image_size: int, batch: int, cap_len: int,
 
 
 def run_full(model_name, image_size, batch, cap_len, remat_policy, param_dtype,
-             opt_kind, steps):
+             opt_kind, steps, micro_batches=1):
     from lumina_t2x_tpu.pipelines.train_lib import create_train_state, make_train_step
 
     model, batch_data, cond, transport, opt = build(
         model_name, image_size, batch, cap_len, remat_policy, param_dtype, opt_kind)
     state = create_train_state(jax.random.PRNGKey(1), model, batch_data, opt, cond)
-    step = jax.jit(make_train_step(model, transport, opt, cond, grad_clip=2.0),
+    step = jax.jit(make_train_step(model, transport, opt, cond, grad_clip=2.0,
+                                   micro_batches=micro_batches),
                    donate_argnums=(0,))
     state, m = step(state, batch_data, jax.random.PRNGKey(2))
     float(m["loss"])
@@ -128,7 +129,7 @@ def run_full(model_name, image_size, batch, cap_len, remat_policy, param_dtype,
         state, m = step(state, b, jax.random.fold_in(jax.random.PRNGKey(2), i))
         float(m["loss"])  # force real readback through the tunnel
         times.append(time.perf_counter() - t0)
-    return min(times), model
+    return times, model
 
 
 def run_grad(model_name, image_size, batch, cap_len, remat_policy, param_dtype,
@@ -170,7 +171,7 @@ def run_grad(model_name, image_size, batch, cap_len, remat_policy, param_dtype,
                              jax.random.fold_in(jax.random.PRNGKey(5), i))
         float(loss)
         times.append(time.perf_counter() - t0_)
-    return min(times), model
+    return times, model
 
 
 def main():
@@ -186,26 +187,43 @@ def main():
     p.add_argument("--param_dtype", choices=["fp32", "bf16"], default="fp32")
     p.add_argument("--remat_policy", default="dots",
                    choices=["dots", "dots_slim", "full"])
+    p.add_argument("--microbatch", type=int, default=0,
+                   help="micro_batches for the in-graph accumulation scan "
+                        "(full mode; 0/1 = no accumulation). The flagship "
+                        "recipes train micro-bs 2 at 1024px "
+                        "(`lumina_t2i/exps/5B_bs512_..._1024px_sdxlvae.sh`)")
     args = p.parse_args()
     pdt = jnp.bfloat16 if args.param_dtype == "bf16" else jnp.float32
 
     for b in args.batch:
-        runner = run_full if args.mode == "full" else run_grad
         try:
-            dt, model = runner(args.model, args.image_size, b, args.cap_len,
-                               args.remat_policy, pdt, args.opt, args.steps)
+            if args.mode == "full":
+                times, model = run_full(args.model, args.image_size, b,
+                                        args.cap_len, args.remat_policy, pdt,
+                                        args.opt, args.steps,
+                                        micro_batches=max(args.microbatch, 1))
+            else:
+                times, model = run_grad(args.model, args.image_size, b,
+                                        args.cap_len, args.remat_policy, pdt,
+                                        args.opt, args.steps)
         except Exception as e:  # OOM legs report and continue
             print(json.dumps({"model": args.model, "batch": b, "mode": args.mode,
                               "error": str(e)[:200]}))
             continue
+        dt = min(times)
         class_cond = "ImageNet" in args.model or "MoE" in args.model
         flops = t2i_train_flops_per_image(
             model, args.image_size, 0 if class_cond else args.cap_len) * b
         tf = flops / dt / 1e12
+        import statistics
+
         print(json.dumps({
             "model": args.model, "image_size": args.image_size, "batch": b,
             "mode": args.mode, "opt": args.opt, "param_dtype": args.param_dtype,
-            "remat": args.remat_policy, "ms_per_step": round(dt * 1000, 1),
+            "remat": args.remat_policy, "microbatch": args.microbatch,
+            "ms_per_step": round(dt * 1000, 1),
+            "ms_per_step_median": round(statistics.median(times) * 1000, 1),
+            "spread_pct": round((max(times) - dt) / dt * 100, 2),
             "imgs_per_sec": round(b / dt, 2), "tflops_per_sec": round(tf, 1),
             "mfu_vs_197tf": round(tf / V5E_PEAK_TFLOPS, 3),
         }))

@@ -12,7 +12,11 @@ Kernel structure (one compiled program per shape bucket):
   semantics — sequential, carries the online-softmax state);
 - online softmax with a running max in float32 VMEM scratch; the softmax
   denominator is folded into the PV matmul as an all-ones column of V
-  (`_flash_kernel_fused_sum`) so the VPU row-sum pass disappears;
+  (`_flash_kernel_fused_sum`) so the VPU row-sum pass disappears — at <= 2
+  batch rows only, where XLA aliases the ones-concat for free; at >= 3 rows
+  the kernels compute the denominator as an in-kernel VPU row-sum instead
+  (`_denom_fused_ones`), because the materialized concat costs ~75 MB of
+  HBM per layer at 2B/4k (the former B>1 per-sample regression);
 - Sk <= 1024 dispatches to a single-pass whole-KV kernel with no online
   state (`_flash_small_kv_kernel`) — caption cross-attention and the
   1-D audio models live here;
@@ -60,7 +64,8 @@ _NEG_INF = -2.3819763e38  # most-negative bf16-representable float32
 
 
 def _flash_kernel_static_max(mask_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, *,
-                             scale, d: int, static_max: float):
+                             scale, d: int, static_max: float,
+                             fused_ones: bool = True):
     """Fused-sum forward with a FIXED softmax max bound instead of the online
     running max — removes the only remaining full VPU reduction pass over the
     logits (~1 ms/layer at 2B 4k-token shapes). Opt-in via
@@ -90,6 +95,8 @@ def _flash_kernel_static_max(mask_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, *,
     p = jnp.exp(jnp.minimum(s - static_max, 55.0))
     pv = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
+    if not fused_ones:  # rows >= 3: denominator via VPU row-sum (see _fused_sum_step)
+        pv = jnp.concatenate([pv, jnp.sum(p, axis=-1, keepdims=True)], axis=-1)
     acc_ref[:] = acc_ref[:] + pv
 
     @pl.when(ki == nk - 1)
@@ -173,15 +180,27 @@ def flash_lse_range(q, k, v, kv_mask=None, scale=None):
     return jnp.stack([jnp.max(rows), jnp.min(rows)])
 
 
-def _fused_sum_step(mask_ref, q_ref, k_ref, v_ref, m_ref, acc_ref, *, scale):
-    """One online-softmax step with the denominator folded into the PV
-    matmul: V carries an extra all-ones column, so `acc[:, d]` accumulates
-    `sum_k p` on the MXU and the separate VPU row-sum pass disappears
-    (measured ~0.5 ms/layer at 2B 4k-token shapes). Numerator and denominator
-    share the same bf16-rounded `p`, which is also more self-consistent than
-    summing a separate f32 copy. Shared by the inference
-    (`_flash_kernel_fused_sum`) and residual (`_flash_kernel_res`) kernels;
-    the variants differ only in their finalize blocks."""
+def _fused_sum_step(mask_ref, q_ref, k_ref, v_ref, m_ref, acc_ref, *, scale,
+                    fused_ones: bool = True):
+    """One online-softmax step accumulating output AND denominator in
+    `acc_ref` ((block_q, d+1); col d is `sum_k p`). Two denominator modes:
+
+    - `fused_ones=True` (rows <= 2): V carries an extra all-ones column, so
+      the denominator rides the PV matmul on the MXU and the separate VPU
+      row-sum pass disappears (measured ~0.5 ms/layer at 2B 4k-token
+      shapes). Numerator and denominator share the same bf16-rounded `p`.
+    - `fused_ones=False` (rows >= 3): V keeps its natural d columns and the
+      denominator is a VPU row-sum of the f32 `p`. Why: at >= 3 batch rows
+      XLA stops aliasing the wrapper's ones-column concatenate as a free
+      ConcatBitcast and materializes a bf16 (B, H, Sk, d+1) copy (~75 MB of
+      HBM write+read PER LAYER at 2B/4k/B4 — the B>1 per-sample regression
+      mechanism, `exps/artifacts/b1b2_hlo/`); the in-kernel row-sum costs
+      one extra VPU pass over logits already resident in registers, far
+      below the copy.
+
+    Shared by the inference (`_flash_kernel_fused_sum`) and residual
+    (`_flash_kernel_res`) kernels; the variants differ only in their
+    finalize blocks."""
     ki = pl.program_id(3)
 
     @pl.when(ki == 0)
@@ -201,13 +220,16 @@ def _fused_sum_step(mask_ref, q_ref, k_ref, v_ref, m_ref, acc_ref, *, scale):
     m_ref[:] = jnp.broadcast_to(m_next, m_ref.shape)
     pv = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
+    if not fused_ones:
+        pv = jnp.concatenate([pv, jnp.sum(p, axis=-1, keepdims=True)], axis=-1)
     acc_ref[:] = acc_ref[:] * alpha + pv
 
 
 def _flash_kernel_fused_sum(mask_ref, q_ref, k_ref, v_ref, o_ref, m_ref, acc_ref, *,
-                            scale, d: int):
+                            scale, d: int, fused_ones: bool = True):
     """Inference forward: fused-sum online softmax (see _fused_sum_step)."""
-    _fused_sum_step(mask_ref, q_ref, k_ref, v_ref, m_ref, acc_ref, scale=scale)
+    _fused_sum_step(mask_ref, q_ref, k_ref, v_ref, m_ref, acc_ref, scale=scale,
+                    fused_ones=fused_ones)
 
     @pl.when(pl.program_id(3) == pl.num_programs(3) - 1)
     def _finalize():
@@ -293,10 +315,28 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _denom_fused_ones(b: int) -> bool:
+    """Denominator mode for the streaming forward kernels. Default: the
+    ones-column MXU trick at <= 2 batch rows (where XLA aliases the concat
+    for free) and the in-kernel VPU row-sum at >= 3 rows (where the concat
+    materializes a ~75 MB/layer HBM copy at 2B/4k — the B>1 per-sample
+    regression, `exps/artifacts/b1b2_hlo/`). LUMINA_FLASH_DENOM=ones|rowsum
+    pins either mode for sweeps."""
+    import os
+
+    mode = os.environ.get("LUMINA_FLASH_DENOM", "auto")
+    if mode == "ones":
+        return True
+    if mode == "rowsum":
+        return False
+    return b <= 2
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("scale", "block_q", "block_k", "static_max"))
+                   static_argnames=("scale", "block_q", "block_k", "static_max",
+                                    "fused_ones"))
 def _flash_attention_fwd_impl(q, k, v, kv_mask, scale, block_q, block_k,
-                              static_max=None):
+                              static_max=None, fused_ones=None):
     """q: (B, Sq, Hq, D); k/v: (B, Sk, Hkv, D); kv_mask: (B, Sk) int32.
 
     `static_max` selects the fixed-bound kernel; like block_q/block_k it is
@@ -304,10 +344,15 @@ def _flash_attention_fwd_impl(q, k, v, kv_mask, scale, block_q, block_k,
     so it participates in the jit cache key. Note _flash_attention itself is
     normally traced inside the caller's outer jit, so the env is only
     re-read when THAT jit retraces — an already-compiled sampler/train step
-    does not see a mid-process env change."""
+    does not see a mid-process env change. `fused_ones` (static, part of the
+    cache key) pins the denominator mode; None derives it from the batch
+    rows + env (`_denom_fused_ones` — an env flip at the SAME rows count
+    needs the explicit arg or a fresh process to escape the jit cache)."""
     b, sq, hq, d = q.shape
     _, sk, hkv, _ = k.shape
     rep = hq // hkv
+    if fused_ones is None:
+        fused_ones = _denom_fused_ones(b)
 
     sq_p = _round_up(sq, block_q)
     sk_p = _round_up(sk, block_k)
@@ -319,9 +364,11 @@ def _flash_attention_fwd_impl(q, k, v, kv_mask, scale, block_q, block_k,
     # (B, 1, Sk): the dummy middle dim keeps the Mosaic block shape legal
     # (second-to-last block dim == full array dim).
     mask = jnp.pad(kv_mask.astype(jnp.int32), ((0, 0), (0, sk_p - sk)))[:, None, :]
-    # ones column for the fused denominator (see _flash_kernel_fused_sum);
-    # XLA fuses the concat into the transpose/pad copy above.
-    vt = jnp.concatenate([vt, jnp.ones((b, hkv, sk_p, 1), vt.dtype)], axis=-1)
+    if fused_ones:
+        # ones column for the fused denominator (see _fused_sum_step); at
+        # b <= 2 XLA aliases this concat into the transpose/pad copy above.
+        vt = jnp.concatenate([vt, jnp.ones((b, hkv, sk_p, 1), vt.dtype)], axis=-1)
+    vd = d + 1 if fused_ones else d
 
     grid = (b, hq, sq_p // block_q, sk_p // block_k)
 
@@ -331,10 +378,11 @@ def _flash_attention_fwd_impl(q, k, v, kv_mask, scale, block_q, block_k,
 
     if static_max is not None:
         kernel = functools.partial(_flash_kernel_static_max, scale=scale, d=d,
-                                   static_max=static_max)
+                                   static_max=static_max, fused_ones=fused_ones)
         scratch = [pltpu.VMEM((block_q, d + 1), jnp.float32)]  # acc + denom col
     else:
-        kernel = functools.partial(_flash_kernel_fused_sum, scale=scale, d=d)
+        kernel = functools.partial(_flash_kernel_fused_sum, scale=scale, d=d,
+                                   fused_ones=fused_ones)
         scratch = [
             pltpu.VMEM((block_q, 128), jnp.float32),  # running max
             pltpu.VMEM((block_q, d + 1), jnp.float32),  # output accumulator + denom col
@@ -354,7 +402,7 @@ def _flash_attention_fwd_impl(q, k, v, kv_mask, scale, block_q, block_k,
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, block_k, d + 1),
+                (1, 1, block_k, vd),
                 lambda bi, hi, qi, ki: (bi, hi // rep, ki, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -380,11 +428,12 @@ def _flash_attention_fwd_impl(q, k, v, kv_mask, scale, block_q, block_k,
 
 
 def _flash_kernel_res(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref,
-                      acc_ref, *, scale, d):
+                      acc_ref, *, scale, d, fused_ones: bool = True):
     """Forward + log-sum-exp residual (lane-replicated to width 128). The
-    denominator rides the fused ones-column of V (see _fused_sum_step)
-    and doubles as the LSE source at finalize."""
-    _fused_sum_step(mask_ref, q_ref, k_ref, v_ref, m_ref, acc_ref, scale=scale)
+    denominator rides the fused ones-column of V or an in-kernel row-sum
+    (see _fused_sum_step) and doubles as the LSE source at finalize."""
+    _fused_sum_step(mask_ref, q_ref, k_ref, v_ref, m_ref, acc_ref, scale=scale,
+                    fused_ones=fused_ones)
 
     @pl.when(pl.program_id(3) == pl.num_programs(3) - 1)
     def _finalize():
@@ -395,7 +444,8 @@ def _flash_kernel_res(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref,
 
 
 def _flash_kernel_res_static_max(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
-                                 acc_ref, *, scale, d, static_max: float):
+                                 acc_ref, *, scale, d, static_max: float,
+                                 fused_ones: bool = True):
     """Forward + LSE residual with the FIXED softmax bound (training-side
     counterpart of `_flash_kernel_static_max`): drops the online running-max
     scratch and its per-block rescale. The LSE stays EXACT within the
@@ -417,6 +467,8 @@ def _flash_kernel_res_static_max(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
     p = jnp.exp(jnp.minimum(s - static_max, 55.0))  # clamp: see static_max kernel
     pv = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
+    if not fused_ones:  # rows >= 3: denominator via VPU row-sum (see _fused_sum_step)
+        pv = jnp.concatenate([pv, jnp.sum(p, axis=-1, keepdims=True)], axis=-1)
     acc_ref[:] = acc_ref[:] + pv
 
     @pl.when(ki == pl.num_programs(3) - 1)
@@ -428,13 +480,15 @@ def _flash_kernel_res_static_max(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k",
-                                             "static_max"))
+                                             "static_max", "fused_ones"))
 def _flash_fwd_res_impl(q, k, v, kv_mask, scale, block_q, block_k,
-                        static_max=None):
+                        static_max=None, fused_ones=None):
     """Forward returning (out, lse) for the backward pass."""
     b, sq, hq, d = q.shape
     _, sk, hkv, _ = k.shape
     rep = hq // hkv
+    if fused_ones is None:
+        fused_ones = _denom_fused_ones(b)
     sq_p = _round_up(sq, block_q)
     sk_p = _round_up(sk, block_k)
 
@@ -442,18 +496,22 @@ def _flash_fwd_res_impl(q, k, v, kv_mask, scale, block_q, block_k,
     kt = jnp.pad(k.transpose(0, 2, 1, 3), ((0, 0), (0, 0), (0, sk_p - sk), (0, 0)))
     vt = jnp.pad(v.transpose(0, 2, 1, 3), ((0, 0), (0, 0), (0, sk_p - sk), (0, 0)))
     mask = jnp.pad(kv_mask.astype(jnp.int32), ((0, 0), (0, sk_p - sk)))[:, None, :]
-    # ones column for the fused denominator/LSE (see _flash_kernel_res)
-    vt = jnp.concatenate([vt, jnp.ones((b, hkv, sk_p, 1), vt.dtype)], axis=-1)
+    if fused_ones:
+        # ones column for the fused denominator/LSE (see _flash_kernel_res)
+        vt = jnp.concatenate([vt, jnp.ones((b, hkv, sk_p, 1), vt.dtype)], axis=-1)
+    vd = d + 1 if fused_ones else d
 
     grid = (b, hq, sq_p // block_q, sk_p // block_k)
     interpret = jax.default_backend() == "cpu"
 
     if static_max is not None:
         kernel = functools.partial(_flash_kernel_res_static_max, scale=scale,
-                                   d=d, static_max=static_max)
+                                   d=d, static_max=static_max,
+                                   fused_ones=fused_ones)
         scratch = [pltpu.VMEM((block_q, d + 1), jnp.float32)]  # acc + denom col
     else:
-        kernel = functools.partial(_flash_kernel_res, scale=scale, d=d)
+        kernel = functools.partial(_flash_kernel_res, scale=scale, d=d,
+                                   fused_ones=fused_ones)
         scratch = [
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, d + 1), jnp.float32),
@@ -469,7 +527,7 @@ def _flash_fwd_res_impl(q, k, v, kv_mask, scale, block_q, block_k,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi // rep, ki, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_k, d + 1), lambda bi, hi, qi, ki: (bi, hi // rep, ki, 0),
+            pl.BlockSpec((1, 1, block_k, vd), lambda bi, hi, qi, ki: (bi, hi // rep, ki, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(

@@ -26,9 +26,26 @@ AXIS_MODEL = "model"
 def distributed_init():
     """Multi-host bootstrap: the analogue of `distributed_init(args)`
     (`parallel.py:42-52`). Single-process environments are a no-op (the
-    reference's world_size=1 "fake distributed" mode, `demo.py:84-87`)."""
-    if "JAX_COORDINATOR_ADDRESS" in os.environ or "MEGASCALE_COORDINATOR_ADDRESS" in os.environ:
+    reference's world_size=1 "fake distributed" mode, `demo.py:84-87`).
+
+    TPU pods / managed clusters set MEGASCALE_COORDINATOR_ADDRESS (or jax's
+    own cluster autodetect applies) — bare `initialize()` handles those.
+    Manual launches (incl. the 2-process CPU dryrun,
+    `__graft_entry__.dryrun_multiprocess`) set JAX_COORDINATOR_ADDRESS +
+    JAX_NUM_PROCESSES + JAX_PROCESS_ID explicitly, mirroring torchrun's
+    MASTER_ADDR/WORLD_SIZE/RANK contract the reference relies on
+    (`parallel.py:12-47`)."""
+    if "MEGASCALE_COORDINATOR_ADDRESS" in os.environ:
         jax.distributed.initialize()
+        return
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not addr:
+        return
+    kwargs = {}
+    if "JAX_NUM_PROCESSES" in os.environ:
+        kwargs = dict(num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                      process_id=int(os.environ["JAX_PROCESS_ID"]))
+    jax.distributed.initialize(coordinator_address=addr, **kwargs)
 
 
 def create_mesh(

@@ -191,3 +191,38 @@ class TestT2IYamlTraining:
             "--cap_feat_dim", "16",
         ])
         assert int(state.step) == 2
+        # --h2d_diet: the same run with quantized transfer (uint8 images +
+        # bf16 caption features, de-quantized in-graph) trains identically
+        state = main([
+            "--model", "NextDiT_2B_patch2",
+            "--data_path", str(cfg),
+            "--results_dir", str(tmp_path / "results_diet"),
+            "--image_size", "256",
+            "--global_batch_size", "8",
+            "--max_steps", "2",
+            "--log_every", "1",
+            "--ckpt_every", "2",
+            "--precision", "fp32",
+            "--cap_feat_dim", "16",
+            "--h2d_diet",
+        ])
+        assert int(state.step) == 2
+
+    def test_h2d_diet_roundtrip_exact(self):
+        """The uint8 quantization is the exact inverse of the decoder's
+        u/127.5-1 normalize — no image information is lost on the wire."""
+        import ml_dtypes
+
+        from lumina_t2x_tpu.pipelines.train import apply_h2d_diet
+
+        u = np.random.RandomState(0).randint(0, 256, (2, 3, 16, 16)).astype(np.uint8)
+        x = u.astype(np.float32) / 127.5 - 1.0  # native_loader/imgproc normalize
+        cap = np.random.RandomState(1).randn(2, 8, 16).astype(np.float32)
+        out = apply_h2d_diet({"x": x, "cap_feats": cap,
+                              "cap_mask": np.ones((2, 8), np.int32)})
+        np.testing.assert_array_equal(out["x"], u)
+        assert out["cap_feats"].dtype == ml_dtypes.bfloat16
+        assert out["cap_mask"].dtype == np.int32
+        # payload: 4x smaller images, 2x smaller caption features
+        assert out["x"].nbytes * 4 == x.nbytes
+        assert out["cap_feats"].nbytes * 2 == cap.nbytes

@@ -494,6 +494,50 @@ class TestFlashKernelDispatch:
         monkeypatch.setenv("LUMINA_FLASH_STATIC_MAX", "8.0")
         assert fa._static_max_bound() == 8.0
 
+    @pytest.mark.parametrize("static_max", [None, 8.0])
+    def test_rowsum_denominator_matches_ones(self, monkeypatch, static_max):
+        """At >= 3 batch rows the kernels switch to the in-kernel VPU
+        row-sum denominator (no V ones-column concat — the B>1 regression
+        fix); both modes and both kernel families must agree with sdpa and
+        with each other."""
+        import importlib
+
+        fa = importlib.import_module("lumina_t2x_tpu.ops.flash_attention")
+        b = 4
+        q = jax.random.normal(jax.random.PRNGKey(0), (b, 640, 2, 16))
+        k = jax.random.normal(jax.random.PRNGKey(1), (b, 640, 2, 16))
+        v = jax.random.normal(jax.random.PRNGKey(2), (b, 640, 2, 16))
+        mask = jnp.ones((b, 640), jnp.int32).at[:, 600:].set(0)
+
+        assert fa._denom_fused_ones(2) and not fa._denom_fused_ones(4)
+        monkeypatch.setenv("LUMINA_FLASH_DENOM", "ones")
+        assert fa._denom_fused_ones(4)
+        monkeypatch.setenv("LUMINA_FLASH_DENOM", "rowsum")
+        assert not fa._denom_fused_ones(1)
+        monkeypatch.delenv("LUMINA_FLASH_DENOM")
+        # explicit static fused_ones: part of the jit cache key, so both
+        # modes genuinely execute in one process
+        ones = fa._flash_attention_fwd_impl(q, k, v, mask, 0.25, 128, 128,
+                                            static_max=static_max,
+                                            fused_ones=True)
+        rowsum = fa._flash_attention_fwd_impl(q, k, v, mask, 0.25, 128, 128,
+                                              static_max=static_max,
+                                              fused_ones=False)
+        np.testing.assert_allclose(np.asarray(rowsum), np.asarray(ones),
+                                   atol=2e-3)
+        ref = sdpa(q, k, v, kv_mask=mask, scale=0.25)
+        np.testing.assert_allclose(np.asarray(rowsum), np.asarray(ref), atol=2e-3)
+
+        # residual family: out AND lse agree between modes
+        o1, l1 = fa._flash_fwd_res_impl(q, k, v, mask, 0.25, 128, 128,
+                                        static_max=static_max, fused_ones=True)
+        o2, l2 = fa._flash_fwd_res_impl(q, k, v, mask, 0.25, 128, 128,
+                                        static_max=static_max, fused_ones=False)
+        np.testing.assert_allclose(np.asarray(o2), np.asarray(o1), atol=2e-3)
+        np.testing.assert_allclose(np.asarray(l2[:, :, :640, 0]),
+                                   np.asarray(l1[:, :, :640, 0]),
+                                   atol=2e-3, rtol=1e-4)
+
 
 class TestFlashCrossAttention:
     """Sq != Sk (caption cross-attention shapes) through the Pallas kernel."""

@@ -218,3 +218,35 @@ class TestGlobalBatch:
         out = form_global_batch(mesh, batch)
         assert out["x"].sharding.spec == P(AXIS_DATA)
         np.testing.assert_array_equal(np.asarray(out["y"]), np.arange(8))
+
+
+class TestDistributedInit:
+    def test_env_contract(self, monkeypatch):
+        """`distributed_init` passes the manual JAX_COORDINATOR_ADDRESS /
+        JAX_NUM_PROCESSES / JAX_PROCESS_ID contract through to
+        `jax.distributed.initialize` (the torchrun MASTER_ADDR/WORLD_SIZE/
+        RANK analogue, ref `parallel.py:12-47`); no env -> no-op. The real
+        2-process execution lives in exps/multiprocess_dryrun.py (slow
+        test)."""
+        from lumina_t2x_tpu.parallel import mesh as mesh_mod
+
+        calls = []
+        monkeypatch.setattr(mesh_mod.jax.distributed, "initialize",
+                            lambda *a, **kw: calls.append((a, kw)))
+        for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                    "JAX_PROCESS_ID", "MEGASCALE_COORDINATOR_ADDRESS"):
+            monkeypatch.delenv(var, raising=False)
+        mesh_mod.distributed_init()
+        assert calls == []  # single-process: no-op
+
+        monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "localhost:1234")
+        monkeypatch.setenv("JAX_NUM_PROCESSES", "2")
+        monkeypatch.setenv("JAX_PROCESS_ID", "1")
+        mesh_mod.distributed_init()
+        assert calls == [((), {"coordinator_address": "localhost:1234",
+                               "num_processes": 2, "process_id": 1})]
+
+        calls.clear()
+        monkeypatch.setenv("MEGASCALE_COORDINATOR_ADDRESS", "pod:8476")
+        mesh_mod.distributed_init()
+        assert calls == [((), {})]  # managed cluster: bare initialize()
