@@ -77,7 +77,7 @@ BATCH4_TIMEOUT_S = int(os.environ.get("LUMINA_BENCH_BATCH4_TIMEOUT", "300"))
 # the remaining budget and prints `# skipped (deadline)` instead of starting
 # a leg it cannot finish. Default is set well inside the driver's budget so
 # the artifact always ends rc=0 with a parsed headline (VERDICT r4 #1).
-BENCH_DEADLINE_S = float(os.environ.get("LUMINA_BENCH_DEADLINE", "1320"))
+BENCH_DEADLINE_S = float(os.environ.get("LUMINA_BENCH_DEADLINE", "1500"))
 _BENCH_T0 = time.monotonic()
 
 
@@ -243,12 +243,15 @@ TRAIN_LEGS = () if SMOKE else (
     dict(model="NextDiT_2B_patch2", image_size=256, batch=8, mode="full",
          opt="adafactor", param_dtype="bf16", remat="dots_slim",
          key="train_2b_full"),
-    dict(model="NextDiT_2B_patch2", image_size=1024, batch=2, mode="full",
-         opt="adafactor", param_dtype="bf16", remat="dots_slim", microbatch=2,
-         key="train_2b_1024_full"),
     dict(model="NextDiT_ImageNet_600M_patch2", image_size=256, batch=16,
          mode="full", opt="fused", param_dtype="fp32", remat="dots_slim",
          key="train_600m_full"),
+    # LAST: expected to hit the relay compile-helper's graph bound (2B FULL
+    # tops out at 2048 tokens; this is 4096) — keep its failure from
+    # starving the legs above of deadline budget.
+    dict(model="NextDiT_2B_patch2", image_size=1024, batch=2, mode="full",
+         opt="adafactor", param_dtype="bf16", remat="dots_slim", microbatch=2,
+         key="train_2b_1024_full"),
 )
 
 

@@ -123,9 +123,17 @@ def main():
                               opt_state=opt_state, ema_params=ema)
         return jax.jit(optpass, donate_argnums=(0,))
 
-    for name, guard in (("optpass", False), ("opt_guard", True)):
+    for name, guard in (("optpass", False), ("opt_guard", True),
+                        ("optpass_nosr", False), ("optpass_rbg", False)):
         if name not in args.legs:
             continue
+        if name == "optpass_nosr":
+            # isolate the stochastic-rounding PRNG: same pass, round-to-nearest
+            from lumina_t2x_tpu.pipelines.train_lib import FusedAdafactorEMA
+            opt = FusedAdafactorEMA(5e-4, stochastic_rounding=False)
+        elif name == "optpass_rbg":
+            # hardware RngBitGenerator noise instead of threefry
+            os.environ["LUMINA_SR_PRNG"] = "rbg"
         st = fresh_state()
         # synthetic grads: the optimizer pass is value-independent arithmetic
         leaves, treedef = jax.tree.flatten(st.params)

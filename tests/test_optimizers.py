@@ -122,6 +122,26 @@ class TestStochasticRounding:
         assert 0.20 < frac_up < 0.30  # 4096 draws: ~6 sigma bounds
         np.testing.assert_allclose(vals.mean(), 1.0 + 0.25 * ulp, atol=ulp / 50)
 
+    def test_alternate_prng_impls(self, monkeypatch):
+        """The default noise source is the fused murmur3 hash (free on the 2B
+        optimizer pass — threefry/rbg cost +57/+47 ms there materializing
+        noise operands); `threefry` and `rbg` stay selectable. All impls must
+        give exactness on representable values and unbiasedness between
+        neighbors."""
+        ulp = 2.0 ** -7
+        for impl in ("rbg", "threefry"):
+            monkeypatch.setenv("LUMINA_SR_PRNG", impl)
+            x = jnp.asarray([1.0, -2.5, 0.0, 0.15625], jnp.float32)
+            out = _stochastic_round_bf16(x, jax.random.PRNGKey(3))
+            np.testing.assert_array_equal(np.asarray(out, np.float32),
+                                          np.asarray(x))
+            xm = jnp.full((4096,), 1.0 + 0.25 * ulp, jnp.float32)
+            vals = np.asarray(
+                _stochastic_round_bf16(xm, jax.random.PRNGKey(0)), np.float32)
+            assert set(np.unique(vals)) <= {np.float32(1.0),
+                                            np.float32(1.0 + ulp)}
+            assert 0.20 < float((vals == np.float32(1.0 + ulp)).mean()) < 0.30
+
     def test_sub_ulp_accumulation_survives(self):
         """The reason SR exists: adding 1/16 ulp 1024 times to a bf16
         accumulator must advance it (~64 ulps in expectation); round-to-
