@@ -44,9 +44,8 @@ import jax.numpy as jnp
 
 # persistent compilation cache: repeated bench runs skip the (slow) Mosaic
 # compile of the flash kernels
-os.makedirs("/tmp/lumina_jax_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/tmp/lumina_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from lumina_t2x_tpu.core.logging import enable_compile_cache
+enable_compile_cache()
 
 A100_REFERENCE_SAMPLES_PER_SEC = 0.046
 V5E_CEILING_VS_BASELINE = 1.58  # 197/312/0.40: 100%-MFU v5e vs the denominator

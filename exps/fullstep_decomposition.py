@@ -38,9 +38,8 @@ import jax
 import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.makedirs("/tmp/lumina_jax_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/tmp/lumina_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from lumina_t2x_tpu.core.logging import enable_compile_cache
+enable_compile_cache()
 
 
 def main():

@@ -112,11 +112,39 @@ class ProfilerSession:
         return False
 
 
-def enable_compile_cache(path: str = "/tmp/lumina_jax_cache"):
+def default_compile_cache_dir() -> str:
+    """Durable location for the persistent XLA compilation cache.
+
+    Order: LUMINA_JAX_CACHE_DIR env override; a `.jax_cache/` directory next
+    to the repo checkout (survives host restarts — /tmp does not, which is
+    how a warmed cache was lost between bench runs); /tmp fallback when the
+    package is installed somewhere read-only.
+    """
+    env = os.environ.get("LUMINA_JAX_CACHE_DIR")
+    if env:
+        return env
+    # core/logging.py -> core -> lumina_t2x_tpu -> repo root
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    cand = os.path.join(repo, ".jax_cache")
+    try:
+        os.makedirs(cand, exist_ok=True)
+        probe = os.path.join(cand, ".writable")
+        with open(probe, "w"):
+            pass
+        os.remove(probe)
+        return cand
+    except OSError:
+        return "/tmp/lumina_jax_cache"
+
+
+def enable_compile_cache(path: str | None = None):
     """Persistent XLA compilation cache — first compile of a large graph
     through a remote-compile path can take minutes; subsequent process
     launches reuse it. Call before the first jit execution."""
     import jax
 
+    path = path or default_compile_cache_dir()
+    os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
