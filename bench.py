@@ -66,10 +66,11 @@ BEST_BATCH_CANDIDATES = (4, 2)
 CHUNK_INTERVALS_FROM_BATCH = 3  # chunk the trajectory at this batch and up
 # Per-leg subprocess timeout. r4 lesson (BENCH_r04.json rc=124): two cold
 # batch legs at 480s each burned 960s and the driver killed the whole bench
-# before the headline record ever printed. 300s still covers a warm-cache
-# leg (~2 min) while two cold failures cost at most 600s — and the global
-# deadline below cuts optional legs long before that matters.
-BATCH4_TIMEOUT_S = int(os.environ.get("LUMINA_BENCH_BATCH4_TIMEOUT", "300"))
+# before the headline record ever printed. A WARM batch-4 leg is ~300s of
+# wall (startup + calibration + compile-check + 3 x ~70s timed trajectories),
+# so the cap sits at 420s; the early-emitted headline plus the global
+# deadline below keep even two cold failures from destroying the artifact.
+BATCH4_TIMEOUT_S = int(os.environ.get("LUMINA_BENCH_BATCH4_TIMEOUT", "420"))
 
 # Global wall-clock deadline for the WHOLE bench run. The batch-1 headline
 # leg always runs; every optional leg (batch scaling, training) first checks
@@ -175,7 +176,13 @@ def measure(model, variables, batch: int, rng, runs: int = 3,
             float(jnp.sum(out[:, 0, 0, 0]))
             return out
 
-        run_once(rng)  # compile (two programs: full-size + remainder slice)
+        # compile-check both programs (full-size + remainder slice) WITHOUT
+        # paying a full ~70s warmup trajectory: the timed runs below follow
+        # immediately and the 420s leg cap stays honest
+        z0 = init_fn(rng, cap)
+        z0 = chunk_jit(variables, z0, slices[0], cap, mask)
+        z0 = chunk_jit(variables, z0, slices[-1], cap, mask)
+        float(jnp.sum(finalize(z0)[:, 0, 0, 0]))
         times = []
         for i in range(runs):
             t0 = time.perf_counter()

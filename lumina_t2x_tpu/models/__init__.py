@@ -32,6 +32,8 @@ from .moe import (
 )
 from .next_dit_imagenet import (
     NextDiTImageNet,
+    NextDiT_ImageNet_Tiny_patch2,
+    NextDiT_ImageNet_Small_patch2,
     NextDiT_ImageNet_600M_patch2,
     NextDiT_ImageNet_2B_patch2,
     NextDiT_ImageNet_3B_patch2,
@@ -46,6 +48,8 @@ MODELS = {
     "NextDiT_Tiny_patch2": NextDiT_Tiny_patch2,  # debug/smoke only
     "DiT_Llama_5B_patch2": FlagDiT_5B_patch2,
     # class-conditional ImageNet
+    "NextDiT_ImageNet_Tiny_patch2": NextDiT_ImageNet_Tiny_patch2,  # debug/smoke only
+    "NextDiT_ImageNet_Small_patch2": NextDiT_ImageNet_Small_patch2,  # quality demo
     "NextDiT_ImageNet_600M_patch2": NextDiT_ImageNet_600M_patch2,
     "NextDiT_ImageNet_2B_patch2": NextDiT_ImageNet_2B_patch2,
     "NextDiT_ImageNet_3B_patch2": NextDiT_ImageNet_3B_patch2,

@@ -208,6 +208,21 @@ def forward_with_cfg(model, variables, x, t, y, cfg_scale, num_cfg_channels: int
 # -- configs (`models.py:1042-1055`) ----------------------------------------
 
 
+def NextDiT_ImageNet_Tiny_patch2(**kwargs):
+    """~1M-param debug config (no reference analogue): CLI smoke tests and
+    CPU drives of the class-cond pipelines."""
+    return NextDiTImageNet(patch_size=2, dim=64, n_layers=2, n_heads=4,
+                           multiple_of=16, **kwargs)
+
+
+def NextDiT_ImageNet_Small_patch2(**kwargs):
+    """~25M-param config (no reference analogue): the in-environment quality
+    demonstration — small enough to train from scratch to convergence on
+    procedural pixel-space data (`data/shapes.py`) in minutes on one chip."""
+    return NextDiTImageNet(patch_size=2, dim=384, n_layers=8, n_heads=8,
+                           multiple_of=64, **kwargs)
+
+
 def NextDiT_ImageNet_600M_patch2(**kwargs):
     return NextDiTImageNet(patch_size=2, dim=1536, n_layers=16, n_heads=32, **kwargs)
 

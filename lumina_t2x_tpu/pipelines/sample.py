@@ -57,6 +57,13 @@ def parse_args(argv=None):
                         "required for 5B/7B single-chip inference)")
     p.add_argument("--vae", type=str, choices=["ema", "mse", "sdxl", "sd3"], default="ema")
     p.add_argument("--vae_ckpt", type=str, default=None)
+    p.add_argument("--pixel_space", action="store_true",
+                   help="the model denoises RGB pixels directly (a "
+                        "--pixel_space-trained checkpoint): outputs are PNGs, "
+                        "no VAE; auto-detected from the checkpoint's model_args")
+    p.add_argument("--num_classes", type=int, default=None,
+                   help="class-cond label-embedding size (auto-detected from "
+                        "the checkpoint's model_args)")
     p.add_argument("--text_encoder", type=str, default=None, help="HF path of the caption LM")
     p.add_argument("--cap_feat_dim", type=int, default=None,
                    help="caption feature width (2048 Gemma-2B, 4096 LLaMA-2-7B); "
@@ -118,8 +125,16 @@ def main(argv=None):
         args.model = train_args.get("model", args.model)
 
     is_class_cond = args.labels is not None or "ImageNet" in args.model or "MoE" in args.model
+    if train_args.get("pixel_space"):
+        args.pixel_space = True
+    if args.num_classes is None and train_args.get("num_classes") is not None:
+        args.num_classes = int(train_args["num_classes"])
 
     model_kwargs = dict(qk_norm=args.qk_norm, dtype=dtype)
+    if args.pixel_space:
+        model_kwargs["in_channels"] = 3
+    if is_class_cond and args.num_classes is not None:
+        model_kwargs["num_classes"] = args.num_classes
     if args.bf16_params:
         # store params in bf16 (release-checkpoint layout): halves param HBM,
         # which is what lets the 5B/7B configs run inference on one chip
@@ -143,9 +158,10 @@ def main(argv=None):
     if is_class_cond:
         labels = [int(x) for x in (args.labels or "207,360,387,974").split(",")]
         cat, w, h = parse_resolution(args.resolution[0])
-        latent = w // 8
+        latent = w if args.pixel_space else w // 8
+        chans = 3 if args.pixel_space else 4
         y = jnp.asarray(labels, jnp.int32)
-        x_init = jnp.zeros((1, 4, latent, latent))
+        x_init = jnp.zeros((1, chans, latent, latent))
         t0 = jnp.zeros((1,))
         # keyword y: class-cond FlagDiT shares the text signature where the
         # third positional slot is cap_feats (see imagenet forward_with_cfg)
@@ -159,7 +175,7 @@ def main(argv=None):
         variables = _maybe_shard_params(args, variables)
         sample_fn = jax.jit(build_class_cond_sample_fn(
             model, num_steps=args.num_sampling_steps, solver=args.solver,
-            cfg_scale=args.cfg_scale, latent_size=latent,
+            cfg_scale=args.cfg_scale, latent_size=latent, in_channels=chans,
             time_shifting_factor=args.time_shifting_factor
             if args.time_shifting_factor != 1.0 else None,
         ))
@@ -258,13 +274,19 @@ def _sample_fid_npz(args, model, variables, sample_fn, rng):
         decode = jax.jit(lambda z: decode_from_latent(vae, vv, z, args.vae))
 
     out_batches = []
+    label_batches = []
     done = 0
     while done < n:
         labels = jnp.asarray(rng_np.integers(0, model.num_classes, (b,)), jnp.int32)
+        label_batches.append(np.asarray(labels, np.int64))
         latents = sample_fn(variables, jax.random.fold_in(jax.random.PRNGKey(args.seed), done),
                             labels)
         if decode is not None:
             imgs = np.asarray(decode(latents))
+            imgs = np.clip((imgs + 1) / 2 * 255, 0, 255).astype(np.uint8).transpose(0, 2, 3, 1)
+            out_batches.append(imgs)
+        elif getattr(args, "pixel_space", False):
+            imgs = np.asarray(latents, np.float32)
             imgs = np.clip((imgs + 1) / 2 * 255, 0, 255).astype(np.uint8).transpose(0, 2, 3, 1)
             out_batches.append(imgs)
         else:
@@ -274,7 +296,8 @@ def _sample_fid_npz(args, model, variables, sample_fn, rng):
             print(f"fid sampling: {done}/{n}")
     arr = np.concatenate(out_batches)[:n]
     path = os.path.join(args.image_save_path, f"samples_{n}x{arr.shape[1]}x{arr.shape[2]}.npz")
-    np.savez(path, arr_0=arr)
+    # arr_1 = class labels (the ADM evaluator's class-cond npz layout)
+    np.savez(path, arr_0=arr, arr_1=np.concatenate(label_batches)[:n])
     print(f"saved FID batch to {path}")
     return path
 
@@ -293,6 +316,12 @@ def _save_outputs(latents, args, manifest, names: List[str], res_tag: str = ""):
 
             img = decode_from_latent(vae, vv, latents[i: i + 1], args.vae)[0]
             img = np.clip((np.asarray(img) + 1) / 2 * 255, 0, 255).astype(np.uint8)
+            out = os.path.join(args.image_save_path, f"{slug}_{res_tag}.png")
+            Image.fromarray(img.transpose(1, 2, 0)).save(out)
+        elif getattr(args, "pixel_space", False):
+            from PIL import Image
+
+            img = np.clip((latents[i] + 1) / 2 * 255, 0, 255).astype(np.uint8)
             out = os.path.join(args.image_save_path, f"{slug}_{res_tag}.png")
             Image.fromarray(img.transpose(1, 2, 0)).save(out)
         else:

@@ -59,7 +59,9 @@ def parse_args(argv=None):
     p.add_argument("--model", type=str, default="NextDiT_ImageNet_600M_patch2")
     p.add_argument("--data_path", type=str, default="synthetic://32x32")
     p.add_argument("--results_dir", type=str, default="results")
-    p.add_argument("--image_size", type=int, default=256, choices=[256, 512, 1024])
+    p.add_argument("--image_size", type=int, default=256,
+                   help="256/512/1024 (the reference's latent-space recipes); "
+                        "any patch-divisible size with --pixel_space")
     p.add_argument("--max_steps", type=int, default=100_000)
     p.add_argument("--global_batch_size", type=int, default=256)
     p.add_argument("--micro_batch_size", type=int, default=0,
@@ -107,6 +109,13 @@ def parse_args(argv=None):
     p.add_argument("--init_from", type=str, default=None)
     p.add_argument("--vae", type=str, choices=["ema", "mse", "sdxl", "sd3"], default="ema")
     p.add_argument("--vae_ckpt", type=str, default=None, help="diffusers-format VAE weights")
+    p.add_argument("--pixel_space", action="store_true",
+                   help="train the denoiser directly on RGB pixels (in_channels=3, "
+                        "no VAE) — small-resolution class-cond datasets and "
+                        "in-environment quality demos where no trained VAE exists")
+    p.add_argument("--num_classes", type=int, default=None,
+                   help="class-cond label-embedding size (default: the model "
+                        "config's, 1000)")
     p.add_argument("--text_encoder", type=str, default=None,
                    help="HF path of the caption LM (Gemma-2B); omit for synthetic features")
     p.add_argument("--cap_feat_dim", type=int, default=2048)
@@ -168,11 +177,11 @@ def apply_h2d_diet(batch: Dict) -> Dict:
 
 
 def synthetic_batches(args, latent_hw: int, class_cond: bool = True,
-                      num_classes: int = 1000) -> Iterator[Dict]:
+                      num_classes: int = 1000, channels: int = 4) -> Iterator[Dict]:
     rng = np.random.default_rng(args.global_seed + jax.process_index())
     b = args.global_batch_size // jax.process_count()
     while True:
-        batch = {"x": rng.standard_normal((b, 4, latent_hw, latent_hw), np.float32)}
+        batch = {"x": rng.standard_normal((b, channels, latent_hw, latent_hw), np.float32)}
         if class_cond:
             batch["y"] = rng.integers(0, num_classes, (b,)).astype(np.int32)
         else:
@@ -361,7 +370,7 @@ def main(argv=None):
     )
 
     is_class_cond = "ImageNet" in args.model or "MoE" in args.model
-    latent_hw = args.image_size // 8
+    latent_hw = args.image_size if args.pixel_space else args.image_size // 8
 
     # -- data ----------------------------------------------------------------
     # peek the resume step BEFORE building the data stream so the sampler
@@ -378,12 +387,18 @@ def main(argv=None):
     if args.data_path.startswith("synthetic://"):
         hw = args.data_path[len("synthetic://"):]
         latent_hw = int(hw.split("x")[0]) if hw else latent_hw
-        batches = synthetic_batches(args, latent_hw, class_cond=is_class_cond)
+        batches = synthetic_batches(args, latent_hw, class_cond=is_class_cond,
+                                    channels=3 if args.pixel_space else 4)
         encode_images = False
     elif os.path.isdir(args.data_path):
         batches = imagenet_batches(args, start_step=resume_step)
-        encode_images = True
+        # --pixel_space: the loader's [-1, 1] CHW images feed the denoiser
+        # directly; no VAE leg exists in the graph
+        encode_images = not args.pixel_space
     else:  # yaml meta-dataset -> t2i training
+        if args.pixel_space:
+            raise SystemExit("--pixel_space supports class-cond folder or "
+                             "synthetic:// data, not the yaml t2i pipeline")
         text_encoder = None
         if args.text_encoder:
             from ..codecs.text_encoders import DecoderTextEncoder
@@ -394,9 +409,11 @@ def main(argv=None):
             args.cap_feat_dim = text_encoder.hidden_size
         batches = t2i_batches(args, text_encoder, start_step=resume_step)
         encode_images = True
-    if args.h2d_diet and encode_images:
+    if args.h2d_diet and (encode_images or
+                          (args.pixel_space and os.path.isdir(args.data_path))):
         # quantize AFTER the loader (decode/crop unchanged); latents-only
-        # synthetic streams are not image-range and never diet
+        # synthetic streams are not image-range and never diet. Pixel-space
+        # folder batches diet too: the train step dequantizes in-graph.
         batches = (apply_h2d_diet(b) for b in batches)
 
     # -- model (after data: the text encoder may set cap_feat_dim) -----------
@@ -406,8 +423,12 @@ def main(argv=None):
                         else jnp.float32)
     if is_class_cond:
         model_kwargs["class_dropout_prob"] = args.class_dropout_prob
+        if args.num_classes is not None:
+            model_kwargs["num_classes"] = args.num_classes
     else:
         model_kwargs["cap_feat_dim"] = args.cap_feat_dim
+    if args.pixel_space:
+        model_kwargs["in_channels"] = 3
     model = get_model(args.model, **model_kwargs)
 
     vae = vae_variables = None
@@ -450,6 +471,9 @@ def main(argv=None):
     example = dict(first)
     if encode_images:
         example["x"] = np.zeros((first["x"].shape[0], 4, latent_hw, latent_hw), np.float32)
+    elif example["x"].dtype != np.float32:
+        # h2d-diet pixel batches are uint8 on the wire; init from float zeros
+        example["x"] = np.zeros(first["x"].shape, np.float32)
     state = create_train_state(
         jax.random.PRNGKey(args.global_seed), model, example, optimizer, cond_fn
     )

@@ -539,6 +539,11 @@ def make_train_step(
     def train_step(state: TrainState, batch: Dict[str, Any], rng):
         step_rng = jax.random.fold_in(rng, state.step)
         drop_rng, loss_rng = jax.random.split(step_rng)
+        if batch["x"].dtype == jnp.uint8:
+            # --h2d_diet pixel-space path: images crossed the wire as uint8;
+            # dequantize in-graph (exact inverse of apply_h2d_diet's affine)
+            batch = dict(batch)
+            batch["x"] = batch["x"].astype(jnp.float32) / 127.5 - 1.0
         loss, grads = grads_fn(state.params, batch, drop_rng, loss_rng)
 
         # norm/clip in fp32 regardless of grad_dtype: an fp16 sum-of-squares
